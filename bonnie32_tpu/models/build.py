@@ -1,0 +1,189 @@
+"""Host-side builders: numpy scene data -> padded device arrays.
+
+The reference feeds `render_mesh_15` with Rust slices (`/root/reference/src/
+rasterizer/render.rs:2302-2310`); here host data is packed once into the
+fixed-shape pytrees of bonnie32_tpu.types.  Padding uses validity masks so a
+single compiled program serves any scene up to the configured capacities.
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import BlendMode
+from ..types import (CameraArrays, FaceArrays, Lights, MeshArrays,
+                     TextureAtlas, empty_lights)
+
+
+def make_mesh_arrays(pos, uv=None, normal=None, color=None, color_blend=None,
+                     pad_to: Optional[int] = None) -> MeshArrays:
+    """Pack vertex data.  Defaults mirror Vertex::new (types.rs:962):
+    uv (0,0), normal zero, color NEUTRAL (128,128,128) opaque."""
+    pos = np.asarray(pos, np.float32)
+    v = pos.shape[0]
+    uv = np.zeros((v, 2), np.float32) if uv is None else np.asarray(uv, np.float32)
+    normal = np.zeros((v, 3), np.float32) if normal is None else np.asarray(normal, np.float32)
+    if color is None:
+        color = np.full((v, 3), 128, np.int32)
+    else:
+        color = np.asarray(color, np.int32)
+    if color_blend is None:
+        color_blend = np.full((v,), int(BlendMode.OPAQUE), np.int32)
+    else:
+        color_blend = np.asarray(color_blend, np.int32)
+
+    n = pad_to or v
+    assert n >= v
+
+    def pad(a, fill=0):
+        if a.shape[0] == n:
+            return a
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[:v] = a
+        return out
+
+    return MeshArrays(
+        pos=jnp.asarray(pad(pos)),
+        uv=jnp.asarray(pad(uv)),
+        normal=jnp.asarray(pad(normal)),
+        color=jnp.asarray(pad(color)),
+        color_blend=jnp.asarray(pad(color_blend)),
+    )
+
+
+def make_face_arrays(vidx, tex_id=None, black_transparent=None,
+                     blend_mode=None, editor_alpha=None,
+                     pad_to: Optional[int] = None) -> FaceArrays:
+    """Pack faces.  Defaults mirror Face::new (types.rs:1013-1023):
+    untextured, black_transparent=True, OPAQUE, editor_alpha=255."""
+    vidx = np.asarray(vidx, np.int32).reshape(-1, 3)
+    t = vidx.shape[0]
+    tex_id = np.full((t,), -1, np.int32) if tex_id is None else np.asarray(tex_id, np.int32)
+    if black_transparent is None:
+        black_transparent = np.ones((t,), bool)
+    else:
+        black_transparent = np.asarray(black_transparent, bool)
+    if blend_mode is None:
+        blend_mode = np.full((t,), int(BlendMode.OPAQUE), np.int32)
+    else:
+        blend_mode = np.asarray(blend_mode, np.int32)
+    if editor_alpha is None:
+        editor_alpha = np.full((t,), 255, np.int32)
+    else:
+        editor_alpha = np.asarray(editor_alpha, np.int32)
+    valid = np.ones((t,), bool)
+
+    n = pad_to or t
+    assert n >= t
+
+    def pad(a, fill=0):
+        if a.shape[0] == n:
+            return a
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[:t] = a
+        return out
+
+    return FaceArrays(
+        vidx=jnp.asarray(pad(vidx)),
+        tex_id=jnp.asarray(pad(tex_id, -1)),
+        black_transparent=jnp.asarray(pad(black_transparent, False)),
+        blend_mode=jnp.asarray(pad(blend_mode)),
+        editor_alpha=jnp.asarray(pad(editor_alpha, 255)),
+        valid=jnp.asarray(pad(valid, False)),
+    )
+
+
+def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
+                pad_data_to: Optional[int] = None) -> TextureAtlas:
+    """Flatten Texture15s into one atlas.
+
+    `textures`: sequence of (pixels (h, w) uint16/int Color15 words,
+    blend_mode).  Always includes a 1x1 white placeholder at slot capacity
+    end so empty scenes still have valid table entries.
+    """
+    if not textures:
+        textures = [(np.full((1, 1), 0x7FFF, np.uint16), int(BlendMode.OPAQUE))]
+    offsets, widths, heights, blends, chunks = [], [], [], [], []
+    has_black, has_transparent = [], []
+    off = 0
+    for pixels, blend in textures:
+        pixels = np.asarray(pixels).astype(np.int64) & 0xFFFF
+        h, w = pixels.shape
+        offsets.append(off)
+        widths.append(w)
+        heights.append(h)
+        blends.append(int(blend))
+        has_black.append(bool(((pixels & 0x7FFF) == 0).any()))
+        has_transparent.append(bool((pixels == 0).any()))
+        chunks.append(pixels.astype(np.int32).reshape(-1))
+        off += h * w
+    data = np.concatenate(chunks).astype(np.int32)
+    if pad_data_to and pad_data_to > data.size:
+        data = np.concatenate([data, np.zeros(pad_data_to - data.size, np.int32)])
+    return TextureAtlas(
+        data=jnp.asarray(data),
+        offset=jnp.asarray(np.asarray(offsets, np.int32)),
+        width=jnp.asarray(np.asarray(widths, np.int32)),
+        height=jnp.asarray(np.asarray(heights, np.int32)),
+        blend_mode=jnp.asarray(np.asarray(blends, np.int32)),
+        has_black=jnp.asarray(np.asarray(has_black, bool)),
+        has_transparent=jnp.asarray(np.asarray(has_transparent, bool)),
+    )
+
+
+def camera_basis(pitch: float, yaw: float) -> np.ndarray:
+    """Camera::update_basis (camera.rs:76-91) in host f32.
+
+    up = (0, -1, 0) (screen convention); returns rows (bx, by, bz).
+    """
+    rx = np.float32(pitch)
+    ry = np.float32(yaw)
+    bz = np.array([np.cos(rx) * np.sin(ry), -np.sin(rx),
+                   np.cos(rx) * np.cos(ry)], np.float32)
+    up = np.array([0.0, -1.0, 0.0], np.float32)
+    bx = np.cross(up, bz).astype(np.float32)
+    l = np.sqrt(np.float32(bx[0] * bx[0] + bx[1] * bx[1] + bx[2] * bx[2]))
+    if l != 0:
+        bx = (bx / l).astype(np.float32)
+    by = np.cross(bz, bx).astype(np.float32)
+    return np.stack([bx, by, bz])
+
+
+def make_camera(position, basis) -> CameraArrays:
+    return CameraArrays(position=jnp.asarray(np.asarray(position, np.float32)),
+                        basis=jnp.asarray(np.asarray(basis, np.float32)))
+
+
+def lights_from_list(specs: List[dict], pad: int = 8) -> Lights:
+    """Build a Lights pytree from dicts:
+    {kind: 'directional'|'point'|'spot', direction, position, color(0-255),
+     intensity, radius, angle, enabled}."""
+    kind_map = {"directional": 1, "point": 2, "spot": 3}
+    L = empty_lights(pad=pad)
+    kind = np.zeros(pad, np.int32)
+    position = np.zeros((pad, 3), np.float32)
+    direction = np.zeros((pad, 3), np.float32)
+    color01 = np.zeros((pad, 3), np.float32)
+    intensity = np.zeros(pad, np.float32)
+    radius = np.zeros(pad, np.float32)
+    angle = np.zeros(pad, np.float32)
+    for i, s in enumerate(specs):
+        if not s.get("enabled", True):
+            continue
+        kind[i] = kind_map[s["kind"]]
+        if "position" in s:
+            position[i] = np.asarray(s["position"], np.float32)
+        if "direction" in s:
+            d = np.asarray(s["direction"], np.float32)
+            ln = np.sqrt(np.float32(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]))
+            direction[i] = (d / ln).astype(np.float32) if ln != 0 else d
+        c = np.asarray(s.get("color", (255, 255, 255)), np.float32)
+        color01[i] = (c / np.float32(255.0)).astype(np.float32)
+        intensity[i] = np.float32(s.get("intensity", 1.0))
+        radius[i] = np.float32(s.get("radius", 0.0))
+        angle[i] = np.float32(s.get("angle", 0.0))
+    return L._replace(kind=jnp.asarray(kind), position=jnp.asarray(position),
+                      direction=jnp.asarray(direction), color01=jnp.asarray(color01),
+                      intensity=jnp.asarray(intensity), radius=jnp.asarray(radius),
+                      angle=jnp.asarray(angle))

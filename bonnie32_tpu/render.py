@@ -1,0 +1,48 @@
+"""Top-level mesh rendering — the TPU equivalent of `render_mesh_15`.
+
+Composes the vertex/cull/fog stage (ops/surface.py) with a rasterizer:
+  * depth_mode="harmonic": the parity path (ops/raster_ref.py), literal
+    reference semantics.
+  * depth_mode="inv": inverse-z depth, no per-pixel divisions — the fast
+    ordering-equivalent default.
+
+Reference: `/root/reference/src/rasterizer/render.rs:2302` (render_mesh_15).
+Wireframe phases (render.rs:2574-2633) are editor-only overlays, implemented
+separately in ops/wireframe.py.
+"""
+
+import functools
+
+import jax
+
+from .config import RasterSettings
+from .types import (CameraArrays, FaceArrays, Fog, FrameBuffers, Lights,
+                    MeshArrays, TextureAtlas)
+from .ops.surface import build_surfaces
+from .ops.raster_ref import rasterize_surfaces
+from .ops.raster_fast import rasterize_surfaces_fast
+
+
+def _fast_ok(settings: RasterSettings) -> bool:
+    return (settings.use_zbuffer and not settings.xray_mode
+            and settings.ortho_projection is None)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "depth_mode"))
+def render_mesh_15(fb: FrameBuffers, mesh: MeshArrays, faces: FaceArrays,
+                   atlas: TextureAtlas, camera: CameraArrays, lights: Lights,
+                   fog: Fog, settings: RasterSettings,
+                   depth_mode: str = "fast") -> FrameBuffers:
+    """depth_mode:
+    * "fast": visibility-reduction path (falls back to "inv" when the
+      settings require ordered compositing: painter's, x-ray, ortho).
+    * "inv": sequential compositor, inverse-z depth.
+    * "harmonic": sequential compositor, literal reference z semantics.
+    """
+    height, width = fb.color.shape
+    surfaces = build_surfaces(mesh, faces, atlas, camera, lights, fog,
+                              settings, width, height)
+    if depth_mode == "fast" and _fast_ok(settings):
+        return rasterize_surfaces_fast(fb, surfaces, atlas, settings)
+    mode = "inv" if depth_mode == "fast" else depth_mode
+    return rasterize_surfaces(fb, surfaces, atlas, settings, depth_mode=mode)
