@@ -36,14 +36,14 @@ from ..config import RasterSettings, BlendMode
 from ..types import FrameBuffers, Surfaces, TextureAtlas
 from . import color as col
 from . import pixel as px
-from .exactf import exact_recip
+
 from .raster_ref import _raster_one
 
 _F32 = jnp.float32
 _I32 = jnp.int32
 
 
-def _edge_setup(sx, sy, px_, py_, width, height):
+def _edge_setup(sx, sy, area, inv_area, px_, py_, width, height):
     """Shared bbox + edge-function evaluation (render.rs:1455-1545)."""
     v1x, v2x, v3x = sx[..., 0], sx[..., 1], sx[..., 2]
     v1y, v2y, v3y = sy[..., 0], sy[..., 1], sy[..., 2]
@@ -59,9 +59,7 @@ def _edge_setup(sx, sy, px_, py_, width, height):
             & (yi >= jnp.trunc(min_yf).astype(_I32))
             & (yi < jnp.maximum(jnp.trunc(max_yf).astype(_I32), 0)))
 
-    area = (v2y - v3y) * (v1x - v3x) + (v3x - v2x) * (v1y - v3y)
     degenerate = jnp.abs(area) < 0.00001
-    inv_area = exact_recip(jnp.where(degenerate, _F32(1.0), area))
 
     a0 = v2y - v3y
     b0 = v3x - v2x
@@ -116,7 +114,9 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
         tid = surfaces.tex_id[idx]
         black_transparent = surfaces.black_transparent[idx]
 
-        bc_x, bc_y, bc_z, covered = _edge_setup(sx, sy, px_, py_, width, height)
+        bc_x, bc_y, bc_z, covered = _edge_setup(
+            sx, sy, surfaces.area[idx], surfaces.inv_area[idx],
+            px_, py_, width, height)
         izi = (bc_x * iz[0] + bc_y * iz[1]) + bc_z * iz[2]
 
         safe_tid = jnp.maximum(tid, 0)
@@ -157,7 +157,9 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
     bt = surfaces.black_transparent[idx]
     nd = surfaces.needs_dither[idx]
 
-    bc_x, bc_y, bc_z, _ = _edge_setup(sx, sy, px_, py_, width, height)
+    bc_x, bc_y, bc_z, _ = _edge_setup(sx, sy, surfaces.area[idx],
+                                      surfaces.inv_area[idx],
+                                      px_, py_, width, height)
     iz = (iz3[..., 0], iz3[..., 1], iz3[..., 2])
     izi = (bc_x * iz[0] + bc_y * iz[1]) + bc_z * iz[2]
 
@@ -178,7 +180,8 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
         idx = tr_order[i]
         scalars = (
             surfaces.sx[idx], surfaces.sy[idx], surfaces.z[idx],
-            surfaces.inv_z[idx], surfaces.uv[idx], surfaces.vc[idx],
+            surfaces.inv_z[idx], surfaces.area[idx], surfaces.inv_area[idx],
+            surfaces.uv[idx], surfaces.vc[idx],
             surfaces.shade[idx], surfaces.tex_id[idx],
             surfaces.blend_mode[idx], surfaces.black_transparent[idx],
             surfaces.editor_alpha[idx], surfaces.needs_dither[idx],

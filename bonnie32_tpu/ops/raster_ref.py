@@ -61,8 +61,8 @@ def _raster_one(carry, surf_scalars, atlas: TextureAtlas,
                 settings: RasterSettings, grid, depth_mode: str):
     """Rasterize one surface over the full frame (rasterize_triangle_15)."""
     color_buf, depth_buf = carry
-    (sx, sy, sz, iz, uvc, vcc, shc, tid, blend_mode, black_transparent,
-     editor_alpha, needs_dither, skip_z, valid) = surf_scalars
+    (sx, sy, sz, iz, area, inv_area, uvc, vcc, shc, tid, blend_mode,
+     black_transparent, editor_alpha, needs_dither, skip_z, valid) = surf_scalars
     pxf, pyf, xi, yi = grid
 
     v1x, v2x, v3x = sx[0], sx[1], sx[2]
@@ -81,10 +81,9 @@ def _raster_one(carry, surf_scalars, atlas: TextureAtlas,
     max_y = jnp.maximum(jnp.trunc(max_yf).astype(_I32), 0)
     bbox = (xi >= min_x) & (xi < max_x) & (yi >= min_y) & (yi < max_y)
 
-    # Edge-function setup (render.rs:1499-1510).
-    area = (v2y - v3y) * (v1x - v3x) + (v3x - v2x) * (v1y - v3y)
+    # Edge-function setup (render.rs:1499-1510); area reciprocal precomputed
+    # per surface in build_surfaces.
     degenerate = jnp.abs(area) < 0.00001
-    inv_area = exact_recip(jnp.where(degenerate, _F32(1.0), area))
 
     a0 = v2y - v3y
     b0 = v3x - v2x
@@ -179,7 +178,8 @@ def rasterize_surfaces(fb: FrameBuffers, surfaces: Surfaces,
         idx = order[i]
         scalars = (
             surfaces.sx[idx], surfaces.sy[idx], surfaces.z[idx],
-            surfaces.inv_z[idx], surfaces.uv[idx], surfaces.vc[idx],
+            surfaces.inv_z[idx], surfaces.area[idx], surfaces.inv_area[idx],
+            surfaces.uv[idx], surfaces.vc[idx],
             surfaces.shade[idx], surfaces.tex_id[idx],
             surfaces.blend_mode[idx], surfaces.black_transparent[idx],
             surfaces.editor_alpha[idx], surfaces.needs_dither[idx],

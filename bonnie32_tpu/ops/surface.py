@@ -170,8 +170,18 @@ def build_surfaces(mesh: MeshArrays, faces: FaceArrays, atlas: TextureAtlas,
     # are per-corner constants).
     inv_z = exact_recip(sz)
 
+    # Rasterization area + exact reciprocal (render.rs:1500-1504), hoisted out
+    # of the per-pixel loops.  NOTE: different formula/order than the cull
+    # phase's signed_area.
+    r1x, r2x, r3x = sx[:, 0], sx[:, 1], sx[:, 2]
+    r1y, r2y, r3y = sy[:, 0], sy[:, 1], sy[:, 2]
+    area = (r2y - r3y) * (r1x - r3x) + (r3x - r2x) * (r1y - r3y)
+    degenerate = jnp.abs(area) < 0.00001
+    inv_area = exact_recip(jnp.where(degenerate, _F32(1.0), area))
+
     return Surfaces(
-        sx=sx, sy=sy, z=sz, inv_z=inv_z, uv=uv, vc=vc, shade=shade,
+        sx=sx, sy=sy, z=sz, inv_z=inv_z, area=area, inv_area=inv_area,
+        uv=uv, vc=vc, shade=shade,
         tex_id=faces.tex_id, blend_mode=blend_mode,
         black_transparent=faces.black_transparent,
         editor_alpha=faces.editor_alpha,

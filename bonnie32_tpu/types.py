@@ -102,6 +102,8 @@ class Surfaces(NamedTuple):
     sy: jnp.ndarray            # (T, 3) f32 screen y per corner
     z: jnp.ndarray             # (T, 3) f32 depth (perspective denominator)
     inv_z: jnp.ndarray         # (T, 3) f32 exact 1/z per corner
+    area: jnp.ndarray          # (T,) f32 doubled signed area (raster formula)
+    inv_area: jnp.ndarray      # (T,) f32 exact 1/area (degenerate-guarded)
     uv: jnp.ndarray            # (T, 3, 2) f32
     vc: jnp.ndarray            # (T, 3, 3) i32 fogged vertex colors 0-255
     shade: jnp.ndarray         # (T, 3, 3) f32 per-corner RGB light shade

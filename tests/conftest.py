@@ -7,7 +7,6 @@ validated on hardware and are exercised by bench.py on the real chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +15,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# NOTE: the env var JAX_PLATFORMS is ignored under the axon TPU plugin; the
+# config update is honored.  Set B32_TEST_PLATFORM=tpu to run tests on the
+# real chip instead of the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", os.environ.get("B32_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)
