@@ -28,17 +28,40 @@ def batched_framebuffers(n: int, height: int, width: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "depth_mode"))
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "depth_mode", "instance_chunk"))
 def render_batch(fbs: FrameBuffers, mesh, faces, atlas,
                  cameras: CameraArrays, lights, fog,
                  settings: RasterSettings,
-                 depth_mode: str = "fast") -> FrameBuffers:
-    """vmap of render_mesh_15 over (framebuffer, camera)."""
+                 depth_mode: str = "fast",
+                 instance_chunk: int = 128) -> FrameBuffers:
+    """vmap of render_mesh_15 over (framebuffer, camera).
+
+    Instances are processed in chunks of `instance_chunk` via lax.map: the
+    fast path's one-hot resolve materializes ~12 MB of per-pixel attributes
+    per instance, so an unchunked 1024-wide vmap would need >11 GB of HBM
+    temps.  Chunking bounds peak memory at chunk-size cost with no
+    throughput loss (the per-chunk batch already saturates the chip).
+    """
     fn = functools.partial(render_mod.render_mesh_15,
                            settings=settings, depth_mode=depth_mode)
-    return jax.vmap(
-        lambda fb, cam: fn(fb, mesh, faces, atlas, cam, lights, fog)
-    )(fbs, cameras)
+    inner = jax.vmap(
+        lambda fb, cam: fn(fb, mesh, faces, atlas, cam, lights, fog))
+
+    n = fbs.color.shape[0]
+    if instance_chunk is None or n <= instance_chunk:
+        return inner(fbs, cameras)
+    assert n % instance_chunk == 0, (n, instance_chunk)
+    g = n // instance_chunk
+
+    def regroup(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((g, instance_chunk) + x.shape[1:]), t)
+
+    out = jax.lax.map(lambda args: inner(*args),
+                      (regroup(fbs), regroup(cameras)))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n,) + x.shape[2:]), out)
 
 
 def batched_cameras(positions, bases) -> CameraArrays:

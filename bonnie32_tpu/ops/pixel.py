@@ -31,9 +31,16 @@ class PixelColor(NamedTuple):
     keyed_out: jnp.ndarray  # pixel skipped by transparency/black keying
 
 
-def sample_texture(atlas: TextureAtlas, tid, u, v):
+def sample_texture(atlas: TextureAtlas, tid, u, v, tex_gather: str = "direct"):
     """Texture15::sample (types.rs:671-681); `v` is the already-flipped
-    (1 - v) argument.  tid < 0 lanes gather slot 0 (caller overrides)."""
+    (1 - v) argument.  tid < 0 lanes gather slot 0 (caller overrides).
+
+    tex_gather: "direct" uses a dynamic gather; "onehot" uses the exact
+    MXU one-hot gather (ops/gatherx.py) when the atlas is small enough —
+    ~8x faster per pixel on TPU, bit-identical results.
+    """
+    from . import gatherx
+
     safe = jnp.maximum(tid, 0)
     w = atlas.width[safe]
     h = atlas.height[safe]
@@ -48,7 +55,12 @@ def sample_texture(atlas: TextureAtlas, tid, u, v):
     vw = wrap(v)
     tx = jnp.minimum(jnp.trunc(uw * w.astype(_F32)).astype(_I32), w - 1)
     ty = jnp.minimum(jnp.trunc(vw * h.astype(_F32)).astype(_I32), h - 1)
-    return atlas.data[off + ty * w + tx]
+    flat = off + ty * w + tx
+    if (tex_gather == "onehot"
+            and atlas.data.shape[0] % 128 == 0
+            and atlas.data.shape[0] <= gatherx.ONEHOT_ATLAS_LIMIT):
+        return gatherx.onehot_values_u16(atlas.data, flat)
+    return atlas.data[flat]
 
 
 def u8_trunc_sat(x):
@@ -62,12 +74,12 @@ def interp3(bc_x, bc_y, bc_z, a0, a1, a2):
     return (bc_x * a0 + bc_y * a1) + bc_z * a2
 
 
-def sample_and_key(atlas, tid, u, v, black_transparent):
+def sample_and_key(atlas, tid, u, v, black_transparent, tex_gather="direct"):
     """Texture sample + keying (render.rs:1582-1607).
 
     Returns (c15 after drawable-black fixup, keyed_out mask)."""
     textured = tid >= 0
-    sampled = sample_texture(atlas, tid, u, _F32(1.0) - v)
+    sampled = sample_texture(atlas, tid, u, _F32(1.0) - v, tex_gather)
     c15 = jnp.where(textured, sampled, _I32(col.WHITE))
 
     is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) & (col.b5(c15) == 0)
@@ -99,14 +111,16 @@ def uv_at(bc_x, bc_y, bc_z, uv, iz, izi, settings: RasterSettings,
 def pixel_color(bc_x, bc_y, bc_z, izi, iz, uv, vc, shade, tid,
                 black_transparent, needs_dither, xi, yi,
                 atlas: TextureAtlas, settings: RasterSettings,
-                exact_persp: bool = True) -> PixelColor:
+                exact_persp: bool = True,
+                tex_gather: str = "direct") -> PixelColor:
     """Full pixel pipeline after the inside/z tests.
 
     iz: 3-seq of 1/z per corner; uv: 3-seq of (u, v); vc: 3-seq of (r, g, b)
     int; shade: 3-seq of (r, g, b) f32 light shades.
     """
     u, v = uv_at(bc_x, bc_y, bc_z, uv, iz, izi, settings, exact_persp)
-    c15, keyed_out = sample_and_key(atlas, tid, u, v, black_transparent)
+    c15, keyed_out = sample_and_key(atlas, tid, u, v, black_transparent,
+                                    tex_gather)
 
     tex_r8 = col.expand_5_to_8(col.r5(c15))
     tex_g8 = col.expand_5_to_8(col.g5(c15))
