@@ -53,7 +53,7 @@ def make_mesh_arrays(pos, uv=None, normal=None, color=None, color_blend=None,
 
 
 def make_face_arrays(vidx, tex_id=None, black_transparent=None,
-                     blend_mode=None, editor_alpha=None,
+                     blend_mode=None, editor_alpha=None, double_sided=None,
                      pad_to: Optional[int] = None) -> FaceArrays:
     """Pack faces.  Defaults mirror Face::new (types.rs:1013-1023):
     untextured, black_transparent=True, OPAQUE, editor_alpha=255."""
@@ -72,6 +72,10 @@ def make_face_arrays(vidx, tex_id=None, black_transparent=None,
         editor_alpha = np.full((t,), 255, np.int32)
     else:
         editor_alpha = np.asarray(editor_alpha, np.int32)
+    if double_sided is None:
+        double_sided = np.zeros((t,), bool)
+    else:
+        double_sided = np.asarray(double_sided, bool)
     valid = np.ones((t,), bool)
 
     n = pad_to or t
@@ -90,6 +94,7 @@ def make_face_arrays(vidx, tex_id=None, black_transparent=None,
         black_transparent=jnp.asarray(pad(black_transparent, False)),
         blend_mode=jnp.asarray(pad(blend_mode)),
         editor_alpha=jnp.asarray(pad(editor_alpha, 255)),
+        double_sided=jnp.asarray(pad(double_sided, False)),
         valid=jnp.asarray(pad(valid, False)),
     )
 
@@ -155,7 +160,8 @@ def make_camera(position, basis) -> CameraArrays:
                         basis=jnp.asarray(np.asarray(basis, np.float32)))
 
 
-def lights_from_list(specs: List[dict], pad: int = 8) -> Lights:
+def lights_from_list(specs: List[dict], pad: int = 8,
+                     ambient: float = 0.3) -> Lights:
     """Build a Lights pytree from dicts:
     {kind: 'directional'|'point'|'spot', direction, position, color(0-255),
      intensity, radius, angle, enabled}."""
@@ -186,4 +192,4 @@ def lights_from_list(specs: List[dict], pad: int = 8) -> Lights:
     return L._replace(kind=jnp.asarray(kind), position=jnp.asarray(position),
                       direction=jnp.asarray(direction), color01=jnp.asarray(color01),
                       intensity=jnp.asarray(intensity), radius=jnp.asarray(radius),
-                      angle=jnp.asarray(angle))
+                      angle=jnp.asarray(angle), ambient=jnp.float32(ambient))

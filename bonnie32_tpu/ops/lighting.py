@@ -39,7 +39,7 @@ def _normalize3(x, y, z):
             l)
 
 
-def shade_points(normal, world_pos, lights: Lights, ambient: float):
+def shade_points(normal, world_pos, lights: Lights):
     """Per-point RGB shade in 0-1 (render.rs:1013).
 
     normal: (..., 3) f32 (world-space); world_pos: (..., 3) f32.
@@ -48,7 +48,7 @@ def shade_points(normal, world_pos, lights: Lights, ambient: float):
     nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
     px, py, pz = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
 
-    amb = _F32(ambient)
+    amb = jnp.asarray(lights.ambient, _F32)
     total_r = jnp.full_like(nx, amb)
     total_g = jnp.full_like(nx, amb)
     total_b = jnp.full_like(nx, amb)

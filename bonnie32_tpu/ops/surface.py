@@ -116,9 +116,13 @@ def build_surfaces(mesh: MeshArrays, faces: FaceArrays, atlas: TextureAtlas,
     blend_mode = jnp.where(textured, tex_blend, faces.blend_mode)
 
     # Winding swap for rendered backfaces (render.rs:2452-2479): corner
-    # permutation (0, 2, 1) and negated normals.
+    # permutation (0, 2, 1) and negated normals.  Per-face double_sided
+    # disables culling like the per-part settings in render_asset_parts
+    # (scene.rs:134-138).
     render_back = not settings.backface_cull or settings.xray_mode
-    swap = is_backface if render_back else jnp.zeros_like(is_backface)
+    render_back_face = (faces.double_sided
+                        if not render_back else jnp.ones_like(is_backface))
+    swap = is_backface & (render_back_face | render_back)
     perm = jnp.where(swap[:, None],
                      jnp.asarray([0, 2, 1], _I32)[None, :],
                      jnp.asarray([0, 1, 2], _I32)[None, :])  # (T, 3)
@@ -139,13 +143,13 @@ def build_surfaces(mesh: MeshArrays, faces: FaceArrays, atlas: TextureAtlas,
 
     # Per-corner lighting (render.rs:1466-1483, precomputed per surface).
     if settings.shading == ShadingMode.GOURAUD:
-        shade = shade_points(wnorm, wpos, lights, settings.ambient)
+        shade = shade_points(wnorm, wpos, lights)
     elif settings.shading == ShadingMode.FLAT:
         # Flat: average world pos/normal then one shade (render.rs:1467-1469).
         third = _F32(1.0 / 3.0)
         center = ((wpos[:, 0] + wpos[:, 1]) + wpos[:, 2]) * third
         avg_n = ((wnorm[:, 0] + wnorm[:, 1]) + wnorm[:, 2]) * third
-        flat = shade_points(normalize_rows(avg_n), center, lights, settings.ambient)
+        flat = shade_points(normalize_rows(avg_n), center, lights)
         shade = jnp.broadcast_to(flat[:, None, :], wpos.shape)
     else:
         shade = jnp.ones(wpos.shape, _F32)
@@ -158,7 +162,7 @@ def build_surfaces(mesh: MeshArrays, faces: FaceArrays, atlas: TextureAtlas,
         | textured | ~vc_eq_12 | ~vc_eq_23)
 
     # Validity: padding, near plane, fog cull, backface cull.
-    front_ok = jnp.ones_like(is_backface) if render_back else ~is_backface
+    front_ok = ~is_backface | render_back_face | render_back
     valid = faces.valid & near_ok & ~fog_cull & front_ok
 
     # Centroid depth key, post-swap corner order; note the reference DIVIDES

@@ -34,6 +34,8 @@ class FaceArrays(NamedTuple):
     black_transparent: jnp.ndarray  # (T,) bool
     blend_mode: jnp.ndarray        # (T,) i32 BlendMode
     editor_alpha: jnp.ndarray      # (T,) i32 0-255
+    double_sided: jnp.ndarray      # (T,) bool — per-face backface-cull opt-out
+                                   # (MeshPart.double_sided, scene.rs:134-138)
     valid: jnp.ndarray             # (T,) bool padding mask
 
 
@@ -69,6 +71,8 @@ class Lights(NamedTuple):
     intensity: jnp.ndarray  # (L,) f32
     radius: jnp.ndarray     # (L,) f32
     angle: jnp.ndarray      # (L,) f32 (spot cone angle, radians)
+    ambient: jnp.ndarray    # () f32 — dynamic so per-room ambient (Room.ambient,
+                            # world/geometry.rs:2456) reuses one compiled program
 
 
 class CameraArrays(NamedTuple):
@@ -140,6 +144,7 @@ def empty_lights(n: int = 0, pad: int = 8) -> Lights:
         intensity=jnp.zeros((pad,), jnp.float32),
         radius=jnp.zeros((pad,), jnp.float32),
         angle=jnp.zeros((pad,), jnp.float32),
+        ambient=jnp.float32(0.3),
     )
 
 

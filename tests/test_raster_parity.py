@@ -61,7 +61,7 @@ def run_both(vertices, faces, textures, campos, basis, settings,
     mesh, fa = scenes.to_jax_scene(vertices, faces)
     atlas = build.build_atlas(textures)
     cam = build.make_camera(campos, basis)
-    lights = build.lights_from_list(light_specs)
+    lights = build.lights_from_list(light_specs, ambient=settings.ambient)
     jfog = no_fog() if fog is None else scenes.make_fog(fog[0], fog[1], fog[2], fog[3])
     fb = raster_ref.new_framebuffer(H, W, depth_mode=depth_mode)
     out = jax_render(fb, mesh, fa, atlas, cam, lights, jfog, settings,
