@@ -1,0 +1,295 @@
+"""Sector collision: level geometry compiled to device grids + cylinder solve.
+
+The reference queries `Level::get_floor_info` (world/geometry.rs:3597) through
+pointer-chasing room/sector lookups; here the level compiles once into padded
+(R, GX, GZ) height tables and the query is pure gather + interpolation math,
+fully vmap-able over (instances, entities, probe points).
+
+`collide_cylinder` / `move_and_slide` replicate game/collision.rs:37-193:
+accumulated gravity with terminal velocity, center floor/ceiling test with
+step-up, 4-corner wall probes with per-axis pushback (sequentially carried,
+as the reference mutates the position inside the corner loop), and the
+void-as-wall fallback.
+"""
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.level import Level, SECTOR_SIZE
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+TERMINAL_VELOCITY = 4000.0  # game/components.rs:39
+
+
+class CollisionGrid(NamedTuple):
+    """Padded per-room sector tables."""
+
+    room_pos: jnp.ndarray      # (R, 3) f32
+    bounds_min: jnp.ndarray    # (R, 3) f32 room-relative
+    bounds_max: jnp.ndarray    # (R, 3) f32
+    width: jnp.ndarray         # (R,) i32
+    depth: jnp.ndarray         # (R,) i32
+    has_sector: jnp.ndarray    # (R, GX, GZ) bool
+    has_floor: jnp.ndarray     # (R, GX, GZ) bool
+    floor_heights: jnp.ndarray  # (R, GX, GZ, 4) f32 [NW, NE, SE, SW]
+    floor_split: jnp.ndarray   # (R, GX, GZ) i32 0=NwSe 1=NeSw
+    has_ceiling: jnp.ndarray   # (R, GX, GZ) bool
+    ceil_heights: jnp.ndarray  # (R, GX, GZ, 4) f32
+    ceil_split: jnp.ndarray    # (R, GX, GZ) i32
+
+
+class PlayerParams(NamedTuple):
+    """PlayerSettings (world/geometry.rs:2177) as device scalars."""
+
+    radius: jnp.ndarray
+    height: jnp.ndarray
+    step_height: jnp.ndarray
+    walk_speed: jnp.ndarray
+    run_speed: jnp.ndarray
+    gravity: jnp.ndarray
+    jump_velocity: jnp.ndarray
+    sprint_jump_multiplier: jnp.ndarray
+    camera_distance: jnp.ndarray
+    camera_vertical_offset: jnp.ndarray
+    camera_pitch_min: jnp.ndarray
+    camera_pitch_max: jnp.ndarray
+
+
+def player_params(level: Level) -> PlayerParams:
+    s = level.player_settings
+    f = jnp.float32
+    return PlayerParams(
+        radius=f(s.radius), height=f(s.height), step_height=f(s.step_height),
+        walk_speed=f(s.walk_speed), run_speed=f(s.run_speed),
+        gravity=f(s.gravity), jump_velocity=f(s.jump_velocity),
+        sprint_jump_multiplier=f(s.sprint_jump_multiplier),
+        camera_distance=f(s.camera_distance),
+        camera_vertical_offset=f(s.camera_vertical_offset),
+        camera_pitch_min=f(s.camera_pitch_min),
+        camera_pitch_max=f(s.camera_pitch_max),
+    )
+
+
+def compile_collision(level: Level) -> CollisionGrid:
+    r = max(len(level.rooms), 1)
+    gx = max((room.width for room in level.rooms), default=1)
+    gz = max((room.depth for room in level.rooms), default=1)
+
+    room_pos = np.zeros((r, 3), np.float32)
+    bmin = np.zeros((r, 3), np.float32)
+    bmax = np.zeros((r, 3), np.float32)
+    width = np.zeros(r, np.int32)
+    depth = np.zeros(r, np.int32)
+    has_sector = np.zeros((r, gx, gz), bool)
+    has_floor = np.zeros((r, gx, gz), bool)
+    fh = np.zeros((r, gx, gz, 4), np.float32)
+    fs = np.zeros((r, gx, gz), np.int32)
+    has_ceil = np.zeros((r, gx, gz), bool)
+    ch = np.zeros((r, gx, gz, 4), np.float32)
+    cs = np.zeros((r, gx, gz), np.int32)
+
+    for i, room in enumerate(level.rooms):
+        room_pos[i] = room.position
+        bmin[i] = room.bounds_min
+        bmax[i] = room.bounds_max
+        width[i] = room.width
+        depth[i] = room.depth
+        for x, z, sector in room.iter_sectors():
+            has_sector[i, x, z] = True
+            if sector.floor is not None:
+                has_floor[i, x, z] = True
+                fh[i, x, z] = sector.floor.heights
+                fs[i, x, z] = sector.floor.split_direction
+            if sector.ceiling is not None:
+                has_ceil[i, x, z] = True
+                ch[i, x, z] = sector.ceiling.heights
+                cs[i, x, z] = sector.ceiling.split_direction
+
+    return CollisionGrid(
+        room_pos=jnp.asarray(room_pos), bounds_min=jnp.asarray(bmin),
+        bounds_max=jnp.asarray(bmax), width=jnp.asarray(width),
+        depth=jnp.asarray(depth), has_sector=jnp.asarray(has_sector),
+        has_floor=jnp.asarray(has_floor), floor_heights=jnp.asarray(fh),
+        floor_split=jnp.asarray(fs), has_ceiling=jnp.asarray(has_ceil),
+        ceil_heights=jnp.asarray(ch), ceil_split=jnp.asarray(cs),
+    )
+
+
+def _interpolate_height(heights, split, u, v):
+    """HorizontalFace::interpolate_height (geometry.rs:1283), f32."""
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    h0, h1, h2, h3 = (heights[..., 0], heights[..., 1],
+                      heights[..., 2], heights[..., 3])
+    # NwSe split
+    nwse_t1 = h0 + u * (h1 - h0) + v * (h2 - h1)
+    nwse_t2 = h0 + u * (h2 - h3) + v * (h3 - h0)
+    nwse = jnp.where(u >= v, nwse_t1, nwse_t2)
+    # NeSw split
+    nesw_t1 = h0 + u * (h1 - h0) + v * (h3 - h0)
+    nesw_t2 = h3 + u * (h2 - h3) + (1.0 - v) * (h1 - h2)
+    nesw = jnp.where(u + v <= 1.0, nesw_t1, nesw_t2)
+    return jnp.where(split == 0, nwse, nesw)
+
+
+def find_room_at(grid: CollisionGrid, point, hint):
+    """Level::find_room_at_with_hint (geometry.rs:3576): hint first, else
+    first containing room in index order.  Returns -1 if none."""
+    rel = point[None, :] - grid.room_pos  # (R, 3)
+    inside = jnp.all((rel >= grid.bounds_min) & (rel <= grid.bounds_max),
+                     axis=-1)
+    n = grid.room_pos.shape[0]
+    idxs = jnp.arange(n, dtype=_I32)
+    first = jnp.min(jnp.where(inside, idxs, n)).astype(_I32)
+    first = jnp.where(first >= n, _I32(-1), first)
+    hint_ok = (hint >= 0) & (hint < n) & inside[jnp.clip(hint, 0, n - 1)]
+    return jnp.where(hint_ok, hint, first)
+
+
+class FloorQuery(NamedTuple):
+    found: jnp.ndarray
+    room: jnp.ndarray
+    floor: jnp.ndarray
+    ceiling: jnp.ndarray
+    sector_x: jnp.ndarray
+    sector_z: jnp.ndarray
+
+
+def get_floor_info(grid: CollisionGrid, point, hint) -> FloorQuery:
+    """Level::get_floor_info (geometry.rs:3597-3643) on device tables."""
+    room = find_room_at(grid, point, hint)
+    safe = jnp.maximum(room, 0)
+    rp = grid.room_pos[safe]
+    local_x = point[0] - rp[0]
+    local_z = point[2] - rp[2]
+    sx = jnp.floor(local_x / SECTOR_SIZE).astype(_I32)
+    sz = jnp.floor(local_z / SECTOR_SIZE).astype(_I32)
+
+    in_grid = ((sx >= 0) & (sz >= 0)
+               & (sx < grid.width[safe]) & (sz < grid.depth[safe]))
+    gx = jnp.clip(sx, 0, grid.has_sector.shape[1] - 1)
+    gz = jnp.clip(sz, 0, grid.has_sector.shape[2] - 1)
+    has_sec = grid.has_sector[safe, gx, gz]
+    found = (room >= 0) & in_grid & has_sec
+
+    u = (local_x - sx.astype(_F32) * SECTOR_SIZE) / SECTOR_SIZE
+    v = (local_z - sz.astype(_F32) * SECTOR_SIZE) / SECTOR_SIZE
+
+    fl = _interpolate_height(grid.floor_heights[safe, gx, gz],
+                             grid.floor_split[safe, gx, gz], u, v)
+    floor_y = jnp.where(grid.has_floor[safe, gx, gz], rp[1] + fl, rp[1])
+    cl = _interpolate_height(grid.ceil_heights[safe, gx, gz],
+                             grid.ceil_split[safe, gx, gz], u, v)
+    ceil_y = jnp.where(grid.has_ceiling[safe, gx, gz], rp[1] + cl,
+                       rp[1] + 2048.0)
+    return FloorQuery(found=found, room=room, floor=floor_y, ceiling=ceil_y,
+                      sector_x=sx, sector_z=sz)
+
+
+class CollideOut(NamedTuple):
+    position: jnp.ndarray
+    grounded: jnp.ndarray
+    room: jnp.ndarray
+    hit_wall: jnp.ndarray
+    hit_ceiling: jnp.ndarray
+    vertical_velocity: jnp.ndarray
+
+
+def collide_cylinder(grid: CollisionGrid, position, velocity, radius, height,
+                     step_height, grounded_in, room_in, vert_vel_in,
+                     gravity, dt) -> CollideOut:
+    """game/collision.rs:37-165, vectorizable over a leading batch."""
+    new_x = position[0] + velocity[0] * dt
+    new_z = position[2] + velocity[2] * dt
+
+    vert_vel = jnp.where(
+        grounded_in, vert_vel_in,
+        jnp.maximum(vert_vel_in - gravity * dt, -TERMINAL_VELOCITY))
+    new_y = position[1] + vert_vel * dt
+    new_pos = jnp.stack([new_x, new_y, new_z])
+
+    info = get_floor_info(grid, new_pos, room_in)
+    current_room = jnp.where(info.found, info.room, room_in)
+
+    # --- center test (collision.rs:66-111) ---
+    foot = new_pos[1]
+    head = new_pos[1] + height
+    height_diff = info.floor - foot
+    step_up = (foot < info.floor) & (height_diff <= step_height)
+    wall_block = (foot < info.floor) & (height_diff > step_height)
+    on_ground = ~(foot < info.floor) & (foot <= info.floor + 1.0)
+
+    y1 = jnp.where(step_up | on_ground, info.floor, new_pos[1])
+    x1 = jnp.where(wall_block, position[0], new_pos[0])
+    z1 = jnp.where(wall_block, position[2], new_pos[2])
+    grounded = step_up | on_ground
+    hit_wall = wall_block
+
+    hit_ceiling = (head > info.ceiling)
+    y1 = jnp.where(hit_ceiling, info.ceiling - height, y1)
+
+    # void fallback (collision.rs:102-111)
+    x1 = jnp.where(info.found, x1, position[0])
+    y1 = jnp.where(info.found, y1, position[1])
+    z1 = jnp.where(info.found, z1, position[2])
+    grounded = jnp.where(info.found, grounded, grounded_in)
+    hit_wall = hit_wall | ~info.found
+    hit_ceiling = hit_ceiling & info.found
+    vert_vel = jnp.where(info.found, vert_vel, 0.0)
+
+    pos1 = jnp.stack([x1, y1, z1])
+
+    # --- 4 corner probes (collision.rs:113-148), corners fixed from pos1,
+    # per-axis pushback carried sequentially like the reference loop ---
+    corners = jnp.stack([
+        jnp.stack([pos1[0] - radius, pos1[1], pos1[2] - radius]),
+        jnp.stack([pos1[0] + radius, pos1[1], pos1[2] - radius]),
+        jnp.stack([pos1[0] + radius, pos1[1], pos1[2] + radius]),
+        jnp.stack([pos1[0] - radius, pos1[1], pos1[2] + radius]),
+    ])
+
+    def corner_step(carry, corner):
+        cx, cz, hw = carry
+        ci = get_floor_info(grid, corner, current_room)
+        blocked = ci.found & ((ci.floor - pos1[1]) > step_height)
+
+        # The reference resets new_pos.x from the x-probe BEFORE building the
+        # z-probe (collision.rs:129-143), so the z-probe sees the updated x.
+        probe_x = jnp.stack([corner[0], pos1[1], cz])
+        ix = get_floor_info(grid, probe_x, current_room)
+        x_block = blocked & ix.found & ((ix.floor - pos1[1]) > step_height)
+        cx = jnp.where(x_block, position[0], cx)
+
+        probe_z = jnp.stack([cx, pos1[1], corner[2]])
+        iz = get_floor_info(grid, probe_z, current_room)
+        z_block = blocked & iz.found & ((iz.floor - pos1[1]) > step_height)
+        cz = jnp.where(z_block, position[2], cz)
+
+        void = ~ci.found
+        cx = jnp.where(void, position[0], cx)
+        cz = jnp.where(void, position[2], cz)
+        hw = hw | x_block | z_block | void
+        return (cx, cz, hw), None
+
+    (fx, fz, hit_wall), _ = jax.lax.scan(
+        corner_step, (pos1[0], pos1[2], hit_wall), corners)
+
+    final = jnp.stack([fx, pos1[1], fz])
+    return CollideOut(position=final, grounded=grounded, room=current_room,
+                      hit_wall=hit_wall, hit_ceiling=hit_ceiling,
+                      vertical_velocity=vert_vel)
+
+
+def move_and_slide(grid: CollisionGrid, position, velocity, radius, height,
+                   step_height, grounded, room, vert_vel, gravity, dt):
+    """game/collision.rs:170-193: collide + controller state update."""
+    out = collide_cylinder(grid, position, velocity, radius, height,
+                           step_height, grounded, room, vert_vel, gravity, dt)
+    new_vert = jnp.where(out.grounded | out.hit_ceiling, 0.0,
+                         out.vertical_velocity)
+    return out.position, out.grounded, out.room, new_vert
