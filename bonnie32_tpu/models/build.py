@@ -100,7 +100,8 @@ def make_face_arrays(vidx, tex_id=None, black_transparent=None,
 
 
 def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
-                pad_data_to: Optional[int] = None) -> TextureAtlas:
+                pad_data_to: Optional[int] = None,
+                pad_count_to: Optional[int] = None) -> TextureAtlas:
     """Flatten Texture15s into one atlas.
 
     `textures`: sequence of (pixels (h, w) uint16/int Color15 words,
@@ -123,9 +124,30 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
         has_transparent.append(bool((pixels == 0).any()))
         chunks.append(pixels.astype(np.int32).reshape(-1))
         off += h * w
+    if pad_count_to is not None:
+        while len(offsets) < pad_count_to:
+            offsets.append(0)
+            widths.append(1)
+            heights.append(1)
+            blends.append(0)
+            has_black.append(False)
+            has_transparent.append(False)
     data = np.concatenate(chunks).astype(np.int32)
     if pad_data_to and pad_data_to > data.size:
         data = np.concatenate([data, np.zeros(pad_data_to - data.size, np.int32)])
+
+    def pack_bits(mask):
+        # word count padded to a multiple of 128 for the one-hot gather
+        n_words = -(-((mask.size + 31) // 32) // 128) * 128
+        padded = np.zeros(n_words * 32, bool)
+        padded[:mask.size] = mask
+        bits = padded.reshape(n_words, 32).astype(np.uint32)
+        words = (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(
+            axis=1, dtype=np.uint32)
+        return words.astype(np.int64).astype(np.int32)
+
+    black_words = pack_bits((data & 0x7FFF) == 0)
+    transp_words = pack_bits(data == 0)
     return TextureAtlas(
         data=jnp.asarray(data),
         offset=jnp.asarray(np.asarray(offsets, np.int32)),
@@ -134,6 +156,8 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
         blend_mode=jnp.asarray(np.asarray(blends, np.int32)),
         has_black=jnp.asarray(np.asarray(has_black, bool)),
         has_transparent=jnp.asarray(np.asarray(has_transparent, bool)),
+        black_words=jnp.asarray(black_words),
+        transp_words=jnp.asarray(transp_words),
     )
 
 

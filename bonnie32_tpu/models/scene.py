@@ -32,7 +32,7 @@ class CompiledScene(NamedTuple):
 
     mesh: MeshArrays        # fields (R, V, ...)
     faces: FaceArrays       # fields (R, T, ...)
-    atlas: TextureAtlas
+    atlas: TextureAtlas     # fields (R, ...): per-room trimmed atlases
     fog: Fog                # fields (R, ...)
     ambient: jnp.ndarray    # (R,) f32
     lights: Lights          # scene lights (w/o ambient; set per room)
@@ -95,6 +95,24 @@ def compile_level(level: Level, textures, resolve,
     pad_verts = pad_verts or max(max_v, 1)
     pad_faces = pad_faces or max(max_t, 1)
 
+    # Per-room trimmed texture tables: remap global texture ids to a compact
+    # per-room list so the rasterizer's atlas (and its one-hot resolve) only
+    # carries the textures that room actually samples.
+    tex_list = []
+    for t in textures:
+        tex_list.append(t if isinstance(t, tuple) else (t.pixels15, 0))
+    room_tex_lists = []
+    for _, faces in per_room:
+        used = sorted({f["tex_id"] for f in faces
+                       if f.get("tex_id") is not None and f["tex_id"] >= 0})
+        if not used:
+            used = [0] if tex_list else []
+        remap = {g: i for i, g in enumerate(used)}
+        for f in faces:
+            if f.get("tex_id") is not None and f["tex_id"] >= 0:
+                f["tex_id"] = remap[f["tex_id"]]
+        room_tex_lists.append([tex_list[g] for g in used])
+
     meshes, face_arrays = [], []
     for verts, faces in per_room:
         if not verts:
@@ -128,13 +146,15 @@ def compile_level(level: Level, textures, resolve,
     mesh = stack(meshes)
     faces = stack(face_arrays)
 
-    tex_tuples = []
-    for t in textures:
-        if isinstance(t, tuple):
-            tex_tuples.append(t)
-        else:
-            tex_tuples.append((t.pixels15, 0))
-    atlas = build.build_atlas(tex_tuples)
+    if not room_tex_lists:
+        room_tex_lists = [[]]
+    a_max = max(max((sum(p.shape[0] * p.shape[1] for p, _ in lst) for lst in
+                     room_tex_lists), default=1), 1)
+    a_max = -(-a_max // 128) * 128  # one-hot gather alignment
+    nt_max = max(max((len(lst) for lst in room_tex_lists), default=1), 1)
+    atlas = stack([build.build_atlas(lst, pad_data_to=a_max,
+                                     pad_count_to=nt_max)
+                   for lst in room_tex_lists])
 
     fog_rows = [_room_fog_params(r) for r in level.rooms] or \
         [(False, 0.0, 0.0, 3.4e38, (0, 0, 0))]
@@ -164,8 +184,9 @@ def render_level(fb: FrameBuffers, scene: CompiledScene,
         mesh = jax.tree_util.tree_map(lambda x: x[i], scene.mesh)
         faces = jax.tree_util.tree_map(lambda x: x[i], scene.faces)
         fog = jax.tree_util.tree_map(lambda x: x[i], scene.fog)
+        atlas = jax.tree_util.tree_map(lambda x: x[i], scene.atlas)
         lights = scene.lights._replace(ambient=scene.ambient[i])
-        return render_mesh_15(fb, mesh, faces, scene.atlas, camera, lights,
+        return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
                               fog, settings, depth_mode=depth_mode)
 
     return jax.lax.fori_loop(0, n_rooms, body, fb)

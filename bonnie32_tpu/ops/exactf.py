@@ -40,8 +40,23 @@ _POS_INF32 = jnp.float32(jnp.inf)
 _NEG_INF32 = jnp.float32(-jnp.inf)
 
 
-def _approx_div64(a64, b64):
-    return a64 / b64
+def _approx_div(a, b):
+    """f32 quotient within ~0.6 ulp of correct, with no f64 division.
+
+    XLA:TPU's emulated f64 divide SCALARIZES (compile time explodes linearly
+    with array size; measured 4+ minutes for a (700,3) divide) while f64
+    multiply/add/sqrt vectorize.  So: hardware f32 divide (<= 2 ulp), then one
+    Newton correction using an exact f64 residual (exact because the 24-bit
+    product fits f64 and the subtraction is in the Sterbenz zone).
+    """
+    q0 = a / b
+    a64 = a.astype(_F64)
+    b64 = b.astype(_F64)
+    q064 = q0.astype(_F64)
+    r = a64 - q064 * b64
+    rb = jnp.float32(1.0) / b           # hw reciprocal, ~2 ulp is plenty
+    dq = (r.astype(_F32) * rb).astype(_F64)
+    return (q064 + dq).astype(_F32)
 
 
 def _pick_candidate(q32, resid_fn):
@@ -84,7 +99,7 @@ def exact_div(a, b):
     b = jnp.asarray(b, _F32)
     a64 = a.astype(_F64)
     b64 = b.astype(_F64)
-    q32 = _approx_div64(a64, b64).astype(_F32)
+    q32 = _approx_div(a, b)
 
     fixable = jnp.isfinite(q32) & (q32 != 0.0)
     # Avoid inf/nan residue garbage in the masked-out lanes.

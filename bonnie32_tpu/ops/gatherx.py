@@ -52,6 +52,31 @@ def onehot_values_u16(data, idx):
     return (v_lo | (v_hi << 8)).reshape(idx.shape)
 
 
+def onehot_values_u32(data, idx):
+    """data (A,) i32 holding u32 bit patterns, A % 128 == 0; idx (...,) i32.
+
+    Four 8-bit plane matmuls (plane values <= 255 are exact at default MXU
+    precision); exact reconstruction of the 32-bit word.
+    """
+    a = data.shape[0]
+    assert a % 128 == 0
+    r = a // 128
+    planes = [((data >> (8 * k)) & 0xFF).reshape(r, 128).astype(_F32)
+              for k in range(4)]
+
+    flat = idx.reshape(-1)
+    row = flat // 128
+    lane = flat % 128
+    oh_row = jax.nn.one_hot(row, r, dtype=_F32)
+    oh_lane = jax.nn.one_hot(lane, 128, dtype=_F32)
+    out = jnp.zeros(flat.shape, _I32)
+    for k, p in enumerate(planes):
+        rk = jnp.einsum("pr,rk->pk", oh_row, p)
+        vk = jnp.sum(rk * oh_lane, axis=-1).astype(_I32)
+        out = out | (vk << (8 * k))
+    return out.reshape(idx.shape)
+
+
 # Atlases larger than this use direct gathers (one-hot row matrix would be
 # too large); revisit with the Pallas kernel.
 ONEHOT_ATLAS_LIMIT = 32768

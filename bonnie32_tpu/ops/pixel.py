@@ -74,6 +74,38 @@ def interp3(bc_x, bc_y, bc_z, a0, a1, a2):
     return (bc_x * a0 + bc_y * a1) + bc_z * a2
 
 
+def texel_flat_index(atlas: TextureAtlas, tid, u, v):
+    """The flat atlas index Texture15::sample would read (types.rs:671-681);
+    `v` is the already-flipped (1 - v) argument."""
+    safe = jnp.maximum(tid, 0)
+    w = atlas.width[safe]
+    h = atlas.height[safe]
+    off = atlas.offset[safe]
+
+    def wrap(x):
+        r = jnp.fmod(x, _F32(1.0))
+        r = jnp.where(r < 0, r + _F32(1.0), r)
+        return jnp.where(jnp.isnan(r), _F32(0.0), r)
+
+    tx = jnp.minimum(jnp.trunc(wrap(u) * w.astype(_F32)).astype(_I32), w - 1)
+    ty = jnp.minimum(jnp.trunc(wrap(v) * h.astype(_F32)).astype(_I32), h - 1)
+    return off + ty * w + tx
+
+
+def sample_keyed_bit(atlas: TextureAtlas, tid, u, v, black_transparent):
+    """Keying test only — the outcome of render.rs:1588-1607: a pixel is
+    skipped iff the sampled texel has rgb == 0 AND the face has
+    black_transparent set (with black_transparent off, transparent texels
+    become drawable black and are still written).  Uses the packed per-texel
+    black-bit plane: one exact word one-hot instead of a texel gather."""
+    from . import gatherx
+
+    flat = texel_flat_index(atlas, tid, u, _F32(1.0) - v)
+    words = gatherx.onehot_values_u32(atlas.black_words, flat >> 5)
+    bit = (words >> (flat & 31)) & 1
+    return (bit != 0) & black_transparent & (tid >= 0)
+
+
 def sample_and_key(atlas, tid, u, v, black_transparent, tex_gather="direct"):
     """Texture sample + keying (render.rs:1582-1607).
 

@@ -117,9 +117,10 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
     opaque = surfaces.valid & ~surfaces.has_transparency
     transparent = surfaces.valid & surfaces.has_transparency
     safe_tid = jnp.maximum(surfaces.tex_id, 0)
-    keyable = (surfaces.tex_id >= 0) & jnp.where(
-        surfaces.black_transparent,
-        atlas.has_black[safe_tid], atlas.has_transparent[safe_tid])
+    # Keying can only remove coverage when black_transparent is set AND the
+    # texture has a black texel (see ops/pixel.sample_keyed_bit).
+    keyable = ((surfaces.tex_id >= 0) & surfaces.black_transparent
+               & atlas.has_black[safe_tid])
     clean_op = opaque & ~keyable
     key_op = opaque & keyable
 
@@ -195,8 +196,7 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
               (uvc[2, 0], uvc[2, 1]))
         u, v = px.uv_at(bc_x, bc_y, bc_z, uv, iz, izi, settings,
                         exact_persp=False)
-        _, keyed = px.sample_and_key(atlas, tid, u, v, black_transparent,
-                                     tex_gather="onehot")
+        keyed = px.sample_keyed_bit(atlas, tid, u, v, black_transparent)
         cand = covered & ~keyed
         better = cand & ((izi > best_izi)
                          | ((izi == best_izi) & (best_idx >= 0)

@@ -1,0 +1,105 @@
+"""Headless batched rollout: fused game step + third-person render.
+
+The TPU version of the reference's frame loop (SURVEY.md section 3.1):
+`tick` (game/runtime.rs:405) + character camera (runtime.rs:318) +
+`render_scene` (scene.rs:180) — with a leading instance axis so thousands of
+independent game instances step and rasterize per program, ready to shard
+over an instance mesh (parallel/mesh.py).  This is BASELINE.json config #5.
+"""
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import RasterSettings, WIDTH, HEIGHT
+from .types import FrameBuffers
+from .models.level import Level
+from .models import scene as scene_mod
+from .models import texture_pack as tp
+from .game import collision as col
+from .game import state as st
+from .game import step as stp
+from .ops import raster_ref
+
+
+class RolloutEnv(NamedTuple):
+    scene: scene_mod.CompiledScene
+    grid: col.CollisionGrid
+    params: col.PlayerParams
+
+
+def build_env(level: Level, textures, resolve,
+              light_specs=None) -> RolloutEnv:
+    return RolloutEnv(
+        scene=scene_mod.compile_level(level, textures, resolve,
+                                      light_specs=light_specs),
+        grid=col.compile_collision(level),
+        params=col.player_params(level),
+    )
+
+
+def initial_states(level: Level, spawn_pos, n_instances: int,
+                   capacity: int = 16) -> st.GameState:
+    """N identical instances with a spawned player (batch axis 0)."""
+    base = st.new_state(capacity)
+    base, _ = st.spawn_player(base, spawn_pos, level.player_settings)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_instances,) + x.shape).copy(), base)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "height", "width", "dt",
+                                    "instance_chunk"))
+def step_and_render(states: st.GameState, env: RolloutEnv,
+                    actions: stp.Actions, settings: RasterSettings,
+                    height: int = HEIGHT, width: int = WIDTH,
+                    dt: float = 1.0 / 60.0, instance_chunk: int = 128):
+    """One batched frame: tick every instance, update its character camera,
+    rasterize its view.  Returns (new_states, framebuffers)."""
+
+    states = jax.vmap(
+        lambda s, a: stp.tick(s, env.grid, env.params, a, dt))(states, actions)
+    cams = jax.vmap(lambda s: stp.character_camera(s, env.params))(states)
+
+    n = states.alive.shape[0]
+
+    def render_one(cam):
+        fb = raster_ref.new_framebuffer(height, width, depth_mode="inv")
+        return scene_mod.render_level(fb, env.scene, cam, settings,
+                                      depth_mode="fast")
+
+    if instance_chunk is None or n <= instance_chunk:
+        fbs = jax.vmap(render_one)(cams)
+    else:
+        assert n % instance_chunk == 0
+        g = n // instance_chunk
+        cams_g = jax.tree_util.tree_map(
+            lambda x: x.reshape((g, instance_chunk) + x.shape[1:]), cams)
+        fbs = jax.lax.map(lambda c: jax.vmap(render_one)(c), cams_g)
+        fbs = jax.tree_util.tree_map(
+            lambda x: x.reshape((n,) + x.shape[2:]), fbs)
+    return states, fbs
+
+
+def demo_env(level_path="/root/reference/assets/samples/levels/Cave.ron"):
+    """Convenience: Cave level + all sample packs."""
+    from .models import level as L
+
+    level = L.load_level(level_path)
+    textures = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+    resolve = tp.make_resolver(textures)
+    env = build_env(level, textures, resolve)
+    # first sector with a floor = spawn
+    r0 = level.rooms[0]
+    spawn = None
+    for x, z, s in r0.iter_sectors():
+        if s.floor is not None:
+            px = float(r0.position[0]) + (x + 0.5) * 1024.0
+            pz = float(r0.position[2]) + (z + 0.5) * 1024.0
+            fi = level.get_floor_info((px, 0.0, pz))
+            spawn = (px, fi.floor + 10.0, pz)
+            break
+    return level, env, spawn

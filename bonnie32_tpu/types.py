@@ -53,6 +53,11 @@ class TextureAtlas(NamedTuple):
     blend_mode: jnp.ndarray  # (NT,) i32 texture-level BlendMode
     has_black: jnp.ndarray   # (NT,) bool any texel with rgb555 == 0
     has_transparent: jnp.ndarray  # (NT,) bool any texel word == 0x0000
+    # Keying bit planes, 32 texels per word over the flat data layout:
+    # bit f of word [f >> 5] says texel f keys out under black_transparent
+    # (rgb == 0) / under transparent-only (word == 0) respectively.
+    black_words: jnp.ndarray  # (ceil(A/32),) i32
+    transp_words: jnp.ndarray  # (ceil(A/32),) i32
 
 
 class Lights(NamedTuple):

@@ -1,0 +1,61 @@
+"""Fused step+render rollout tests (BASELINE.json configs #4/#5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bonnie32_tpu.config import RasterSettings
+from bonnie32_tpu import rollout
+from bonnie32_tpu.game import step as stp
+from bonnie32_tpu.parallel import mesh as pmesh
+
+
+def _batched_actions(n, rng, t):
+    ang = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    return stp.Actions(
+        move_x=jnp.asarray(np.sin(ang)),
+        move_y=jnp.asarray(np.cos(ang)),
+        cam_x=jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32)),
+        cam_y=jnp.zeros(n, jnp.float32),
+        sprint=jnp.asarray(rng.random(n) < 0.3),
+        jump=jnp.asarray(rng.random(n) < 0.05),
+    )
+
+
+def test_rollout_steps_and_renders():
+    level, env, spawn = rollout.demo_env()
+    n = 4
+    states = rollout.initial_states(level, spawn, n)
+    settings = RasterSettings.game()
+    rng = np.random.default_rng(0)
+
+    h, w = 60, 80
+    for t in range(5):
+        acts = _batched_actions(n, rng, t)
+        states, fbs = rollout.step_and_render(
+            states, env, acts, settings, height=h, width=w,
+            instance_chunk=None)
+    assert fbs.color.shape == (n, h, w)
+    alpha = (np.asarray(fbs.color) >> 24) & 0xFF
+    cover = (alpha == 255).mean(axis=(1, 2))
+    assert (cover > 0.25).all(), f"every instance sees the level: {cover}"
+    # instances diverged -> different frames
+    assert not np.array_equal(np.asarray(fbs.color[0]), np.asarray(fbs.color[1]))
+    assert float(states.time[0]) > 0
+
+
+def test_rollout_sharded():
+    level, env, spawn = rollout.demo_env()
+    n = 8
+    dev_mesh = pmesh.instance_mesh()
+    states = rollout.initial_states(level, spawn, n)
+    states = pmesh.shard_instances(states, dev_mesh)
+    env_r = pmesh.replicate(env, dev_mesh)
+    rng = np.random.default_rng(1)
+    acts = pmesh.shard_instances(_batched_actions(n, rng, 0), dev_mesh)
+
+    states, fbs = rollout.step_and_render(
+        states, env_r, acts, RasterSettings.game(), height=24, width=32,
+        instance_chunk=None)
+    fbs.color.block_until_ready()
+    assert fbs.color.shape == (n, 24, 32)
