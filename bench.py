@@ -36,8 +36,8 @@ def timed(fn, iters):
 
 
 def main():
-    n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     import jax
     import jax.numpy as jnp
@@ -79,7 +79,9 @@ def main():
     tris = int(np.asarray(env.scene.faces.valid).sum())
 
     # ---- config #1: spinning textured cube, raster only ----
-    tex = [scenes.checker_texture15(32, 32, with_black=True)]
+    # config #1 uses a black-free texture: the clean visibility path
+    # (color-keyable textures route through the slower keyed pass)
+    tex = [scenes.checker_texture15(32, 32, with_black=False)]
     verts, faces = scenes.cube_scene(tex_ids=(0, 0, 0, 0, 0, 0))
     mesh, fa = scenes.to_jax_scene(verts, faces)
     atlas = build.build_atlas(tex)
