@@ -1,0 +1,362 @@
+"""Modeler data model: editable meshes, indexed atlases, CLUTs, mesh parts.
+
+Host-side mirror of `/root/reference/src/modeler/mesh_editor.rs` with the
+same RON schema:
+  * EditFace — n-gon faces with fan triangulation (mesh_editor.rs:28, 99)
+  * EditableMesh + primitives + to_render_data_textured (:984, :1623)
+  * TextureRef enum None/Checkerboard/Id/Embedded (:146)
+  * MeshPart (:219), MeshProject (:306)
+  * Clut / ClutPool (:495; rasterizer/types.rs:328)
+  * IndexedAtlas + to_texture15 + checkerboard (:594, :669)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..io.ron import Tag
+from ..io import ron
+
+_BLEND_NAMES = ["Opaque", "Average", "Add", "Subtract", "AddQuarter", "Erase"]
+
+
+def _blend_code(tag) -> int:
+    if tag is None:
+        return 0
+    return _BLEND_NAMES.index(tag.name if isinstance(tag, Tag) else str(tag))
+
+
+def _depth_code(tag) -> int:
+    """ClutDepth: 0 = Bpp4 (16 colors), 1 = Bpp8 (256)."""
+    if tag is None:
+        return 0
+    name = tag.name if isinstance(tag, Tag) else str(tag)
+    return {"Bpp4": 0, "Bpp8": 1}[name]
+
+
+def depth_colors(depth: int) -> int:
+    return 16 if depth == 0 else 256
+
+
+@dataclasses.dataclass
+class Clut:
+    """rasterizer/types.rs:328 — 16/256 Color15 entries, index 0 transparent."""
+
+    id: int = 0
+    name: str = ""
+    depth: int = 0  # 0=Bpp4, 1=Bpp8
+    colors: List[int] = dataclasses.field(default_factory=list)
+
+    @classmethod
+    def new_4bit(cls, name=""):
+        """types.rs:342 — grayscale ramp, index 0 transparent."""
+        colors = [0] + [((i * 2) << 10) | ((i * 2) << 5) | (i * 2)
+                        for i in range(1, 16)]
+        return cls(id=0, name=name, depth=0, colors=colors)
+
+    def lookup(self, index: int) -> int:
+        if 0 <= index < len(self.colors):
+            return self.colors[index]
+        return 0
+
+    @classmethod
+    def from_ron(cls, d):
+        return cls(id=int(d.get("id", 0)), name=d.get("name", ""),
+                   depth=_depth_code(d.get("depth")),
+                   colors=[int(c) for c in d.get("colors", [])])
+
+    def to_ron(self):
+        return {"id": self.id, "name": self.name,
+                "depth": Tag("Bpp4" if self.depth == 0 else "Bpp8"),
+                "colors": [int(c) for c in self.colors]}
+
+
+@dataclasses.dataclass
+class ClutPool:
+    """mesh_editor.rs:495."""
+
+    cluts: List[Clut] = dataclasses.field(default_factory=list)
+    next_id: int = 1
+
+    @classmethod
+    def new(cls):
+        pool = cls()
+        pool.add_clut(Clut.new_4bit("Default"))
+        return pool
+
+    def add_clut(self, clut: Clut) -> int:
+        clut.id = self.next_id
+        self.next_id += 1
+        self.cluts.append(clut)
+        return clut.id
+
+    def get(self, clut_id: int) -> Optional[Clut]:
+        for c in self.cluts:
+            if c.id == clut_id:
+                return c
+        return None
+
+    def first_id(self) -> int:
+        return self.cluts[0].id if self.cluts else 0
+
+    @classmethod
+    def from_ron(cls, d):
+        if d is None:
+            return cls.new()
+        return cls(cluts=[Clut.from_ron(c) for c in d.get("cluts", [])],
+                   next_id=int(d.get("next_id", 1)))
+
+    def to_ron(self):
+        return {"cluts": [c.to_ron() for c in self.cluts],
+                "next_id": self.next_id}
+
+
+def checkerboard_clut() -> Clut:
+    """mesh_editor.rs:196 — grayscale incl. index 0 (NOT transparent)."""
+    c = Clut.new_4bit("checkerboard_clut")
+    for i in range(16):
+        v = i * 2
+        c.colors[i] = (v << 10) | (v << 5) | v
+    return c
+
+
+@dataclasses.dataclass
+class IndexedAtlas:
+    """mesh_editor.rs:594."""
+
+    width: int = 0
+    height: int = 0
+    depth: int = 0
+    indices: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint8))
+    default_clut: int = 0
+
+    @classmethod
+    def new_checkerboard(cls, width=128, height=128, depth=0):
+        """mesh_editor.rs:615 — 8x8 cells of indices 7 / 15."""
+        ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+        idx = np.where(((xs // 8) + (ys // 8)) % 2 == 0, 7, 15).astype(np.uint8)
+        return cls(width=width, height=height, depth=depth,
+                   indices=idx.reshape(-1), default_clut=0)
+
+    def to_texture15(self, clut: Clut) -> np.ndarray:
+        """mesh_editor.rs:669 — (h, w) uint16 Color15 via CLUT lookup."""
+        lut = np.zeros(256, np.uint16)
+        n = min(len(clut.colors), 256)
+        lut[:n] = np.asarray(clut.colors[:n], np.uint16)
+        return lut[self.indices.astype(np.int64)].reshape(self.height, self.width)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.width == 0 or self.height == 0 or self.indices.size == 0
+
+    @classmethod
+    def from_ron(cls, d):
+        if d is None:
+            return cls()
+        return cls(width=int(d.get("width", 0)), height=int(d.get("height", 0)),
+                   depth=_depth_code(d.get("depth")),
+                   indices=np.asarray(d.get("indices", []), np.uint8),
+                   default_clut=int(d.get("default_clut", 0)))
+
+    def to_ron(self):
+        return {"width": self.width, "height": self.height,
+                "depth": Tag("Bpp4" if self.depth == 0 else "Bpp8"),
+                "indices": [int(i) for i in self.indices],
+                "default_clut": self.default_clut}
+
+
+@dataclasses.dataclass
+class TextureRef:
+    """mesh_editor.rs:146 — None / Checkerboard / Id(u64) / Embedded."""
+
+    kind: str = "Checkerboard"   # "None" | "Checkerboard" | "Id" | "Embedded"
+    id: int = 0
+    embedded: Optional[IndexedAtlas] = None
+
+    @classmethod
+    def from_ron(cls, v):
+        if v is None:
+            return cls(kind="Checkerboard")
+        if isinstance(v, Tag):
+            if v.name == "Id":
+                return cls(kind="Id", id=int(v.value))
+            if v.name == "Embedded":
+                return cls(kind="Embedded",
+                           embedded=IndexedAtlas.from_ron(v.value))
+            return cls(kind=v.name)
+        return cls(kind="Checkerboard")
+
+    def to_ron(self):
+        if self.kind == "Id":
+            return Tag("Id", self.id)
+        if self.kind == "Embedded":
+            return Tag("Embedded", self.embedded.to_ron())
+        return Tag(self.kind)
+
+
+@dataclasses.dataclass
+class EditFace:
+    """mesh_editor.rs:28."""
+
+    vertices: List[int]
+    texture_id: Optional[int] = None
+    black_transparent: bool = True
+    blend_mode: int = 0
+
+    def triangulate(self) -> List[Tuple[int, int, int]]:
+        """Fan triangulation (mesh_editor.rs:99)."""
+        n = len(self.vertices)
+        if n < 3:
+            return []
+        v = self.vertices
+        return [(v[0], v[i], v[i + 1]) for i in range(1, n - 1)]
+
+    @classmethod
+    def from_ron(cls, d):
+        return cls(vertices=[int(i) for i in d["vertices"]],
+                   texture_id=int(d["texture_id"]) if d.get("texture_id") is not None else None,
+                   black_transparent=bool(d.get("black_transparent", True)),
+                   blend_mode=_blend_code(d.get("blend_mode")))
+
+    def to_ron(self):
+        return {"vertices": list(self.vertices),
+                "texture_id": ron.wrap_some(self.texture_id),
+                "black_transparent": self.black_transparent,
+                "blend_mode": Tag(_BLEND_NAMES[self.blend_mode])}
+
+
+@dataclasses.dataclass
+class MeshVertex:
+    pos: Tuple[float, float, float]
+    uv: Tuple[float, float] = (0.0, 0.0)
+    normal: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    color: Tuple[int, int, int] = (128, 128, 128)
+    color_blend: int = 0
+    bone_index: Optional[int] = None
+
+    @classmethod
+    def from_ron(cls, d):
+        c = d.get("color")
+        if c is not None:
+            rgb = (int(c["r"]), int(c["g"]), int(c["b"]))
+            cb = _blend_code(c.get("blend"))
+        else:
+            rgb, cb = (128, 128, 128), 0
+        return cls(
+            pos=(float(d["pos"]["x"]), float(d["pos"]["y"]), float(d["pos"]["z"])),
+            uv=(float(d["uv"]["x"]), float(d["uv"]["y"])),
+            normal=(float(d["normal"]["x"]), float(d["normal"]["y"]),
+                    float(d["normal"]["z"])),
+            color=rgb, color_blend=cb,
+            bone_index=int(d["bone_index"]) if d.get("bone_index") is not None else None,
+        )
+
+    def to_ron(self):
+        out = {
+            "pos": {"x": np.float32(self.pos[0]), "y": np.float32(self.pos[1]),
+                    "z": np.float32(self.pos[2])},
+            "uv": {"x": np.float32(self.uv[0]), "y": np.float32(self.uv[1])},
+            "normal": {"x": np.float32(self.normal[0]),
+                       "y": np.float32(self.normal[1]),
+                       "z": np.float32(self.normal[2])},
+            "color": {"r": self.color[0], "g": self.color[1], "b": self.color[2],
+                      "blend": Tag(_BLEND_NAMES[self.color_blend])},
+        }
+        if self.bone_index is not None:
+            out["bone_index"] = ron.wrap_some(self.bone_index)
+        return out
+
+
+@dataclasses.dataclass
+class EditableMesh:
+    """mesh_editor.rs:984."""
+
+    vertices: List[MeshVertex] = dataclasses.field(default_factory=list)
+    faces: List[EditFace] = dataclasses.field(default_factory=list)
+
+    @classmethod
+    def cube(cls, size: float) -> "EditableMesh":
+        """mesh_editor.rs:1002 — 24 verts, 6 CW quads."""
+        h = size / 2.0
+        v = MeshVertex
+        verts = [
+            v((-h, -h, h), (0, 1), (0, 0, 1)), v((h, -h, h), (1, 1), (0, 0, 1)),
+            v((h, h, h), (1, 0), (0, 0, 1)), v((-h, h, h), (0, 0), (0, 0, 1)),
+            v((h, -h, -h), (0, 1), (0, 0, -1)), v((-h, -h, -h), (1, 1), (0, 0, -1)),
+            v((-h, h, -h), (1, 0), (0, 0, -1)), v((h, h, -h), (0, 0), (0, 0, -1)),
+            v((-h, h, h), (0, 1), (0, 1, 0)), v((h, h, h), (1, 1), (0, 1, 0)),
+            v((h, h, -h), (1, 0), (0, 1, 0)), v((-h, h, -h), (0, 0), (0, 1, 0)),
+            v((-h, -h, -h), (0, 1), (0, -1, 0)), v((h, -h, -h), (1, 1), (0, -1, 0)),
+            v((h, -h, h), (1, 0), (0, -1, 0)), v((-h, -h, h), (0, 0), (0, -1, 0)),
+            v((h, -h, h), (0, 1), (1, 0, 0)), v((h, -h, -h), (1, 1), (1, 0, 0)),
+            v((h, h, -h), (1, 0), (1, 0, 0)), v((h, h, h), (0, 0), (1, 0, 0)),
+            v((-h, -h, -h), (0, 1), (-1, 0, 0)), v((-h, -h, h), (1, 1), (-1, 0, 0)),
+            v((-h, h, h), (1, 0), (-1, 0, 0)), v((-h, h, -h), (0, 0), (-1, 0, 0)),
+        ]
+        faces = [EditFace([0, 3, 2, 1]), EditFace([4, 7, 6, 5]),
+                 EditFace([8, 11, 10, 9]), EditFace([12, 15, 14, 13]),
+                 EditFace([16, 19, 18, 17]), EditFace([20, 23, 22, 21])]
+        return cls(vertices=verts, faces=faces)
+
+    def to_render_data_textured(self):
+        """mesh_editor.rs:1623 — golden-model-format verts + tri faces with
+        texture_id defaulting to 0 (the part's atlas)."""
+        verts = [dict(pos=v.pos, uv=v.uv, normal=v.normal, color=v.color,
+                      color_blend=v.color_blend) for v in self.vertices]
+        faces = []
+        for ef in self.faces:
+            for (a, b, c) in ef.triangulate():
+                faces.append(dict(
+                    v0=a, v1=b, v2=c,
+                    tex_id=ef.texture_id if ef.texture_id is not None else 0,
+                    black_transparent=ef.black_transparent,
+                    blend_mode=ef.blend_mode, editor_alpha=255))
+        return verts, faces
+
+    @classmethod
+    def from_ron(cls, d):
+        return cls(vertices=[MeshVertex.from_ron(v) for v in d.get("vertices", [])],
+                   faces=[EditFace.from_ron(f) for f in d.get("faces", [])])
+
+    def to_ron(self):
+        return {"vertices": [v.to_ron() for v in self.vertices],
+                "faces": [f.to_ron() for f in self.faces]}
+
+
+@dataclasses.dataclass
+class MeshPart:
+    """mesh_editor.rs:219."""
+
+    name: str = ""
+    mesh: EditableMesh = dataclasses.field(default_factory=EditableMesh)
+    texture_ref: TextureRef = dataclasses.field(default_factory=TextureRef)
+    visible: bool = True
+    locked: bool = False
+    double_sided: bool = False
+    default_bone_index: Optional[int] = None
+
+    @classmethod
+    def from_ron(cls, d):
+        dbi = d.get("default_bone_index", d.get("bone_index"))
+        return cls(
+            name=d.get("name", ""),
+            mesh=EditableMesh.from_ron(d.get("mesh", {})),
+            texture_ref=TextureRef.from_ron(d.get("texture_ref")),
+            visible=bool(d.get("visible", True)),
+            locked=bool(d.get("locked", False)),
+            double_sided=bool(d.get("double_sided", False)),
+            default_bone_index=int(dbi) if dbi is not None else None,
+        )
+
+    def to_ron(self):
+        out = {"name": self.name, "mesh": self.mesh.to_ron(),
+               "texture_ref": self.texture_ref.to_ron(),
+               "visible": self.visible, "locked": self.locked,
+               "double_sided": self.double_sided}
+        if self.default_bone_index is not None:
+            out["default_bone_index"] = ron.wrap_some(self.default_bone_index)
+        return out

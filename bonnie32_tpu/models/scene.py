@@ -28,7 +28,8 @@ F32 = np.float32
 
 
 class CompiledScene(NamedTuple):
-    """Stacked per-room buffers (R = rooms, leading axis)."""
+    """Stacked per-room buffers (R = rooms) + per-placed-asset-part draws
+    (D = draws), mirroring render_scene's two phases (scene.rs:196, 226)."""
 
     mesh: MeshArrays        # fields (R, V, ...)
     faces: FaceArrays       # fields (R, T, ...)
@@ -36,6 +37,12 @@ class CompiledScene(NamedTuple):
     fog: Fog                # fields (R, ...)
     ambient: jnp.ndarray    # (R,) f32
     lights: Lights          # scene lights (w/o ambient; set per room)
+    # placed asset draws (possibly D == 0 -> dummy invalid draw)
+    a_mesh: MeshArrays      # fields (D, V', ...)
+    a_faces: FaceArrays     # fields (D, T', ...)
+    a_atlas: TextureAtlas   # fields (D, ...): one texture per draw
+    a_fog: Fog              # fields (D, ...): containing room's fog
+    a_ambient: jnp.ndarray  # (D,) f32: containing room's ambient
 
 
 def _room_fog_params(room: Room):
@@ -79,12 +86,59 @@ def collect_scene_lights(level: Level, asset_library=None) -> List[dict]:
     return specs
 
 
+def transform_part_vertices(verts, facing: float, world_pos):
+    """render_asset_parts' Y-rotation + translation (scene.rs:123-159),
+    host-side f32 with the reference op order.  Returns new golden-format
+    vertex dicts."""
+    F = np.float32
+    cos_f = F(np.cos(F(facing)))
+    sin_f = F(np.sin(F(facing)))
+    wp = np.asarray(world_pos, F)
+    has_transform = (abs(float(facing)) > 0.0001
+                     or abs(float(wp[0])) > 0.0001
+                     or abs(float(wp[1])) > 0.0001
+                     or abs(float(wp[2])) > 0.0001)
+    if not has_transform:
+        return verts
+    out = []
+    for v in verts:
+        x, y, z = F(v["pos"][0]), F(v["pos"][1]), F(v["pos"][2])
+        nx, ny, nz = F(v["normal"][0]), F(v["normal"][1]), F(v["normal"][2])
+        rx = F(F(x * cos_f) - F(z * sin_f))
+        rz = F(F(x * sin_f) + F(z * cos_f))
+        out.append(dict(
+            pos=(float(F(rx + wp[0])), float(F(y + wp[1])), float(F(rz + wp[2]))),
+            uv=v["uv"],
+            normal=(float(F(F(nx * cos_f) - F(nz * sin_f))), float(ny),
+                    float(F(F(nx * sin_f) + F(nz * cos_f)))),
+            color=v["color"], color_blend=v.get("color_blend", 0)))
+    return out
+
+
+def resolve_part_texture15(part, user_textures) -> np.ndarray:
+    """resolve_part_texture + CLUT pre-bake (scene.rs:75-104, 163-165):
+    TextureRef::Id -> the UserTexture's indices + embedded palette;
+    everything else -> the built-in checkerboard atlas + grayscale CLUT."""
+    from . import mesh as mesh_mod
+
+    if part.texture_ref.kind == "Id" and user_textures is not None:
+        tex = user_textures.get_by_id(part.texture_ref.id)
+        if tex is not None:
+            return tex.to_texture15()
+    if part.texture_ref.kind == "Embedded" and part.texture_ref.embedded is not None \
+            and not part.texture_ref.embedded.is_empty:
+        return part.texture_ref.embedded.to_texture15(mesh_mod.checkerboard_clut())
+    atlas = mesh_mod.IndexedAtlas.new_checkerboard(128, 128, 0)
+    return atlas.to_texture15(mesh_mod.checkerboard_clut())
+
+
 def compile_level(level: Level, textures, resolve,
                   light_specs: Optional[List[dict]] = None,
+                  asset_library=None, user_textures=None,
                   pad_verts: Optional[int] = None,
                   pad_faces: Optional[int] = None,
                   light_pad: int = 8) -> CompiledScene:
-    """Emit all rooms and pack to stacked padded device arrays.
+    """Emit all rooms (and placed asset parts) into stacked padded arrays.
 
     `textures`: sequence of PackTexture (or (pixels15, blend) tuples);
     `resolve`: TextureRef -> (id, width) or None.
@@ -168,19 +222,99 @@ def compile_level(level: Level, textures, resolve,
     ambient = jnp.asarray(np.array([r.ambient for r in level.rooms] or [0.5], F32))
 
     lights = build.lights_from_list(light_specs or [], pad=light_pad)
+
+    # ---- placed asset draws (scene.rs:226-259) ----
+    draws = []  # (verts, faces, tex15, fog_row, ambient, double_sided)
+    if asset_library is not None:
+        for room in level.rooms:
+            fog_row = _room_fog_params(room)
+            for obj in room.objects:
+                if not obj.enabled:
+                    continue
+                a = asset_library.get_by_id(obj.asset_id)
+                if a is None:
+                    continue
+                parts = a.mesh()
+                if not parts:
+                    continue
+                wp = obj.world_position(room)
+                for part in parts:
+                    if not part.visible:
+                        continue
+                    verts, pfaces = part.mesh.to_render_data_textured()
+                    if not verts:
+                        continue
+                    verts = transform_part_vertices(verts, obj.facing, wp)
+                    tex15 = resolve_part_texture15(part, user_textures)
+                    draws.append((verts, pfaces, tex15, fog_row, room.ambient,
+                                  part.double_sided))
+
+    if not draws:
+        dummy_tex = np.full((1, 1), 0x7FFF, np.uint16)
+        draws = [([dict(pos=(0, 0, 0), uv=(0, 0), normal=(0, 0, 0),
+                        color=(128, 128, 128), color_blend=0)],
+                  [], dummy_tex, (False, 0.0, 0.0, 3.4e38, (0, 0, 0)), 0.5,
+                  False)]
+
+    av_max = max(max(len(v) for v, _, _, _, _, _ in draws), 1)
+    at_max = max(max(len(f) for _, f, _, _, _, _ in draws), 1)
+    aa_max = max(t.shape[0] * t.shape[1] for _, _, t, _, _, _ in draws)
+    aa_max = -(-aa_max // 128) * 128
+
+    a_meshes, a_face_arrays, a_atlases, a_fogs, a_amb = [], [], [], [], []
+    for verts, pfaces, tex15, fog_row, amb, ds in draws:
+        pos = np.array([v["pos"] for v in verts], F32)
+        uv = np.array([v["uv"] for v in verts], F32)
+        normal = np.array([v["normal"] for v in verts], F32)
+        color = np.array([v["color"] for v in verts], np.int32)
+        cblend = np.array([v.get("color_blend", 0) for v in verts], np.int32)
+        a_meshes.append(build.make_mesh_arrays(pos, uv, normal, color, cblend,
+                                               pad_to=av_max))
+        if pfaces:
+            vidx = np.array([(f["v0"], f["v1"], f["v2"]) for f in pfaces], np.int32)
+            tid = np.array([0 if f.get("tex_id") is not None else -1
+                            for f in pfaces], np.int32)
+            bt = np.array([f.get("black_transparent", True) for f in pfaces], bool)
+            bm = np.array([f.get("blend_mode", 0) for f in pfaces], np.int32)
+            dsa = np.full(len(pfaces), ds, bool)
+            fa2 = build.make_face_arrays(vidx, tid, bt, bm,
+                                         double_sided=dsa, pad_to=at_max)
+        else:
+            fa2 = build.make_face_arrays(np.zeros((1, 3), np.int32),
+                                         pad_to=at_max)
+            fa2 = fa2._replace(valid=jnp.zeros((at_max,), bool))
+        a_face_arrays.append(fa2)
+        a_atlases.append(build.build_atlas([(tex15, 0)], pad_data_to=aa_max,
+                                           pad_count_to=1))
+        a_fogs.append(fog_row)
+        a_amb.append(amb)
+
+    a_mesh = stack(a_meshes)
+    a_faces = stack(a_face_arrays)
+    a_atlas = stack(a_atlases)
+    a_fog = Fog(
+        enabled=jnp.asarray(np.array([f[0] for f in a_fogs], bool)),
+        start=jnp.asarray(np.array([f[1] for f in a_fogs], F32)),
+        falloff=jnp.asarray(np.array([f[2] for f in a_fogs], F32)),
+        cull_distance=jnp.asarray(np.array([f[3] for f in a_fogs], F32)),
+        color=jnp.asarray(np.array([f[4] for f in a_fogs], np.int32)),
+    )
     return CompiledScene(mesh=mesh, faces=faces, atlas=atlas, fog=fog,
-                         ambient=ambient, lights=lights)
+                         ambient=ambient, lights=lights,
+                         a_mesh=a_mesh, a_faces=a_faces, a_atlas=a_atlas,
+                         a_fog=a_fog,
+                         a_ambient=jnp.asarray(np.array(a_amb, F32)))
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "depth_mode"))
 def render_level(fb: FrameBuffers, scene: CompiledScene,
                  camera: CameraArrays, settings: RasterSettings,
                  depth_mode: str = "fast") -> FrameBuffers:
-    """Room loop of render_scene (scene.rs:196-219): sequential rooms, each
-    with its own ambient + fog, into one framebuffer."""
+    """render_scene (scene.rs:180-261): sequential rooms (each with its own
+    ambient + fog), then placed asset parts, into one framebuffer."""
     n_rooms = scene.ambient.shape[0]
 
-    def body(i, fb):
+    def room_body(i, fb):
         mesh = jax.tree_util.tree_map(lambda x: x[i], scene.mesh)
         faces = jax.tree_util.tree_map(lambda x: x[i], scene.faces)
         fog = jax.tree_util.tree_map(lambda x: x[i], scene.fog)
@@ -189,4 +323,17 @@ def render_level(fb: FrameBuffers, scene: CompiledScene,
         return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
                               fog, settings, depth_mode=depth_mode)
 
-    return jax.lax.fori_loop(0, n_rooms, body, fb)
+    fb = jax.lax.fori_loop(0, n_rooms, room_body, fb)
+
+    n_draws = scene.a_ambient.shape[0]
+
+    def draw_body(i, fb):
+        mesh = jax.tree_util.tree_map(lambda x: x[i], scene.a_mesh)
+        faces = jax.tree_util.tree_map(lambda x: x[i], scene.a_faces)
+        fog = jax.tree_util.tree_map(lambda x: x[i], scene.a_fog)
+        atlas = jax.tree_util.tree_map(lambda x: x[i], scene.a_atlas)
+        lights = scene.lights._replace(ambient=scene.a_ambient[i])
+        return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
+                              fog, settings, depth_mode=depth_mode)
+
+    return jax.lax.fori_loop(0, n_draws, draw_body, fb)
