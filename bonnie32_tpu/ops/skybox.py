@@ -1,0 +1,232 @@
+"""Device skybox rendering: sphere background + mountain peaks + stars.
+
+The reference clears the frame by rasterizing a vertex-colored sky sphere
+mesh with mountains, then draws star sparkles (`/root/reference/src/
+rasterizer/render.rs:81-299`).  TPU equivalents:
+
+  * Sphere: the mesh is a regular (phi, theta) grid, so instead of
+    rasterizing ~3k triangles we invert the projection per pixel — each
+    pixel's view ray maps to exactly one grid cell, whose triangle's
+    Gouraud interpolation is evaluated in cell space.  (Divergence: the
+    reference interpolates in screen space and resolves seam pixels by
+    draw order; cell-space interpolation differs by <1 color step on a
+    smooth gradient — documented approximation.)
+  * Mountains: a small chunked last-covering-wins reduction over the peak
+    triangles (order-independent replacement for overwrite compositing of
+    opaque triangles drawn after the sphere).
+  * Stars: LCG positions from the host (models/skybox.py), projected and
+    scattered as diamond sparkles (render.rs:149-237).
+
+No depth is written (the skybox is a clear; render.rs clears the z-buffer
+separately).
+"""
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PROJ_DISTANCE, PROJ_SCALE
+from ..types import CameraArrays, FrameBuffers
+from . import color as col
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+TWO_PI = 2.0 * math.pi
+
+
+class SkyTables(NamedTuple):
+    grid_colors: jnp.ndarray   # (Vseg+1, Hseg+1, 3) i32
+    mtn_dirs: jnp.ndarray      # (M, 3) f32 unit*scale directions
+    mtn_colors: jnp.ndarray    # (M, 3) i32
+    mtn_faces: jnp.ndarray     # (MF, 3) i32 (padded; valid mask)
+    mtn_valid: jnp.ndarray     # (MF,) bool
+    star_dirs: jnp.ndarray     # (S, 3) f32 unit directions
+    star_phase: jnp.ndarray    # (S,) f32 twinkle phase
+    star_color: jnp.ndarray    # (3,) i32
+    star_size: jnp.ndarray     # () f32
+    star_twinkle: jnp.ndarray  # () f32
+    stars_enabled: jnp.ndarray  # () bool
+
+
+def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
+                     mtn_pad=128) -> SkyTables:
+    """Host: models.skybox.Skybox -> device tables."""
+    _, colors, _ = skybox.generate_sphere(time, h_segments, v_segments)
+    grid = colors.reshape(v_segments + 1, h_segments + 1, 3)
+
+    mdirs, mcolors, mfaces = skybox.generate_mountains(time)
+    mf = np.zeros((mtn_pad, 3), np.int32)
+    mvalid = np.zeros(mtn_pad, bool)
+    n = min(len(mfaces), mtn_pad)
+    if n:
+        mf[:n] = mfaces[:n]
+        mvalid[:n] = True
+    if len(mdirs) == 0:
+        mdirs = np.zeros((1, 3), np.float32)
+        mcolors = np.zeros((1, 3), np.int32)
+
+    # star directions (render.rs:160-181 LCG)
+    stars = skybox.stars
+    sdirs, sphase = [], []
+    state = stars.seed
+    def next_rand():
+        nonlocal state
+        state = (state * 1103515245 + 12345) & 0xFFFFFFFFFFFFFFFF
+        return ((state >> 16) & 0xFFFFFFFFFFFF) / 65536.0 % 1.0
+    for _ in range(max(stars.count, 1)):
+        theta = next_rand() * TWO_PI
+        phi = next_rand() * (skybox.horizon * math.pi)
+        y = math.cos(phi)
+        ring = math.sin(phi)
+        sdirs.append((ring * math.cos(theta), y, ring * math.sin(theta)))
+        sphase.append(next_rand() * TWO_PI if stars.twinkle_speed > 0 else 0.0)
+
+    return SkyTables(
+        grid_colors=jnp.asarray(grid),
+        mtn_dirs=jnp.asarray(mdirs),
+        mtn_colors=jnp.asarray(mcolors),
+        mtn_faces=jnp.asarray(mf),
+        mtn_valid=jnp.asarray(mvalid),
+        star_dirs=jnp.asarray(np.asarray(sdirs, np.float32)),
+        star_phase=jnp.asarray(np.asarray(sphase, np.float32)),
+        star_color=jnp.asarray(np.asarray(stars.color, np.int32)),
+        star_size=jnp.float32(stars.size),
+        star_twinkle=jnp.float32(stars.twinkle_speed),
+        stars_enabled=jnp.asarray(bool(stars.enabled)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
+                  time=0.0) -> FrameBuffers:
+    height, width = fb.color.shape
+    vseg = sky.grid_colors.shape[0] - 1
+    hseg = sky.grid_colors.shape[1] - 1
+    time = jnp.asarray(time, _F32)
+
+    yi, xi = jnp.meshgrid(jnp.arange(height, dtype=_I32),
+                          jnp.arange(width, dtype=_I32), indexing="ij")
+    vs = _F32((min(width, height) / 2.0) * PROJ_SCALE)
+
+    # --- per-pixel view ray -> world direction (math.rs screen_to_ray) ---
+    ndc_x = (xi.astype(_F32) + 0.5 - _F32(width / 2.0)) / vs
+    ndc_y = (yi.astype(_F32) + 0.5 - _F32(height / 2.0)) / vs
+    norm = jnp.sqrt(ndc_x * ndc_x + ndc_y * ndc_y + 1.0)
+    cx, cy, cz = ndc_x / norm, ndc_y / norm, 1.0 / norm
+    b = camera.basis
+    wx = cx * b[0, 0] + cy * b[1, 0] + cz * b[2, 0]
+    wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
+    wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
+
+    # --- sphere cell interpolation ---
+    phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
+    theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
+    fv = phi / _F32(math.pi) * vseg
+    fh = theta / _F32(TWO_PI) * hseg
+    cv = jnp.clip(fv.astype(_I32), 0, vseg - 1)
+    ch = jnp.clip(fh.astype(_I32), 0, hseg - 1)
+    a = fh - ch.astype(_F32)
+    bb = fv - cv.astype(_F32)
+
+    g = sky.grid_colors
+    c00 = g[cv, ch].astype(_F32)
+    c01 = g[cv, ch + 1].astype(_F32)
+    c10 = g[cv + 1, ch].astype(_F32)
+    c11 = g[cv + 1, ch + 1].astype(_F32)
+
+    in_t1 = (a + bb) <= 1.0
+    w0 = jnp.where(in_t1, 1.0 - a - bb, 0.0)[..., None]
+    w1 = jnp.where(in_t1, a, 1.0 - bb)[..., None]
+    w2 = jnp.where(in_t1, bb, 1.0 - a)[..., None]
+    w3 = jnp.where(in_t1, 0.0, a + bb - 1.0)[..., None]
+    rgbf = c00 * w0 + c01 * w1 + c10 * w2 + c11 * w3
+    r = jnp.clip(jnp.trunc(rgbf[..., 0]), 0, 255).astype(_I32)
+    gch = jnp.clip(jnp.trunc(rgbf[..., 1]), 0, 255).astype(_I32)
+    bch = jnp.clip(jnp.trunc(rgbf[..., 2]), 0, 255).astype(_I32)
+
+    # --- mountains: last-covering-wins over the peak triangles ---
+    # project mountain vertices with the float pipeline (render.rs:94-109)
+    mdir = sky.mtn_dirs * _F32(10000.0)
+    mcam = jnp.einsum("vk,rk->vr", mdir, camera.basis)
+    mvalid_v = mcam[:, 2] > 0.1
+    ud = _F32(PROJ_DISTANCE)
+    us = _F32(PROJ_DISTANCE - 1.0)
+    denom = mcam[:, 2] + ud
+    sx = (mcam[:, 0] * us) / denom * vs + _F32(width / 2.0)
+    sy = (mcam[:, 1] * us) / denom * vs + _F32(height / 2.0)
+
+    fverts = sky.mtn_faces  # (MF, 3)
+    n_faces = fverts.shape[0]
+    px = xi.astype(_F32) + 0.5
+    py = yi.astype(_F32) + 0.5
+
+    def face_body(i, carry):
+        r, gc, bc = carry
+        f = fverts[i]
+        ok = (sky.mtn_valid[i] & mvalid_v[f[0]] & mvalid_v[f[1]]
+              & mvalid_v[f[2]])
+        x0, x1, x2 = sx[f[0]], sx[f[1]], sx[f[2]]
+        y0, y1, y2 = sy[f[0]], sy[f[1]], sy[f[2]]
+        signed = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        ok = ok & (signed < 0.0)  # inward-facing (render.rs:124)
+        dnm = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        ok = ok & (jnp.abs(dnm) >= 0.0001)
+        inv = 1.0 / jnp.where(dnm == 0, _F32(1.0), dnm)
+        w0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) * inv
+        w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv
+        w2 = 1.0 - w0 - w1
+        covered = ok & (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+        cols = sky.mtn_colors[f].astype(_F32)  # (3 corners, 3)
+        rr = w0 * cols[0, 0] + w1 * cols[1, 0] + w2 * cols[2, 0]
+        gg = w0 * cols[0, 1] + w1 * cols[1, 1] + w2 * cols[2, 1]
+        bbv = w0 * cols[0, 2] + w1 * cols[1, 2] + w2 * cols[2, 2]
+        r = jnp.where(covered, jnp.clip(jnp.trunc(rr), 0, 255).astype(_I32), r)
+        gc = jnp.where(covered, jnp.clip(jnp.trunc(gg), 0, 255).astype(_I32), gc)
+        bc = jnp.where(covered, jnp.clip(jnp.trunc(bbv), 0, 255).astype(_I32), bc)
+        return r, gc, bc
+
+    r, gch, bch = jax.lax.fori_loop(0, n_faces, face_body, (r, gch, bch))
+
+    # --- stars (render.rs:149-237): diamond sparkles ---
+    scam = jnp.einsum("vk,rk->vr", sky.star_dirs * _F32(10000.0), camera.basis)
+    s_ok = scam[:, 2] > 0.1
+    sdenom = scam[:, 2] + ud
+    ssx = ((scam[:, 0] * us) / sdenom * vs + _F32(width / 2.0)).astype(_I32)
+    ssy = ((scam[:, 1] * us) / sdenom * vs + _F32(height / 2.0)).astype(_I32)
+    brightness = jnp.where(
+        sky.star_twinkle > 0.0,
+        0.5 + 0.5 * jnp.sin(time * sky.star_twinkle + sky.star_phase),
+        1.0)
+    base = sky.star_color.astype(_F32)
+
+    def star_color(bright, dim):
+        return (jnp.trunc(base[None, :] * bright[:, None] * dim)
+                .astype(_I32))
+
+    s = jnp.maximum(sky.star_size, 1.0).astype(_I32)
+    offsets = [((0, 0), 1.0, 1)]
+    offsets += [((dx, dy), 0.7, 2) for dx, dy in
+                ((-1, 0), (1, 0), (0, -1), (0, 1))]
+    offsets += [((dx, dy), 0.4, 3) for dx, dy in
+                ((-2, 0), (2, 0), (0, -2), (0, 2))]
+
+    enabled = sky.stars_enabled
+    for (dx, dy), dim, min_size in offsets:
+        c = star_color(brightness, dim)
+        xs = ssx + dx
+        ys = ssy + dy
+        ok = (s_ok & enabled & (s >= min_size)
+              & (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
+        xs = jnp.clip(xs, 0, width - 1)
+        ys = jnp.clip(ys, 0, height - 1)
+        r = r.at[ys, xs].set(jnp.where(ok, c[:, 0], r[ys, xs]))
+        gch = gch.at[ys, xs].set(jnp.where(ok, c[:, 1], gch[ys, xs]))
+        bch = bch.at[ys, xs].set(jnp.where(ok, c[:, 2], bch[ys, xs]))
+
+    word = col.pack_rgba8(r, gch, bch, jnp.full_like(r, 255))
+    depth = jnp.zeros_like(fb.depth)  # cleared inverse-z buffer
+    return FrameBuffers(color=word, depth=depth)

@@ -28,15 +28,26 @@ class RolloutEnv(NamedTuple):
     scene: scene_mod.CompiledScene
     grid: col.CollisionGrid
     params: col.PlayerParams
+    sky: "object"              # ops.skybox.SkyTables, or None (no skybox);
+                               # None vs not-None is part of the pytree
+                               # STRUCTURE, so jitted code can branch on it
 
 
-def build_env(level: Level, textures, resolve,
-              light_specs=None) -> RolloutEnv:
+def build_env(level: Level, textures, resolve, light_specs=None,
+              asset_library=None, user_textures=None) -> RolloutEnv:
+    from .models.skybox import Skybox
+    from .ops import skybox as sky_ops
+
+    sky_cfg = Skybox.from_ron(level.skybox) if level.skybox else None
+    sky = sky_ops.build_sky_tables(sky_cfg) if sky_cfg else None
     return RolloutEnv(
         scene=scene_mod.compile_level(level, textures, resolve,
-                                      light_specs=light_specs),
+                                      light_specs=light_specs,
+                                      asset_library=asset_library,
+                                      user_textures=user_textures),
         grid=col.compile_collision(level),
         params=col.player_params(level),
+        sky=sky,
     )
 
 
@@ -67,6 +78,9 @@ def step_and_render(states: st.GameState, env: RolloutEnv,
 
     def render_one(cam):
         fb = raster_ref.new_framebuffer(height, width, depth_mode="inv")
+        if env.sky is not None:
+            from .ops import skybox as sky_ops
+            fb = sky_ops.render_skybox(fb, env.sky, cam)
         return scene_mod.render_level(fb, env.scene, cam, settings,
                                       depth_mode="fast")
 
