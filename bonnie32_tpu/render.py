@@ -44,5 +44,11 @@ def render_mesh_15(fb: FrameBuffers, mesh: MeshArrays, faces: FaceArrays,
                               settings, width, height)
     if depth_mode == "fast" and _fast_ok(settings):
         return rasterize_surfaces_fast(fb, surfaces, atlas, settings)
-    mode = "inv" if depth_mode == "fast" else depth_mode
+    if depth_mode == "fast":
+        # Ortho depth can be <= 0, where inverse-z ordering breaks — use the
+        # literal harmonic-z semantics there (render.rs:1545 divides 1/z
+        # regardless of projection).
+        mode = "harmonic" if settings.ortho_projection is not None else "inv"
+    else:
+        mode = depth_mode
     return rasterize_surfaces(fb, surfaces, atlas, settings, depth_mode=mode)

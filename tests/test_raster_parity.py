@@ -231,6 +231,43 @@ def test_fast_path_matches_golden_blends():
     assert_identical(g, j, "fast_blends")
 
 
+def test_parity_ortho_projection():
+    """Orthographic editor views (math.rs:140; render.rs:2323-2327)."""
+    from bonnie32_tpu.config import OrthoProjection
+    verts, faces, tex = standard_scene()
+    s = RasterSettings.game(
+        use_fixed_point=False,
+        ortho_projection=OrthoProjection(zoom=40.0, center_x=0.0, center_y=0.0))
+    # golden needs the ortho dict
+    gfb = gold.new_framebuffer(W, H)
+    gsettings = dict(affine_textures=True, use_zbuffer=True, shading=2,
+                     backface_cull=True, ambient=s.ambient, dithering=True,
+                     xray_mode=False, use_fixed_point=False,
+                     ortho=dict(zoom=40.0, center_x=0.0, center_y=0.0))
+    glights = []
+    gtex = [dict(pixels=np.asarray(p, np.int64), blend_mode=b) for p, b in tex]
+    # top-down ortho camera (camera.rs:35-45)
+    basis = np.array([[-1, 0, 0], [0, 0, 1], [0, 1, 0]], np.float32)
+    campos = np.array([0, -10, 0], np.float32)
+    gold.render_mesh_15(gfb, verts, faces, gtex,
+                        dict(position=campos, basis=basis), gsettings, glights)
+
+    mesh, fa = scenes.to_jax_scene(verts, faces)
+    atlas = build.build_atlas(tex)
+    cam = build.make_camera(campos, basis)
+    lights = build.lights_from_list([], ambient=s.ambient)
+    fb = raster_ref.new_framebuffer(H, W, depth_mode="harmonic")
+    out = jax_render(fb, mesh, fa, atlas, cam, lights, no_fog(), s,
+                     depth_mode="harmonic")
+    word = np.asarray(out.color)
+    jpix = np.stack([(word >> 0) & 0xFF, (word >> 8) & 0xFF,
+                     (word >> 16) & 0xFF, (word >> 24) & 0xFF],
+                    axis=-1).astype(np.uint8)
+    assert (jpix[..., 3] == 255).any(), "ortho view shows the cube"
+    frac = np.any(gfb["pixels"] != jpix, axis=-1).mean()
+    assert frac < 0.01, f"ortho divergence {frac:.2%}"
+
+
 def test_inv_depth_mode_matches_harmonic():
     """The fast inverse-z ordering must reproduce the harmonic-z image."""
     verts, faces, tex = standard_scene()
