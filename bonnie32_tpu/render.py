@@ -7,8 +7,9 @@ Composes the vertex/cull/fog stage (ops/surface.py) with a rasterizer:
     ordering-equivalent default.
 
 Reference: `/root/reference/src/rasterizer/render.rs:2302` (render_mesh_15).
-Wireframe phases (render.rs:2574-2633) are editor-only overlays, implemented
-separately in ops/wireframe.py.
+Wireframe phases (render.rs:2573-2633) run after the solid passes when the
+settings enable them; in wireframe_overlay mode the solid passes are skipped
+entirely (render.rs:2550).
 """
 
 import functools
@@ -21,11 +22,17 @@ from .types import (CameraArrays, FaceArrays, Fog, FrameBuffers, Lights,
 from .ops.surface import build_surfaces
 from .ops.raster_ref import rasterize_surfaces
 from .ops.raster_fast import rasterize_surfaces_fast
+from .ops.wireframe import render_wireframes
 
 
 def _fast_ok(settings: RasterSettings) -> bool:
     return (settings.use_zbuffer and not settings.xray_mode
             and settings.ortho_projection is None)
+
+
+def _wireframes_on(settings: RasterSettings) -> bool:
+    return ((settings.backface_cull and settings.backface_wireframe)
+            or settings.wireframe_overlay)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "depth_mode"))
@@ -40,15 +47,27 @@ def render_mesh_15(fb: FrameBuffers, mesh: MeshArrays, faces: FaceArrays,
     * "harmonic": sequential compositor, literal reference z semantics.
     """
     height, width = fb.color.shape
-    surfaces = build_surfaces(mesh, faces, atlas, camera, lights, fog,
-                              settings, width, height)
     if depth_mode == "fast" and _fast_ok(settings):
-        return rasterize_surfaces_fast(fb, surfaces, atlas, settings)
-    if depth_mode == "fast":
+        mode = "fast"
+    elif depth_mode == "fast":
         # Ortho depth can be <= 0, where inverse-z ordering breaks — use the
         # literal harmonic-z semantics there (render.rs:1545 divides 1/z
         # regardless of projection).
         mode = "harmonic" if settings.ortho_projection is not None else "inv"
     else:
         mode = depth_mode
-    return rasterize_surfaces(fb, surfaces, atlas, settings, depth_mode=mode)
+
+    if not settings.wireframe_overlay:
+        surfaces = build_surfaces(mesh, faces, atlas, camera, lights, fog,
+                                  settings, width, height)
+        if mode == "fast":
+            fb = rasterize_surfaces_fast(fb, surfaces, atlas, settings)
+        else:
+            fb = rasterize_surfaces(fb, surfaces, atlas, settings,
+                                    depth_mode=mode)
+
+    if _wireframes_on(settings):
+        wf_mode = "inv" if mode == "fast" else mode
+        fb = render_wireframes(fb, mesh, faces, camera, fog, settings,
+                               depth_mode=wf_mode)
+    return fb

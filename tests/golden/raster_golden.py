@@ -467,6 +467,8 @@ def render_mesh_15(fb, vertices, faces, textures, camera, settings,
         projected.append(scr)
 
     surfaces = []
+    backface_wireframes = []
+    frontface_wireframes = []
     for face in faces:
         cv1 = cam_pos_list[face["v0"]]
         cv2 = cam_pos_list[face["v1"]]
@@ -513,6 +515,8 @@ def render_mesh_15(fb, vertices, faces, textures, camera, settings,
 
         va, vb_, vc_ = vert(face["v0"]), vert(face["v1"]), vert(face["v2"])
         if is_backface:
+            if not settings["xray_mode"]:
+                backface_wireframes.append((v1, v2, v3))
             if not settings["backface_cull"] or settings["xray_mode"]:
                 surfaces.append(dict(
                     v1=v1, v2=v3, v3=v2,
@@ -540,6 +544,8 @@ def render_mesh_15(fb, vertices, faces, textures, camera, settings,
                 tex_id=tex_id, black_transparent=face.get("black_transparent", True),
                 has_transparency=has_transparency,
                 blend_mode=face_blend, editor_alpha=editor_alpha))
+            if settings.get("wireframe_overlay", False):
+                frontface_wireframes.append((v1, v2, v3))
 
     opaque = [s for s in surfaces if not s["has_transparency"]]
     transparent = [s for s in surfaces if s["has_transparency"]]
@@ -551,10 +557,82 @@ def render_mesh_15(fb, vertices, faces, textures, camera, settings,
     if not settings["use_zbuffer"]:
         opaque.sort(key=centroid, reverse=True)
 
-    for s in opaque:
-        _draw(fb, s, textures, settings, lights, skip_z_write=False)
-    for s in transparent:
-        _draw(fb, s, textures, settings, lights, skip_z_write=True)
+    if not settings.get("wireframe_overlay", False):
+        for s in opaque:
+            _draw(fb, s, textures, settings, lights, skip_z_write=False)
+        for s in transparent:
+            _draw(fb, s, textures, settings, lights, skip_z_write=True)
+
+    # === WIREFRAME PHASE (render.rs:2573-2633) ===
+    if settings["backface_cull"] and settings.get("backface_wireframe", False):
+        edges = _dedup_edges(backface_wireframes)
+        for (x0, y0, z0, x1, y1, z1) in edges:
+            draw_line_3d(fb, x0, y0, z0, x1, y1, z1, (80, 80, 100))
+    if settings.get("wireframe_overlay", False) and frontface_wireframes:
+        edges = _dedup_edges(frontface_wireframes)
+        for (x0, y0, _z0, x1, y1, _z1) in edges:
+            draw_line(fb, x0, y0, x1, y1, (200, 200, 220))
+
+
+def _dedup_edges(tris):
+    unique = []
+    for (v1, v2, v3) in tris:
+        for (a, b) in ((v1, v2), (v2, v3), (v3, v1)):
+            x0, y0, z0 = int(a[0]), int(a[1]), F32(a[2])
+            x1, y1, z1 = int(b[0]), int(b[1]), F32(b[2])
+            edge = ((x0, y0, z0, x1, y1, z1) if (x0, y0) < (x1, y1)
+                    else (x1, y1, z1, x0, y0, z0))
+            if not any(e[0] == edge[0] and e[1] == edge[1]
+                       and e[3] == edge[3] and e[4] == edge[4]
+                       for e in unique):
+                unique.append(edge)
+    return unique
+
+
+def _bresenham(x0, y0, x1, y1):
+    """Yields (x, y, step) per the reference walk (render.rs:768-816)."""
+    dx = abs(x1 - x0)
+    dy = -abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx + dy
+    x, y, step = x0, y0, 0
+    while True:
+        yield x, y, step
+        if x == x1 and y == y1:
+            return
+        e2 = 2 * err
+        if e2 >= dy:
+            err += dy
+            x += sx
+            step += 1
+        if e2 <= dx:
+            err += dx
+            y += sy
+            if e2 < dy:
+                step += 1
+
+
+def draw_line(fb, x0, y0, x1, y1, color):
+    """render.rs:715 — opaque Bresenham, no depth test."""
+    H, W = fb["zbuffer"].shape
+    for x, y, _ in _bresenham(x0, y0, x1, y1):
+        if 0 <= x < W and 0 <= y < H:
+            fb["pixels"][y, x] = (color[0], color[1], color[2], 255)
+
+
+def draw_line_3d(fb, x0, y0, z0, x1, y1, z1, color, allow_equal=False):
+    """render.rs:768 — depth-tested line; z interpolated by step count; no
+    depth write."""
+    H, W = fb["zbuffer"].shape
+    total = F32(max(abs(x1 - x0), abs(y1 - y0), 1))
+    for x, y, step in _bresenham(x0, y0, x1, y1):
+        if 0 <= x < W and 0 <= y < H:
+            t = F32(F32(step) / total)
+            z = F32(z0 + F32(t * F32(z1 - z0)))
+            buf = fb["zbuffer"][y, x]
+            if (z <= buf) if allow_equal else (z < buf):
+                fb["pixels"][y, x] = (color[0], color[1], color[2], 255)
 
 
 def _draw(fb, s, textures, settings, lights, skip_z_write):

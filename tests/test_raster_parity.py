@@ -40,6 +40,8 @@ def run_both(vertices, faces, textures, campos, basis, settings,
         xray_mode=settings.xray_mode,
         use_fixed_point=settings.use_fixed_point,
         ortho=None,
+        backface_wireframe=settings.backface_wireframe,
+        wireframe_overlay=settings.wireframe_overlay,
     )
     # Light constructors normalize directions (types.rs:1318-1321, 1355-1368).
     glights = []
@@ -229,6 +231,54 @@ def test_fast_path_matches_golden_blends():
     s = RasterSettings.game()
     g, j = run_both(verts, faces, tex, CAMPOS, BASIS, s, depth_mode="fast")
     assert_identical(g, j, "fast_blends")
+
+
+def test_parity_backface_wireframe():
+    """Editor default: depth-tested backface wireframe (render.rs:2576)."""
+    verts, faces, tex = standard_scene()
+    s = RasterSettings()  # backface_wireframe defaults on
+    gpix, jpix = run_both(verts, faces, tex, CAMPOS, BASIS, s)
+    assert_identical(gpix, jpix, "backface wireframe")
+    # wireframe color actually appears somewhere
+    assert (np.all(jpix[..., :3] == (80, 80, 100), axis=-1)).any()
+
+
+def test_parity_wireframe_overlay():
+    """Overlay mode: no solids, bright front-face edges (render.rs:2550)."""
+    verts, faces, tex = standard_scene()
+    s = RasterSettings.game(wireframe_overlay=True)
+    gpix, jpix = run_both(verts, faces, tex, CAMPOS, BASIS, s)
+    assert_identical(gpix, jpix, "wireframe overlay")
+    assert (np.all(jpix[..., :3] == (200, 200, 220), axis=-1)).any()
+    # solids skipped: only background + line colors present
+    lit = jpix[..., 3] == 255
+    assert np.all(np.all(jpix[lit][:, :3] == (200, 200, 220), axis=-1))
+
+
+def test_line_pixels_closed_form():
+    """Closed-form Bresenham == the reference walk, including the screen-clip
+    step offset, over random segments with far-offscreen endpoints."""
+    import jax
+    from bonnie32_tpu.ops import wireframe as wf
+
+    rng = np.random.default_rng(7)
+    Wd, Hd = 64, 48
+    f = jax.jit(lambda a, b, c, d: wf.line_pixels(a, b, c, d, Wd, Hd, 128))
+    for _ in range(200):
+        span = int(rng.choice([8, 60, 500, 4000]))
+        x0, y0, x1, y1 = [int(v) for v in rng.integers(-span, span, 4)]
+        want = [(x, y, st) for (x, y, st) in gold._bresenham(x0, y0, x1, y1)
+                if 0 <= x < Wd and 0 <= y < Hd]
+        xs, ys, t, ok = f(x0, y0, x1, y1)
+        xs, ys, ok = np.asarray(xs), np.asarray(ys), np.asarray(ok)
+        onscreen = ok & (xs >= 0) & (xs < Wd) & (ys >= 0) & (ys < Hd)
+        got = list(zip(xs[onscreen].tolist(), ys[onscreen].tolist()))
+        assert got == [(x, y) for (x, y, _) in want], (x0, y0, x1, y1)
+        # t parameter matches step/total
+        total = max(abs(x1 - x0), abs(y1 - y0), 1)
+        tt = np.asarray(t)[onscreen]
+        np.testing.assert_allclose(
+            tt, [st / total for (_, _, st) in want], rtol=1e-6)
 
 
 def test_parity_ortho_projection():
