@@ -1,0 +1,329 @@
+"""2D framebuffer drawing: clears, rects, circles, lines (plain/alpha/
+thick), and the clipped 3D grid/line helpers the editors draw overlays with.
+
+Reference behavior: Framebuffer methods in
+`/root/reference/src/rasterizer/render.rs` (clear :36, clear_gradient :60,
+draw_circle :631, set_pixel_alpha :646, draw_circle_alpha :670,
+draw_line_alpha :684, draw_thick_line :875, draw_rect :941,
+draw_filled_rect :954) and `/root/reference/src/rasterizer/draw.rs`
+(draw_3d_line_clipped :12, draw_floor_grid :81, create_test_cube :138).
+
+TPU design: per-pixel loops become full-frame masks; multi-segment opaque
+single-color draws batch through the closed-form Bresenham scatter from
+ops/wireframe.py (order-independent for one color); alpha lines scan
+sequentially because overlapping alpha writes compose.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import NEAR_PLANE
+from ..types import CameraArrays, FrameBuffers
+from .color import pack_rgba8, unpack_rgba8
+from .wireframe import line_pixels, _pack_rgb
+from .picking import world_to_screen
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+F32_MAX = jnp.float32(3.4028235e38)
+
+
+def _grid(fb: FrameBuffers):
+    h, w = fb.color.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=_I32),
+                          jnp.arange(w, dtype=_I32), indexing="ij")
+    return xs, ys
+
+
+def _full(fb: FrameBuffers, word) -> jnp.ndarray:
+    return jnp.full_like(fb.color, jnp.int32(word))
+
+
+def clear(fb: FrameBuffers, rgb: Tuple[int, int, int],
+          alpha: int = 255) -> FrameBuffers:
+    """render.rs:36 — solid color + depth reset."""
+    word = _pack_rgb(rgb) if alpha == 255 else \
+        (rgb[0] | (rgb[1] << 8) | (rgb[2] << 16) | (alpha << 24))
+    return FrameBuffers(color=_full(fb, word),
+                        depth=jnp.full_like(fb.depth, F32_MAX))
+
+
+def clear_transparent(fb: FrameBuffers) -> FrameBuffers:
+    """render.rs:48."""
+    return FrameBuffers(color=jnp.zeros_like(fb.color),
+                        depth=jnp.full_like(fb.depth, F32_MAX))
+
+
+def clear_gradient(fb: FrameBuffers, top: Tuple[int, int, int],
+                   bottom: Tuple[int, int, int]) -> FrameBuffers:
+    """render.rs:60 — vertical lerp, truncating casts (Color::lerp)."""
+    h, w = fb.color.shape
+    t = (jnp.arange(h, dtype=_F32) / _F32(max(h - 1, 1)))[:, None]
+    top_a = jnp.asarray(top, _F32)
+    bot_a = jnp.asarray(bottom, _F32)
+    rgb = jnp.trunc(top_a[None, None] * (1.0 - t)[..., None]
+                    + bot_a[None, None] * t[..., None]).astype(_I32)
+    rgb = jnp.broadcast_to(rgb, (h, w, 3))
+    color = pack_rgba8(rgb[..., 0], rgb[..., 1], rgb[..., 2],
+                       jnp.full((h, w), 255, _I32))
+    return FrameBuffers(color=color, depth=jnp.full_like(fb.depth, F32_MAX))
+
+
+def _alpha_blend_words(back_words, rgb: Tuple[int, int, int], alpha):
+    """set_pixel_alpha (render.rs:646) — integer blend, result alpha 255."""
+    br, bg, bb, _ = unpack_rgba8(back_words)
+    a = jnp.asarray(alpha, _I32)
+    inv = 255 - a
+    r = (rgb[0] * a + br * inv) // 255
+    g = (rgb[1] * a + bg * inv) // 255
+    b = (rgb[2] * a + bb * inv) // 255
+    return pack_rgba8(r, g, b, jnp.full_like(r, 255))
+
+
+def draw_filled_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
+                     rgb, alpha: int = 255) -> FrameBuffers:
+    """render.rs:954 (plus the alpha variant used by selection overlays)."""
+    xs, ys = _grid(fb)
+    lo_x, hi_x = jnp.minimum(x0, x1), jnp.maximum(x0, x1)
+    lo_y, hi_y = jnp.minimum(y0, y1), jnp.maximum(y0, y1)
+    inside = (xs >= lo_x) & (xs <= hi_x) & (ys >= lo_y) & (ys <= hi_y)
+    if alpha == 255:
+        color = jnp.where(inside, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    else:
+        color = jnp.where(inside, _alpha_blend_words(fb.color, rgb, alpha),
+                          fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
+def draw_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
+              rgb) -> FrameBuffers:
+    """render.rs:941 — outline (four axis-aligned 1px edges)."""
+    xs, ys = _grid(fb)
+    lo_x, hi_x = jnp.minimum(x0, x1), jnp.maximum(x0, x1)
+    lo_y, hi_y = jnp.minimum(y0, y1), jnp.maximum(y0, y1)
+    in_box = (xs >= lo_x) & (xs <= hi_x) & (ys >= lo_y) & (ys <= hi_y)
+    on_edge = in_box & ((xs == lo_x) | (xs == hi_x)
+                        | (ys == lo_y) | (ys == hi_y))
+    color = jnp.where(on_edge, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
+def draw_circle(fb: FrameBuffers, cx, cy, radius, rgb,
+                alpha=None) -> FrameBuffers:
+    """render.rs:631 / draw_circle_alpha :670 — dx^2+dy^2 <= r^2 fill."""
+    xs, ys = _grid(fb)
+    dx = xs - jnp.asarray(cx, _I32)
+    dy = ys - jnp.asarray(cy, _I32)
+    inside = dx * dx + dy * dy <= jnp.asarray(radius, _I32) ** 2
+    if alpha is None:
+        color = jnp.where(inside, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    else:
+        color = jnp.where(inside, _alpha_blend_words(fb.color, rgb, alpha),
+                          fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
+def draw_thick_line(fb: FrameBuffers, x0, y0, x1, y1, thickness: int,
+                    rgb) -> FrameBuffers:
+    """render.rs:875 — convex-quad fill with half-thickness perpendicular
+    offsets; pixel centers at +0.5."""
+    if thickness <= 1:
+        return draw_lines(fb, jnp.asarray([[x0, x1]], _I32),
+                          jnp.asarray([[y0, y1]], _I32), rgb)
+    x0f, y0f, x1f, y1f = [jnp.asarray(v, _F32) for v in (x0, y0, x1, y1)]
+    dx = x1f - x0f
+    dy = y1f - y0f
+    ln = jnp.sqrt(dx * dx + dy * dy)
+    degenerate = ln < 0.001
+    ln = jnp.where(degenerate, _F32(1.0), ln)
+    half = _F32(thickness * 0.5)
+    px = -dy / ln * half
+    py = dx / ln * half
+    corners = jnp.stack([
+        jnp.stack([x0f + px, y0f + py]),
+        jnp.stack([x0f - px, y0f - py]),
+        jnp.stack([x1f - px, y1f - py]),
+        jnp.stack([x1f + px, y1f + py])])          # (4, 2)
+    xs, ys = _grid(fb)
+    pxc = xs.astype(_F32) + 0.5
+    pyc = ys.astype(_F32) + 0.5
+    inside = jnp.ones(fb.color.shape, bool)
+    for i in range(4):
+        a = corners[i]
+        b = corners[(i + 1) % 4]
+        cross = ((b[0] - a[0]) * (pyc - a[1]) - (b[1] - a[1]) * (pxc - a[0]))
+        inside &= cross >= 0.0
+    inside &= ~degenerate
+    color = jnp.where(inside, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
+def draw_lines(fb: FrameBuffers, ex, ey, rgb, valid=None,
+               max_steps: int = 384) -> FrameBuffers:
+    """Batched opaque Bresenham lines, one color (render.rs:715 per line).
+
+    ex/ey: (E, 2) i32 endpoints.  Single color means overlapping writes are
+    order-independent, so all lines scatter at once.
+    """
+    height, width = fb.color.shape
+    ex = jnp.asarray(ex, _I32)
+    ey = jnp.asarray(ey, _I32)
+    xs, ys, _, ok = jax.vmap(
+        lambda a, b, c, d: line_pixels(a, b, c, d, width, height, max_steps)
+    )(ex[:, 0], ey[:, 0], ex[:, 1], ey[:, 1])
+    if valid is not None:
+        ok &= jnp.asarray(valid, bool)[:, None]
+    ok &= (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+    xs = xs.reshape(-1)
+    ys = jnp.where(ok, ys, height).reshape(-1)
+    color = fb.color.at[ys, xs].set(jnp.int32(_pack_rgb(tuple(rgb))),
+                                    mode="drop")
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
+def draw_lines_alpha(fb: FrameBuffers, ex, ey, rgb, alpha, valid=None,
+                     max_steps: int = 384) -> FrameBuffers:
+    """Sequential alpha-blended lines (render.rs:684).  Lines compose with
+    whatever is already drawn, including earlier lines in this batch, so the
+    scan is genuinely sequential; a single line never revisits a pixel, so
+    each step blends exactly once."""
+    height, width = fb.color.shape
+    ex = jnp.asarray(ex, _I32)
+    ey = jnp.asarray(ey, _I32)
+    v = (jnp.ones(ex.shape[0], bool) if valid is None
+         else jnp.asarray(valid, bool))
+
+    def body(color, args):
+        x0, y0, x1, y1, ok_line = args
+        xs, ys, _, ok = line_pixels(x0, y0, x1, y1, width, height, max_steps)
+        ok &= ok_line & (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+        safe_x = jnp.where(ok, xs, 0)
+        safe_y = jnp.where(ok, ys, 0)
+        back = color[safe_y, safe_x]
+        blended = _alpha_blend_words(back, rgb, alpha)
+        color = color.at[jnp.where(ok, ys, height), safe_x].set(
+            blended, mode="drop")
+        return color, None
+
+    color, _ = jax.lax.scan(body, fb.color,
+                            (ex[:, 0], ey[:, 0], ex[:, 1], ey[:, 1], v))
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
+# ---------------------------------------------------------------------------
+# 3D overlay helpers (draw.rs)
+# ---------------------------------------------------------------------------
+
+def clip_segments_to_screen(p0, p1, camera: CameraArrays, width: int,
+                            height: int):
+    """draw_3d_line_clipped's transform half (draw.rs:12-67): camera-space
+    near clip then world_to_screen; returns ((E,2) sx, sy i32, valid)."""
+    p0 = jnp.asarray(p0, _F32)
+    p1 = jnp.asarray(p1, _F32)
+    basis = camera.basis
+    rel0 = p0 - camera.position
+    rel1 = p1 - camera.position
+    z0 = rel0 @ camera.basis[2]
+    z1 = rel1 @ camera.basis[2]
+    visible = ~((z0 <= NEAR_PLANE) & (z1 <= NEAR_PLANE))
+
+    denom = jnp.where(jnp.abs(z1 - z0) < 1e-20, _F32(1e-20), z1 - z0)
+    t = (_F32(NEAR_PLANE) - z0) / denom
+    c0 = jnp.where((z0 <= NEAR_PLANE)[:, None], p0 + t[:, None] * (p1 - p0),
+                   p0)
+    c1 = jnp.where((z1 <= NEAR_PLANE)[:, None], p0 + t[:, None] * (p1 - p0),
+                   p1)
+
+    sx0, sy0, _, ok0 = world_to_screen(c0, camera.position, basis, width,
+                                       height)
+    sx1, sy1, _, ok1 = world_to_screen(c1, camera.position, basis, width,
+                                       height)
+    valid = visible & ok0 & ok1
+    ex = jnp.stack([jnp.trunc(sx0), jnp.trunc(sx1)], axis=-1).astype(_I32)
+    ey = jnp.stack([jnp.trunc(sy0), jnp.trunc(sy1)], axis=-1).astype(_I32)
+    return ex, ey, valid
+
+
+def draw_3d_lines_clipped(fb: FrameBuffers, p0, p1, camera: CameraArrays,
+                          rgb) -> FrameBuffers:
+    """Batched draw_3d_line_clipped (draw.rs:12), one color per batch."""
+    height, width = fb.color.shape
+    ex, ey, valid = clip_segments_to_screen(p0, p1, camera, width, height)
+    return draw_lines(fb, ex, ey, rgb, valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("y", "spacing", "extent",
+                                             "grid_rgb", "x_axis_rgb",
+                                             "z_axis_rgb"))
+def draw_floor_grid(fb: FrameBuffers, camera: CameraArrays, y: float,
+                    spacing: float, extent: float,
+                    grid_rgb=(60, 60, 70), x_axis_rgb=(140, 60, 60),
+                    z_axis_rgb=(60, 60, 140)) -> FrameBuffers:
+    """draw.rs:81 — short segments per cell for near-plane behavior.
+
+    Reference draw order: X-parallel lines (z-axis colored at z=0), then
+    Z-parallel (x-axis colored at x=0).  Same-color groups batch; groups
+    draw in reference order so crossings resolve identically.
+    """
+    n = int(extent / spacing)
+    lines = jnp.arange(-n, n + 1, dtype=_F32) * _F32(spacing)
+    starts = jnp.arange(-n, n, dtype=_F32) * _F32(spacing)
+    ll, ss = jnp.meshgrid(lines, starts, indexing="ij")
+    ll = ll.reshape(-1)
+    ss = ss.reshape(-1)
+    se = jnp.minimum(ss + _F32(spacing), _F32(extent))
+    yv = jnp.full_like(ll, _F32(y))
+
+    is_axis = jnp.abs(ll) < 0.001
+    # X-parallel: from (s, y, l) to (s_end, y, l)
+    xp0 = jnp.stack([ss, yv, ll], axis=-1)
+    xp1 = jnp.stack([se, yv, ll], axis=-1)
+    # Z-parallel: from (l, y, s) to (l, y, s_end)
+    zp0 = jnp.stack([ll, yv, ss], axis=-1)
+    zp1 = jnp.stack([ll, yv, se], axis=-1)
+
+    height, width = fb.color.shape
+    ex_x, ey_x, ok_x = clip_segments_to_screen(xp0, xp1, camera, width,
+                                               height)
+    ex_z, ey_z, ok_z = clip_segments_to_screen(zp0, zp1, camera, width,
+                                               height)
+    fb = draw_lines(fb, ex_x, ey_x, grid_rgb, valid=ok_x & ~is_axis)
+    fb = draw_lines(fb, ex_x, ey_x, z_axis_rgb, valid=ok_x & is_axis)
+    fb = draw_lines(fb, ex_z, ey_z, grid_rgb, valid=ok_z & ~is_axis)
+    fb = draw_lines(fb, ex_z, ey_z, x_axis_rgb, valid=ok_z & is_axis)
+    return fb
+
+
+def create_test_cube():
+    """draw.rs:138 — 24-vertex neutral-color test cube, 12 tris, texture 0.
+
+    Returns golden-model-format (verts, faces) like
+    EditableMesh.to_render_data_textured().
+    """
+    positions = [
+        (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1),        # front
+        (-1, -1, -1), (-1, 1, -1), (1, 1, -1), (1, -1, -1),    # back
+        (-1, 1, -1), (-1, 1, 1), (1, 1, 1), (1, 1, -1),        # top
+        (-1, -1, -1), (1, -1, -1), (1, -1, 1), (-1, -1, 1),    # bottom
+        (1, -1, -1), (1, 1, -1), (1, 1, 1), (1, -1, 1),        # right
+        (-1, -1, -1), (-1, -1, 1), (-1, 1, 1), (-1, 1, -1),    # left
+    ]
+    normals = [(0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
+               (1, 0, 0), (-1, 0, 0)]
+    uvs = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    verts = []
+    faces = []
+    for f in range(6):
+        for i in range(4):
+            verts.append(dict(pos=tuple(float(c) for c in positions[f * 4 + i]),
+                              uv=uvs[i], normal=tuple(float(c) for c in normals[f]),
+                              color=(128, 128, 128), color_blend=0))
+        b = f * 4
+        for (a, c, d) in ((b, b + 1, b + 2), (b, b + 2, b + 3)):
+            faces.append(dict(v0=a, v1=c, v2=d, tex_id=0,
+                              black_transparent=True, blend_mode=0,
+                              editor_alpha=255))
+    return verts, faces
