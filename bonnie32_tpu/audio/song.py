@@ -51,6 +51,9 @@ class Effect:
         return Tag(self.kind, self.x)
 
 
+NOTE_OFF = 0xFF  # pattern.rs:105 — special pitch for note-off
+
+
 @dataclasses.dataclass
 class Note:
     """pattern.rs:75."""
@@ -64,6 +67,15 @@ class Note:
     def is_empty(self) -> bool:
         return (self.pitch is None and self.instrument is None
                 and self.volume is None and self.effect.kind == "None")
+
+    @classmethod
+    def off(cls) -> "Note":
+        """pattern.rs:103."""
+        return cls(pitch=NOTE_OFF)
+
+    @property
+    def is_off(self) -> bool:
+        return self.pitch == NOTE_OFF
 
     @classmethod
     def from_ron(cls, d):
@@ -103,10 +115,59 @@ class Pattern:
 
     @classmethod
     def new(cls, length=DEFAULT_PATTERN_LEN, num_channels=4):
+        """pattern.rs:185 (with_channels) — length <= 256, 1..8 channels."""
+        length = min(length, 256)
+        num_channels = max(1, min(num_channels, MAX_CHANNELS))
         return cls(length=length,
                    channels=[[Note() for _ in range(length)]
                              for _ in range(num_channels)],
                    reverb=[None] * length)
+
+    def get(self, channel: int, row: int) -> Optional[Note]:
+        """pattern.rs:215."""
+        if 0 <= channel < len(self.channels) and 0 <= row < self.length:
+            return self.channels[channel][row]
+        return None
+
+    def set(self, channel: int, row: int, note: Note) -> None:
+        """pattern.rs:220 — silently ignores out-of-range."""
+        if 0 <= channel < len(self.channels) and 0 <= row < self.length:
+            self.channels[channel][row] = note
+
+    def set_length(self, new_length: int) -> None:
+        """pattern.rs:231 — resize all channels, clamp 1..256."""
+        n = max(1, min(new_length, 256))
+        for ch in self.channels:
+            while len(ch) < n:
+                ch.append(Note())
+            del ch[n:]
+        while len(self.reverb) < n:
+            self.reverb.append(None)
+        del self.reverb[n:]
+        self.length = n
+
+    def add_channel(self) -> None:
+        """pattern.rs:196."""
+        if len(self.channels) < MAX_CHANNELS:
+            self.channels.append([Note() for _ in range(self.length)])
+
+    def remove_channel(self) -> None:
+        """pattern.rs:203."""
+        if len(self.channels) > 1:
+            self.channels.pop()
+
+    def num_channels(self) -> int:
+        return len(self.channels)
+
+    def get_reverb(self, row: int) -> Optional[int]:
+        """pattern.rs:241."""
+        if 0 <= row < len(self.reverb):
+            return self.reverb[row]
+        return None
+
+    def set_reverb(self, row: int, preset: Optional[int]) -> None:
+        if 0 <= row < len(self.reverb):
+            self.reverb[row] = preset
 
     @classmethod
     def from_ron(cls, d):
@@ -185,9 +246,38 @@ class Song:
         """Row rate from bpm (state.rs tick_duration semantics)."""
         return self.bpm / 60.0 * self.rows_per_beat
 
+    def tick_duration(self) -> float:
+        """pattern.rs:382 — seconds per row."""
+        return 60.0 / (self.bpm * self.rows_per_beat)
+
     def total_rows(self) -> int:
         return sum(self.patterns[p].length for p in self.arrangement
                    if p < len(self.patterns))
+
+    def num_channels(self) -> int:
+        """pattern.rs:307 — channel_instruments defines the count."""
+        return max(len(self.channel_instruments), 1)
+
+    def get_channel_instrument(self, channel: int) -> int:
+        if 0 <= channel < len(self.channel_instruments):
+            return self.channel_instruments[channel]
+        return 0
+
+    def add_channel(self) -> None:
+        """pattern.rs:312 — instrument 0 + defaults, added to all patterns."""
+        if len(self.channel_instruments) < MAX_CHANNELS:
+            self.channel_instruments.append(0)
+            self.channel_settings.append(ChannelSettings())
+            for p in self.patterns:
+                p.add_channel()
+
+    def remove_channel(self) -> None:
+        """pattern.rs:324."""
+        if len(self.channel_instruments) > 1:
+            self.channel_instruments.pop()
+            self.channel_settings.pop()
+            for p in self.patterns:
+                p.remove_channel()
 
     @classmethod
     def from_ron(cls, d):
