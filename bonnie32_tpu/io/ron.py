@@ -225,7 +225,19 @@ class _Parser:
         return out
 
 
-def loads(text) -> Any:
+def loads(text, native: bool = True) -> Any:
+    """Parse RON text.  Uses the C++ parser (bonnie32_tpu/native/
+    b32native.cpp, ~20x faster) when available; the pure-Python parser is
+    the reference implementation and fallback."""
+    if native:
+        from .. import native as _native
+        mod = _native.get()
+        if mod is not None:
+            return mod.ron_loads(text)
+    return loads_py(text)
+
+
+def loads_py(text) -> Any:
     if isinstance(text, bytes):
         text = text.decode("utf-8")
     p = _Parser(_tokenize(text))
