@@ -52,8 +52,57 @@ def make_mesh_arrays(pos, uv=None, normal=None, color=None, color_blend=None,
     )
 
 
+def compute_key_possible(uv, vidx, tex_id, black_transparent,
+                         textures) -> np.ndarray:
+    """Per-face color-key footprint analysis (host-side, scene compile).
+
+    A face can only key pixels out (render.rs:1588-1607) when its sampled
+    UV footprint contains a black (rgb==0) texel.  Interpolated UV stays in
+    the convex hull of the corner UVs (barycentric weights >= -1e-4), so a
+    wrapped corner-UV bbox with a 1-texel margin is a safe overapproximation
+    of the sampled texel set.  Returns a (T,) bool: False = proven clean.
+    Faces that can't key anyway (untextured / bt off / no black texel in
+    the texture) also report False.
+    """
+    uv = np.asarray(uv, np.float32)
+    vidx = np.asarray(vidx, np.int64).reshape(-1, 3)
+    tex_id = np.asarray(tex_id, np.int64).reshape(-1)
+    bt = np.asarray(black_transparent, bool).reshape(-1)
+    black_masks = []
+    for pixels, _blend in textures:
+        p = np.asarray(pixels).astype(np.int64) & 0xFFFF
+        black_masks.append((p & 0x7FFF) == 0)
+
+    def texel_span(lo: float, hi: float, n: int):
+        span = hi - lo
+        # epsilon: barycentric under/overshoot (<= 3e-4 of the range) + f32
+        eps = abs(span) * 2e-3 + 1e-4
+        i0 = int(np.floor((lo - eps) * n)) - 1
+        i1 = int(np.floor((hi + eps) * n)) + 1
+        if i1 - i0 + 1 >= n:
+            return np.arange(n)
+        return np.arange(i0, i1 + 1) % n
+
+    out = np.zeros(len(tex_id), bool)
+    for i in range(len(tex_id)):
+        tid = int(tex_id[i])
+        if tid < 0 or tid >= len(black_masks) or not bt[i]:
+            continue
+        mask = black_masks[tid]
+        if not mask.any():
+            continue
+        cu = uv[vidx[i], 0]
+        cv = 1.0 - uv[vidx[i], 1]  # sampler flips v (pixel.py sample_and_key)
+        h, w = mask.shape
+        txs = texel_span(float(cu.min()), float(cu.max()), w)
+        tys = texel_span(float(cv.min()), float(cv.max()), h)
+        out[i] = bool(mask[np.ix_(tys, txs)].any())
+    return out
+
+
 def make_face_arrays(vidx, tex_id=None, black_transparent=None,
                      blend_mode=None, editor_alpha=None, double_sided=None,
+                     key_possible=None,
                      pad_to: Optional[int] = None) -> FaceArrays:
     """Pack faces.  Defaults mirror Face::new (types.rs:1013-1023):
     untextured, black_transparent=True, OPAQUE, editor_alpha=255."""
@@ -76,6 +125,10 @@ def make_face_arrays(vidx, tex_id=None, black_transparent=None,
         double_sided = np.zeros((t,), bool)
     else:
         double_sided = np.asarray(double_sided, bool)
+    if key_possible is None:
+        key_possible = np.ones((t,), bool)  # unknown -> conservative
+    else:
+        key_possible = np.asarray(key_possible, bool)
     valid = np.ones((t,), bool)
 
     n = pad_to or t
@@ -96,12 +149,14 @@ def make_face_arrays(vidx, tex_id=None, black_transparent=None,
         editor_alpha=jnp.asarray(pad(editor_alpha, 255)),
         double_sided=jnp.asarray(pad(double_sided, False)),
         valid=jnp.asarray(pad(valid, False)),
+        key_possible=jnp.asarray(pad(key_possible, False)),
     )
 
 
 def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
                 pad_data_to: Optional[int] = None,
-                pad_count_to: Optional[int] = None) -> TextureAtlas:
+                pad_count_to: Optional[int] = None,
+                pad_words_to: Optional[int] = None) -> TextureAtlas:
     """Flatten Texture15s into one atlas.
 
     `textures`: sequence of (pixels (h, w) uint16/int Color15 words,
@@ -148,6 +203,26 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
 
     black_words = pack_bits((data & 0x7FFF) == 0)
     transp_words = pack_bits(data == 0)
+
+    # Per-texture word rows, bits relative to each texture's first texel.
+    def pack_row(mask, n_words):
+        padded = np.zeros(n_words * 32, bool)
+        padded[:mask.size] = mask
+        bits = padded.reshape(n_words, 32).astype(np.uint32)
+        w = (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(
+            axis=1, dtype=np.uint32)
+        return w.astype(np.int64).astype(np.int32)
+
+    w_max = max(-(-(wd * ht) // 32) for wd, ht in zip(widths, heights))
+    w_max = max(-(-w_max // 8) * 8, 8)
+    if pad_words_to is not None:
+        assert pad_words_to >= w_max
+        w_max = pad_words_to
+    rows = np.zeros((len(offsets), w_max), np.int32)
+    for i, (o, wd, ht) in enumerate(zip(offsets, widths, heights)):
+        tex_black = (data[o:o + wd * ht] & 0x7FFF) == 0
+        rows[i, :] = pack_row(tex_black, w_max)
+
     return TextureAtlas(
         data=jnp.asarray(data),
         offset=jnp.asarray(np.asarray(offsets, np.int32)),
@@ -158,6 +233,7 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
         has_transparent=jnp.asarray(np.asarray(has_transparent, bool)),
         black_words=jnp.asarray(black_words),
         transp_words=jnp.asarray(transp_words),
+        black_wrows=jnp.asarray(rows),
     )
 
 

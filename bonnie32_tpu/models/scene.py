@@ -168,7 +168,7 @@ def compile_level(level: Level, textures, resolve,
         room_tex_lists.append([tex_list[g] for g in used])
 
     meshes, face_arrays = [], []
-    for verts, faces in per_room:
+    for room_i, (verts, faces) in enumerate(per_room):
         if not verts:
             verts = [dict(pos=(0, 0, 0), uv=(0, 0), normal=(0, 0, 0),
                           color=(128, 128, 128), color_blend=0)]
@@ -186,8 +186,12 @@ def compile_level(level: Level, textures, resolve,
             bt = np.array([f.get("black_transparent", True) for f in faces], bool)
             bm = np.array([f.get("blend_mode", 0) for f in faces], np.int32)
             ea = np.array([f.get("editor_alpha", 255) for f in faces], np.int32)
+            # prove most faces can never color-key (fast-path routing)
+            kp = build.compute_key_possible(uv, vidx, tex_id, bt,
+                                            room_tex_lists[room_i])
             face_arrays.append(build.make_face_arrays(
-                vidx, tex_id, bt, bm, ea, pad_to=pad_faces))
+                vidx, tex_id, bt, bm, ea, key_possible=kp,
+                pad_to=pad_faces))
         else:
             fa = build.make_face_arrays(np.zeros((1, 3), np.int32),
                                         pad_to=pad_faces)
@@ -206,8 +210,12 @@ def compile_level(level: Level, textures, resolve,
                      room_tex_lists), default=1), 1)
     a_max = -(-a_max // 128) * 128  # one-hot gather alignment
     nt_max = max(max((len(lst) for lst in room_tex_lists), default=1), 1)
+    w_max = 8
+    for lst in room_tex_lists:
+        for p, _ in lst:
+            w_max = max(w_max, -(-(-(-(p.shape[0] * p.shape[1]) // 32)) // 8) * 8)
     atlas = stack([build.build_atlas(lst, pad_data_to=a_max,
-                                     pad_count_to=nt_max)
+                                     pad_count_to=nt_max, pad_words_to=w_max)
                    for lst in room_tex_lists])
 
     fog_rows = [_room_fog_params(r) for r in level.rooms] or \
@@ -260,6 +268,8 @@ def compile_level(level: Level, textures, resolve,
     at_max = max(max(len(f) for _, f, _, _, _, _ in draws), 1)
     aa_max = max(t.shape[0] * t.shape[1] for _, _, t, _, _, _ in draws)
     aa_max = -(-aa_max // 128) * 128
+    aw_max = max(8, -(-max(-(-(t.shape[0] * t.shape[1]) // 32)
+                           for _, _, t, _, _, _ in draws) // 8) * 8)
 
     a_meshes, a_face_arrays, a_atlases, a_fogs, a_amb = [], [], [], [], []
     for verts, pfaces, tex15, fog_row, amb, ds in draws:
@@ -277,15 +287,18 @@ def compile_level(level: Level, textures, resolve,
             bt = np.array([f.get("black_transparent", True) for f in pfaces], bool)
             bm = np.array([f.get("blend_mode", 0) for f in pfaces], np.int32)
             dsa = np.full(len(pfaces), ds, bool)
+            kp = build.compute_key_possible(uv, vidx, tid, bt, [(tex15, 0)])
             fa2 = build.make_face_arrays(vidx, tid, bt, bm,
-                                         double_sided=dsa, pad_to=at_max)
+                                         double_sided=dsa, key_possible=kp,
+                                         pad_to=at_max)
         else:
             fa2 = build.make_face_arrays(np.zeros((1, 3), np.int32),
                                          pad_to=at_max)
             fa2 = fa2._replace(valid=jnp.zeros((at_max,), bool))
         a_face_arrays.append(fa2)
         a_atlases.append(build.build_atlas([(tex15, 0)], pad_data_to=aa_max,
-                                           pad_count_to=1))
+                                           pad_count_to=1,
+                                           pad_words_to=aw_max))
         a_fogs.append(fog_row)
         a_amb.append(amb)
 

@@ -92,6 +92,33 @@ def texel_flat_index(atlas: TextureAtlas, tid, u, v):
     return off + ty * w + tx
 
 
+def sample_keyed_bit_row(atlas: TextureAtlas, tid, u, v, black_transparent):
+    """Keying test for a SINGLE surface (scalar tid): fetches that
+    texture's packed black-bit word row (atlas.black_wrows[tid], <= Wmax
+    words) and extracts the bit with a fused compare-select-reduce — no
+    whole-atlas one-hot.  Bit semantics identical to sample_keyed_bit."""
+    safe = jnp.maximum(tid, 0)
+    w = atlas.width[safe]
+    h = atlas.height[safe]
+
+    def wrap(x):
+        r = jnp.fmod(x, _F32(1.0))
+        r = jnp.where(r < 0, r + _F32(1.0), r)
+        return jnp.where(jnp.isnan(r), _F32(0.0), r)
+
+    vf = _F32(1.0) - v
+    tx = jnp.minimum(jnp.trunc(wrap(u) * w.astype(_F32)).astype(_I32), w - 1)
+    ty = jnp.minimum(jnp.trunc(wrap(vf) * h.astype(_F32)).astype(_I32), h - 1)
+    rel = ty * w + tx
+    row = atlas.black_wrows[safe]                       # (Wm,) i32
+    wm = row.shape[0]
+    iota = jnp.arange(wm, dtype=_I32)
+    word_idx = rel >> 5
+    words = jnp.sum(jnp.where(word_idx[..., None] == iota, row, 0), axis=-1)
+    bit = (words >> (rel & 31)) & 1
+    return (bit != 0) & black_transparent & (tid >= 0)
+
+
 def sample_keyed_bit(atlas: TextureAtlas, tid, u, v, black_transparent):
     """Keying test only — the outcome of render.rs:1588-1607: a pixel is
     skipped iff the sampled texel has rgb == 0 AND the face has

@@ -120,7 +120,7 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
     # Keying can only remove coverage when black_transparent is set AND the
     # texture has a black texel (see ops/pixel.sample_keyed_bit).
     keyable = ((surfaces.tex_id >= 0) & surfaces.black_transparent
-               & atlas.has_black[safe_tid])
+               & atlas.has_black[safe_tid] & surfaces.key_possible)
     clean_op = opaque & ~keyable
     key_op = opaque & keyable
 
@@ -196,7 +196,7 @@ def rasterize_surfaces_fast(fb: FrameBuffers, surfaces: Surfaces,
               (uvc[2, 0], uvc[2, 1]))
         u, v = px.uv_at(bc_x, bc_y, bc_z, uv, iz, izi, settings,
                         exact_persp=False)
-        keyed = px.sample_keyed_bit(atlas, tid, u, v, black_transparent)
+        keyed = px.sample_keyed_bit_row(atlas, tid, u, v, black_transparent)
         cand = covered & ~keyed
         better = cand & ((izi > best_izi)
                          | ((izi == best_izi) & (best_idx >= 0)

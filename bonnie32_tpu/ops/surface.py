@@ -193,6 +193,7 @@ def build_surfaces(mesh: MeshArrays, faces: FaceArrays, atlas: TextureAtlas,
         has_transparency=has_transparency,
         centroid_z=centroid_z,
         valid=valid,
+        key_possible=faces.key_possible,
     )
 
 

@@ -37,6 +37,12 @@ class FaceArrays(NamedTuple):
     double_sided: jnp.ndarray      # (T,) bool — per-face backface-cull opt-out
                                    # (MeshPart.double_sided, scene.rs:134-138)
     valid: jnp.ndarray             # (T,) bool padding mask
+    key_possible: jnp.ndarray      # (T,) bool — False only when scene compile
+                                   # PROVED the face's UV footprint contains
+                                   # no black texel (then color keying can
+                                   # never fire; build.compute_key_possible).
+                                   # Purely a fast-path hint; True is always
+                                   # safe.
 
 
 class TextureAtlas(NamedTuple):
@@ -58,6 +64,11 @@ class TextureAtlas(NamedTuple):
     # (rgb == 0) / under transparent-only (word == 0) respectively.
     black_words: jnp.ndarray  # (ceil(A/32),) i32
     transp_words: jnp.ndarray  # (ceil(A/32),) i32
+    # Per-texture black-bit word rows: row t holds texture t's keying bits
+    # packed RELATIVE to its own first texel (bit f of word [f >> 5]).
+    # Lets the keyed pass fetch one small row per face instead of one-hot
+    # gathering over the whole atlas's word plane.
+    black_wrows: jnp.ndarray  # (NT, Wmax) i32
 
 
 class Lights(NamedTuple):
@@ -124,6 +135,7 @@ class Surfaces(NamedTuple):
     has_transparency: jnp.ndarray  # (T,) bool -> transparent pass
     centroid_z: jnp.ndarray    # (T,) f32 painter's/transparency sort key
     valid: jnp.ndarray         # (T,) bool
+    key_possible: jnp.ndarray  # (T,) bool — see FaceArrays.key_possible
 
 
 class FrameBuffers(NamedTuple):
