@@ -10,6 +10,13 @@ instances per second per chip for the FULL fused frame — souls-like game tick
 detail also reports config #1 (spinning textured mesh, raster only) and
 triangle throughput.
 
+Methodology: the remote-TPU tunnel has a ~27 ms host<->device sync latency
+and an asynchronous dispatch queue, so per-call wall timing measures
+latency, not throughput.  Frames are therefore CHAINED on device (each
+frame's state feeds the next; a scalar from each framebuffer joins a
+carried accumulator) and timed as the slope between a short and a long
+chain — pipeline throughput, which is what a datagen consumer sees.
+
 Prints ONE JSON line.
 """
 
@@ -23,21 +30,21 @@ sys.path.insert(0, "tests")
 import numpy as np
 
 
-def timed(fn, iters):
-    fn()  # warmup (compile)
-    fn()
+def slope_time(run, k1=3, k2=13):
+    """Seconds per iteration from the (k2 - k1) chain-length slope."""
+    run(2)  # compile + warm
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    import jax
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    return (time.perf_counter() - t0) / iters
+    run(k1)
+    t1 = time.perf_counter()
+    run(k2)
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    return max(per, 1e-9)
 
 
 def main():
-    n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    k_long = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     import jax
     import jax.numpy as jnp
@@ -52,53 +59,57 @@ def main():
 
     settings = RasterSettings.game()
     target = 1024 * 60
+    n = n_instances
 
     # ---- config #5: fused datagen on the Cave sample level ----
     level, env, spawn = rollout.demo_env()
-    states = rollout.initial_states(level, spawn, n_instances)
+    states0 = rollout.initial_states(level, spawn, n)
     rng = np.random.default_rng(0)
-    ang = rng.uniform(0, 2 * np.pi, n_instances).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
     acts = stp.Actions(
         move_x=jnp.asarray(np.sin(ang)), move_y=jnp.asarray(np.cos(ang)),
-        cam_x=jnp.zeros(n_instances, jnp.float32),
-        cam_y=jnp.zeros(n_instances, jnp.float32),
-        sprint=jnp.zeros(n_instances, bool),
-        jump=jnp.zeros(n_instances, bool))
+        cam_x=jnp.zeros(n, jnp.float32), cam_y=jnp.zeros(n, jnp.float32),
+        sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
 
-    state_box = [states]
+    def run_datagen(k):
+        states = states0
+        acc = jnp.float32(0)
+        for _ in range(k):
+            states, fbs = rollout.step_and_render(states, env, acts, settings)
+            acc = acc + fbs.color[0, 0, 0]
+        return float(acc)
 
-    def datagen_frame():
-        st, fbs = rollout.step_and_render(state_box[0], env, acts, settings)
-        state_box[0] = st
-        return fbs.color
+    dt_datagen = slope_time(run_datagen, k2=k_long)
+    datagen_ifps = n / dt_datagen
 
-    dt_datagen = timed(datagen_frame, iters)
-    datagen_ifps = n_instances / dt_datagen
-
-    # triangles per level frame (post-compile): valid faces x rooms average
     tris = int(np.asarray(env.scene.faces.valid).sum())
 
     # ---- config #1: spinning textured cube, raster only ----
-    # config #1 uses a black-free texture: the clean visibility path
-    # (color-keyable textures route through the slower keyed pass)
     tex = [scenes.checker_texture15(32, 32, with_black=False)]
     verts, faces = scenes.cube_scene(tex_ids=(0, 0, 0, 0, 0, 0))
     mesh, fa = scenes.to_jax_scene(verts, faces)
     atlas = build.build_atlas(tex)
     lights = build.lights_from_list(scenes.DEFAULT_LIGHT_SPECS)
     fog = no_fog()
-    base_angles = jnp.arange(n_instances, dtype=jnp.float32) * 0.01
-    tbox = [0.0]
+    base_angles = jnp.arange(n, dtype=jnp.float32) * 0.01
+    fbs0 = batch.batched_framebuffers(n, HEIGHT, WIDTH)
 
-    def cube_frame():
-        tbox[0] += 1.0
-        cams = cam_ops.orbit_cameras(base_angles + tbox[0] * 0.031, 0.35, 3.5)
-        fbs = batch.batched_framebuffers(n_instances, HEIGHT, WIDTH)
-        return batch.render_batch(fbs, mesh, fa, atlas, cams, lights, fog,
-                                  settings).color
+    cube_frame = jax.jit(lambda t: batch.render_batch(
+        fbs0, mesh, fa, atlas,
+        cam_ops.orbit_cameras(base_angles + t * 0.031, 0.35, 3.5),
+        lights, fog, settings).color)
 
-    dt_cube = timed(cube_frame, iters)
-    cube_ifps = n_instances / dt_cube
+    def run_cube(k):
+        t = jnp.float32(0)
+        acc = jnp.float32(0)
+        for _ in range(k):
+            color = cube_frame(t + acc * 1e-30)
+            t = t + 1.0
+            acc = acc + color[0, 0, 0]
+        return float(acc)
+
+    dt_cube = slope_time(run_cube, k2=k_long)
+    cube_ifps = n / dt_cube
 
     print(json.dumps({
         "metric": "game_instance_frames_per_sec_320x240",
@@ -106,7 +117,7 @@ def main():
         "unit": "instance-frames/s/chip",
         "vs_baseline": round(datagen_ifps / target, 4),
         "detail": {
-            "n_instances": n_instances,
+            "n_instances": n,
             "datagen_ms_per_batched_frame": round(1000 * dt_datagen, 2),
             "level_triangles": tris,
             "mtris_per_sec": round(datagen_ifps * tris / 1e6, 2),

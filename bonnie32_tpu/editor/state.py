@@ -1,0 +1,373 @@
+"""EditorState: tool/selection model, snapshot undo/redo, clipboards.
+
+Reference behavior: `/root/reference/src/editor/state.rs` —
+EditorTool (:126), GridViewMode (:136), TriangleSelection (:144),
+SectorFace (:153), Selection (:188), SelectionSnapshot (:214),
+FaceClipboard (:221), GeometryClipboard + CopiedFace (:254-307),
+UndoEvent (:318), save_undo/save_selection_undo/save_texture_undo/
+undo/redo (:938-1093; full-Level snapshots, 100-entry cap).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import enum
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..models.level import Level, Room, Sector, create_empty_level
+
+
+class EditorTool(enum.Enum):
+    """state.rs:126."""
+
+    SELECT = "select"
+    DRAW_FLOOR = "draw_floor"
+    DRAW_WALL = "draw_wall"
+    DRAW_CEILING = "draw_ceiling"
+    PLACE_OBJECT = "place_object"
+
+
+class GridViewMode(enum.Enum):
+    """state.rs:136 — 2D grid projection."""
+
+    TOP = "top"
+    FRONT = "front"
+    SIDE = "side"
+
+
+class TriangleSelection(enum.Enum):
+    """state.rs:144."""
+
+    BOTH = "both"
+    TRI1 = "tri1"
+    TRI2 = "tri2"
+
+
+# SectorFace (state.rs:153): kind + wall index.  Directions follow
+# models.level's wall order (N, E, S, W, NwSe, NeSw).
+@dataclasses.dataclass(frozen=True)
+class SectorFace:
+    kind: str                 # "floor" | "ceiling" | "wall"
+    direction: Optional[int] = None  # 0..5 for walls
+    wall_index: int = 0
+
+    @property
+    def is_wall(self) -> bool:
+        return self.kind == "wall"
+
+
+@dataclasses.dataclass(frozen=True)
+class Selection:
+    """state.rs:188 — tagged selection.
+
+    kind: none | room | sector | sector_face | vertex | edge | portal |
+    object.  Fields are used as the corresponding variant requires.
+    """
+
+    kind: str = "none"
+    room: int = 0
+    x: int = 0
+    z: int = 0
+    face: Optional[SectorFace] = None
+    corner_idx: int = 0
+    edge_idx: int = 0
+    index: int = 0
+
+    def includes_sector(self, room_idx: int, sx: int, sz: int) -> bool:
+        """state.rs:330."""
+        if self.kind in ("sector", "sector_face", "vertex", "edge"):
+            return (self.room, self.x, self.z) == (room_idx, sx, sz)
+        return False
+
+
+@dataclasses.dataclass
+class SelectionSnapshot:
+    """state.rs:214."""
+
+    selection: Selection
+    multi_selection: List[Selection]
+
+
+@dataclasses.dataclass
+class FaceClipboard:
+    """state.rs:221 — face PROPERTIES (no heights): a dict of the face's
+    visual fields keyed by the face type."""
+
+    kind: str                 # "horizontal" | "vertical"
+    props: Dict[str, Any]
+
+
+@dataclasses.dataclass
+class CopiedFace:
+    """state.rs:286 — face data at a sector offset from the copy anchor."""
+
+    rel_x: int
+    rel_z: int
+    kind: str                 # "floor" | "ceiling" | "wall"
+    direction: Optional[int]  # wall direction 0..5
+    wall_index: int
+    face: Any                 # HorizontalFace | VerticalFace (deep copy)
+
+
+@dataclasses.dataclass
+class GeometryClipboard:
+    """state.rs:274 — copied faces + paste transform toggles."""
+
+    faces: List[CopiedFace] = dataclasses.field(default_factory=list)
+    flip_h: bool = False
+    flip_v: bool = False
+    rotation: int = 0         # 0..3 quarter turns clockwise
+
+    def bounds(self) -> Tuple[int, int, int, int]:
+        """state.rs:297 — (min_x, max_x, min_z, max_z)."""
+        if not self.faces:
+            return (0, 0, 0, 0)
+        xs = [f.rel_x for f in self.faces]
+        zs = [f.rel_z for f in self.faces]
+        return (min(xs), max(xs), min(zs), max(zs))
+
+    def transformed_offset(self, rel_x: int, rel_z: int) -> Tuple[int, int]:
+        """Apply flips then rotation to a relative sector offset."""
+        x, z = rel_x, rel_z
+        if self.flip_h:
+            x = -x
+        if self.flip_v:
+            z = -z
+        for _ in range(self.rotation % 4):
+            x, z = -z, x    # 90 deg clockwise in sector space
+        return x, z
+
+
+@dataclasses.dataclass
+class UndoEvent:
+    """state.rs:318 — level snapshot, selection snapshot, or texture edit."""
+
+    kind: str                 # "level" | "selection" | "texture"
+    level: Optional[Level] = None
+    selection: Optional[SelectionSnapshot] = None
+    texture_name: str = ""
+    texture_indices: Optional[List[int]] = None
+    texture_palette: Optional[List[int]] = None
+
+
+MAX_UNDO = 100  # state.rs:945
+
+
+class EditorState:
+    """state.rs:384 — the world editor's host-side state."""
+
+    def __init__(self, level: Optional[Level] = None):
+        self.level = level if level is not None else create_empty_level()
+        self.current_room = 0
+        self.tool = EditorTool.SELECT
+        self.grid_view = GridViewMode.TOP
+        self.triangle_selection = TriangleSelection.BOTH
+        self.selection = Selection()
+        self.multi_selection: List[Selection] = []
+        self.undo_stack: List[UndoEvent] = []
+        self.redo_stack: List[UndoEvent] = []
+        self.face_clipboard: Optional[FaceClipboard] = None
+        self.geometry_clipboard = GeometryClipboard()
+        self.user_textures: Dict[str, Any] = {}
+        self.dirty = False
+
+    # --- rooms ---------------------------------------------------------
+
+    def current_room_ref(self) -> Optional[Room]:
+        if 0 <= self.current_room < len(self.level.rooms):
+            return self.level.rooms[self.current_room]
+        return None
+
+    # --- selection -----------------------------------------------------
+
+    def set_selection(self, sel: Selection) -> None:
+        self.selection = sel
+
+    def clear_selection(self) -> None:
+        self.selection = Selection()
+        self.multi_selection = []
+
+    def add_to_multi_selection(self, sel: Selection) -> None:
+        if sel not in self.multi_selection:
+            self.multi_selection.append(sel)
+
+    def selected_sectors(self) -> List[Tuple[int, int, int]]:
+        """All (room, x, z) touched by the selection set."""
+        out = []
+        for s in [self.selection] + self.multi_selection:
+            if s.kind in ("sector", "sector_face", "vertex", "edge"):
+                key = (s.room, s.x, s.z)
+                if key not in out:
+                    out.append(key)
+        return out
+
+    # --- undo / redo (state.rs:938-1093) ----------------------------------
+
+    def _push_undo(self, ev: UndoEvent) -> None:
+        self.undo_stack.append(ev)
+        self.redo_stack.clear()
+        if len(self.undo_stack) > MAX_UNDO:
+            self.undo_stack.pop(0)
+
+    def save_undo(self) -> None:
+        """Full-Level snapshot (state.rs:938)."""
+        self._push_undo(UndoEvent(kind="level",
+                                  level=copy.deepcopy(self.level)))
+        self.dirty = True
+
+    def save_selection_undo(self) -> None:
+        """state.rs:951 — skipped when unchanged from the last selection
+        snapshot."""
+        for ev in reversed(self.undo_stack):
+            if ev.kind == "selection":
+                if (ev.selection.selection == self.selection
+                        and ev.selection.multi_selection
+                        == self.multi_selection):
+                    return
+                break
+        self._push_undo(UndoEvent(
+            kind="selection",
+            selection=SelectionSnapshot(self.selection,
+                                        list(self.multi_selection))))
+
+    def save_texture_undo(self, name: str) -> None:
+        """state.rs:976."""
+        tex = self.user_textures.get(name)
+        if tex is None:
+            return
+        self._push_undo(UndoEvent(
+            kind="texture", texture_name=name,
+            texture_indices=list(tex.indices),
+            texture_palette=list(tex.palette)))
+
+    def _texture_event_now(self, name: str) -> Optional[UndoEvent]:
+        tex = self.user_textures.get(name)
+        if tex is None:
+            return None
+        return UndoEvent(kind="texture", texture_name=name,
+                         texture_indices=list(tex.indices),
+                         texture_palette=list(tex.palette))
+
+    def _apply_event(self, ev: UndoEvent, other_stack: List[UndoEvent]):
+        if ev.kind == "level":
+            other_stack.append(UndoEvent(kind="level",
+                                         level=copy.deepcopy(self.level)))
+            self.level = ev.level
+        elif ev.kind == "selection":
+            other_stack.append(UndoEvent(
+                kind="selection",
+                selection=SelectionSnapshot(self.selection,
+                                            list(self.multi_selection))))
+            self.set_selection(ev.selection.selection)
+            self.multi_selection = list(ev.selection.multi_selection)
+        elif ev.kind == "texture":
+            cur = self._texture_event_now(ev.texture_name)
+            if cur is not None:
+                other_stack.append(cur)
+            tex = self.user_textures.get(ev.texture_name)
+            if tex is not None:
+                tex.indices = list(ev.texture_indices)
+                tex.palette = list(ev.texture_palette)
+
+    def undo(self) -> bool:
+        if not self.undo_stack:
+            return False
+        self._apply_event(self.undo_stack.pop(), self.redo_stack)
+        return True
+
+    def redo(self) -> bool:
+        if not self.redo_stack:
+            return False
+        self._apply_event(self.redo_stack.pop(), self.undo_stack)
+        return True
+
+    # --- geometry clipboard ----------------------------------------------
+
+    def copy_selected_geometry(self) -> int:
+        """Copy all faces of the selected sectors, positions relative to the
+        first selected sector (the anchor).  Returns the face count."""
+        sectors = self.selected_sectors()
+        if not sectors:
+            return 0
+        ar, ax, az = sectors[0]
+        faces: List[CopiedFace] = []
+        for (r, x, z) in sectors:
+            if r != ar:
+                continue  # single-room clipboard, like the reference
+            room = self.level.rooms[r]
+            sec = room.sectors[x][z]
+            if sec is None:
+                continue
+            if sec.floor is not None:
+                faces.append(CopiedFace(x - ax, z - az, "floor", None, 0,
+                                        copy.deepcopy(sec.floor)))
+            if sec.ceiling is not None:
+                faces.append(CopiedFace(x - ax, z - az, "ceiling", None, 0,
+                                        copy.deepcopy(sec.ceiling)))
+            for d in range(6):
+                for wi, wf in enumerate(sec.walls(d)):
+                    faces.append(CopiedFace(x - ax, z - az, "wall", d, wi,
+                                            copy.deepcopy(wf)))
+        self.geometry_clipboard = GeometryClipboard(faces=faces)
+        return len(faces)
+
+    def paste_geometry(self, room_idx: int, at_x: int, at_z: int) -> int:
+        """Paste at (at_x, at_z), applying the clipboard's flip/rotation to
+        offsets.  Saves a level undo snapshot first.  Returns faces pasted."""
+        clip = self.geometry_clipboard
+        if not clip.faces or room_idx >= len(self.level.rooms):
+            return 0
+        self.save_undo()
+        room = self.level.rooms[room_idx]
+        pasted = 0
+        for cf in clip.faces:
+            ox, oz = clip.transformed_offset(cf.rel_x, cf.rel_z)
+            x, z = at_x + ox, at_z + oz
+            if not (0 <= x < room.width and 0 <= z < room.depth):
+                continue
+            if room.sectors[x][z] is None:
+                room.sectors[x][z] = Sector()
+            sec = room.sectors[x][z]
+            face = copy.deepcopy(cf.face)
+            if cf.kind == "floor":
+                sec.floor = face
+            elif cf.kind == "ceiling":
+                sec.ceiling = face
+            else:
+                sec.walls(cf.direction).append(face)
+            pasted += 1
+        self.dirty = True
+        return pasted
+
+    # --- face-property clipboard (state.rs:221) ----------------------------
+
+    HORIZONTAL_PROPS = ("split_direction", "texture", "uv", "colors",
+                        "texture_2", "uv_2", "colors_2", "walkable",
+                        "blend_mode", "normal_mode", "black_transparent")
+    VERTICAL_PROPS = ("texture", "uv", "solid", "blend_mode", "colors",
+                      "normal_mode", "black_transparent", "uv_projection")
+
+    def copy_face_properties(self, face) -> None:
+        """Copy the visual properties (NOT heights) of a face object."""
+        from ..models.level import HorizontalFace
+        horizontal = isinstance(face, HorizontalFace)
+        names = self.HORIZONTAL_PROPS if horizontal else self.VERTICAL_PROPS
+        props = {n: copy.deepcopy(getattr(face, n))
+                 for n in names if hasattr(face, n)}
+        self.face_clipboard = FaceClipboard(
+            kind="horizontal" if horizontal else "vertical", props=props)
+
+    def paste_face_properties(self, face) -> bool:
+        """Apply the copied properties onto a face of the same kind."""
+        from ..models.level import HorizontalFace
+        if self.face_clipboard is None:
+            return False
+        horizontal = isinstance(face, HorizontalFace)
+        if (self.face_clipboard.kind == "horizontal") != horizontal:
+            return False
+        for k, v in self.face_clipboard.props.items():
+            if hasattr(face, k):
+                setattr(face, k, copy.deepcopy(v))
+        self.dirty = True
+        return True

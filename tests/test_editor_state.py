@@ -1,0 +1,143 @@
+"""Editor state: selection, undo/redo stacks, geometry + face clipboards."""
+
+from bonnie32_tpu.editor import (EditorState, EditorTool, GeometryClipboard,
+                                 SectorFace, Selection)
+from bonnie32_tpu.models.level import (HorizontalFace, Level, Room, Sector,
+                                       TextureRef, VerticalFace)
+
+
+def create_test_level():
+    """5x5 room with floors everywhere (editing playground)."""
+    level = Level()
+    room = Room.new(0, (0.0, 0.0, 0.0), 5, 5)
+    tex = TextureRef("retro-texture-pack", "FLOOR_1A")
+    for x in range(5):
+        for z in range(5):
+            room.set_floor(x, z, 0.0, tex)
+    room.recalculate_bounds()
+    level.add_room(room)
+    return level
+
+
+def sel_sector(room, x, z):
+    return Selection(kind="sector", room=room, x=x, z=z)
+
+
+def test_selection_model():
+    s = EditorState(create_test_level())
+    assert s.tool == EditorTool.SELECT
+    s.set_selection(sel_sector(0, 2, 3))
+    assert s.selection.includes_sector(0, 2, 3)
+    assert not s.selection.includes_sector(0, 2, 4)
+    s.add_to_multi_selection(sel_sector(0, 1, 1))
+    s.add_to_multi_selection(sel_sector(0, 1, 1))  # dedup
+    assert len(s.multi_selection) == 1
+    assert s.selected_sectors() == [(0, 2, 3), (0, 1, 1)]
+    face = Selection(kind="sector_face", room=0, x=2, z=3,
+                     face=SectorFace("wall", direction=0, wall_index=0))
+    assert face.face.is_wall
+    s.clear_selection()
+    assert s.selection.kind == "none" and not s.multi_selection
+
+
+def test_level_undo_redo():
+    s = EditorState(create_test_level())
+    room = s.level.rooms[0]
+    orig = room.sectors[0][0].floor.heights[0]
+    s.save_undo()
+    room.sectors[0][0].floor.heights[0] = orig + 512.0
+    assert s.undo()
+    assert s.level.rooms[0].sectors[0][0].floor.heights[0] == orig
+    assert s.redo()
+    assert s.level.rooms[0].sectors[0][0].floor.heights[0] == orig + 512.0
+    # new edit clears redo
+    s.save_undo()
+    assert not s.redo_stack
+    assert not s.redo()
+
+
+def test_selection_undo_dedup():
+    s = EditorState(create_test_level())
+    s.set_selection(sel_sector(0, 1, 1))
+    s.save_selection_undo()
+    n = len(s.undo_stack)
+    s.save_selection_undo()           # unchanged -> skipped
+    assert len(s.undo_stack) == n
+    s.set_selection(sel_sector(0, 2, 2))
+    s.save_selection_undo()
+    assert len(s.undo_stack) == n + 1
+    s.set_selection(sel_sector(0, 3, 3))
+    s.undo()
+    assert s.selection == sel_sector(0, 2, 2)
+
+
+def test_undo_cap():
+    s = EditorState(create_test_level())
+    for _ in range(130):
+        s.save_undo()
+    assert len(s.undo_stack) == 100
+
+
+def test_geometry_clipboard_transform():
+    c = GeometryClipboard()
+    assert c.bounds() == (0, 0, 0, 0)
+    assert c.transformed_offset(2, 1) == (2, 1)
+    c.rotation = 1
+    assert c.transformed_offset(2, 1) == (-1, 2)   # 90 cw
+    c.rotation = 2
+    assert c.transformed_offset(2, 1) == (-2, -1)
+    c.flip_h = True
+    c.rotation = 0
+    assert c.transformed_offset(2, 1) == (-2, 1)
+
+
+def test_copy_paste_geometry():
+    s = EditorState(create_test_level())
+    room = s.level.rooms[0]
+    # give sector (1,1) a wall to copy alongside its floor
+    tex = TextureRef("retro-texture-pack", "WALL_1A")
+    room.sectors[1][1].walls_north.append(
+        VerticalFace(heights=[0.0, 0.0, 1024.0, 1024.0], texture=tex))
+    s.set_selection(sel_sector(0, 1, 1))
+    n = s.copy_selected_geometry()
+    assert n >= 2   # floor (+ maybe ceiling) + wall
+
+    # paste into an empty corner
+    tgt_x, tgt_z = room.width - 1, room.depth - 1
+    room.sectors[tgt_x][tgt_z] = None
+    pasted = s.paste_geometry(0, tgt_x, tgt_z)
+    assert pasted == n
+    sec = room.sectors[tgt_x][tgt_z]
+    assert sec is not None and sec.floor is not None
+    assert len(sec.walls_north) == 1
+    # paste is deep: mutating the paste doesn't affect the source
+    sec.floor.heights[0] = -999.0
+    assert room.sectors[1][1].floor.heights[0] != -999.0
+    # and it's undoable
+    assert s.undo()
+    assert s.level.rooms[0].sectors[tgt_x][tgt_z] is None
+
+
+def test_face_property_clipboard():
+    s = EditorState(create_test_level())
+    tex = TextureRef("retro-texture-pack", "WALL_2B")
+    src = HorizontalFace(heights=[1.0, 2.0, 3.0, 4.0], texture=tex,
+                         blend_mode=2, walkable=False,
+                         black_transparent=False)
+    dst = HorizontalFace(heights=[9.0, 9.0, 9.0, 9.0],
+                         texture=TextureRef("retro-texture-pack", "FLOOR_1A"))
+    s.copy_face_properties(src)
+    assert s.paste_face_properties(dst)
+    assert dst.texture.name == "WALL_2B"
+    assert dst.blend_mode == 2 and not dst.walkable
+    assert dst.heights == [9.0, 9.0, 9.0, 9.0]  # heights NOT copied
+    # kind mismatch refuses
+    wall = VerticalFace(heights=[0, 0, 1, 1], texture=tex)
+    assert not s.paste_face_properties(wall)
+    # vertical round trip
+    s.copy_face_properties(wall)
+    wall2 = VerticalFace(heights=[5, 5, 6, 6],
+                         texture=TextureRef("retro-texture-pack", "FLOOR_1A"))
+    assert s.paste_face_properties(wall2)
+    assert wall2.texture.name == "WALL_2B"
+    assert wall2.heights == [5, 5, 6, 6]
