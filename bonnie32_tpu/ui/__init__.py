@@ -1,0 +1,21 @@
+"""Immediate-mode UI toolkit (headless).
+
+The reference builds its editor chrome with an immediate-mode toolkit over
+macroquad (`/root/reference/src/ui/` — Rect rect.rs:5, panels panel.rs,
+widgets widgets.rs, theme theme.rs, drag state machine drag_tracker.rs).
+This build's equivalent is display-agnostic: layout + interaction logic are
+pure host code driven by a virtual mouse/keyboard, and painting goes
+through ops/draw2d into the same framebuffers the rasterizer writes — so
+editor overlays and panels composite with rendered viewports.
+"""
+
+from .rect import Rect
+from .theme import Theme, DEFAULT_THEME
+from .context import MouseState, UiContext
+from .widgets import (button, checkbox, drag_value, label_row, slider,
+                      vlist)
+from .drag_tracker import DragConfig, DragState
+
+__all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
+           "button", "checkbox", "slider", "drag_value", "vlist",
+           "label_row", "DragState", "DragConfig"]
