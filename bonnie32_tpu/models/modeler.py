@@ -1,0 +1,394 @@
+"""Modeler (asset editor) state: selection modes, modal G/S/R transforms,
+snapping, mirror editing, mesh clipboard.
+
+Reference behavior: `/root/reference/src/modeler/state.rs` — SelectMode
+(:423), ModalTransform/UvModalTransform (:619-656), Axis/GizmoHandle
+(:677-733), SnapSettings (:736, default grid 128 = SECTOR_SIZE/8),
+MirrorSettings (:777-851), Clipboard copy_faces/paste (:855-958),
+undo via UndoEvent snapshots (:1274).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import enum
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from .mesh import EditFace, EditableMesh, MeshVertex
+
+
+class SelectMode(enum.Enum):
+    """state.rs:423 — face-centric by default (PicoCAD workflow)."""
+
+    VERTEX = "Vertex"
+    EDGE = "Edge"
+    FACE = "Face"
+
+
+class ModalTransform(enum.Enum):
+    """state.rs:619 — G/S/R modal editing."""
+
+    NONE = ""
+    GRAB = "Grab"
+    SCALE = "Scale"
+    ROTATE = "Rotate"
+
+
+class Axis(enum.Enum):
+    """state.rs:677."""
+
+    X = 0
+    Y = 1
+    Z = 2
+
+    @property
+    def vec(self) -> np.ndarray:
+        v = np.zeros(3, np.float32)
+        v[self.value] = 1.0
+        return v
+
+    @property
+    def color(self) -> Tuple[int, int, int]:
+        return [(255, 80, 80), (80, 255, 80), (80, 80, 255)][self.value]
+
+
+@dataclasses.dataclass
+class SnapSettings:
+    """state.rs:736 — grid 128 = SECTOR_SIZE / 8, on by default."""
+
+    enabled: bool = True
+    grid_size: float = 128.0
+
+    def snap(self, value: float) -> float:
+        if not self.enabled:
+            return value
+        return round(value / self.grid_size) * self.grid_size
+
+    def snap_vec(self, pos) -> np.ndarray:
+        p = np.asarray(pos, np.float32)
+        if not self.enabled:
+            return p
+        return np.asarray([self.snap(float(c)) for c in p], np.float32)
+
+
+@dataclasses.dataclass
+class MirrorSettings:
+    """state.rs:777 — symmetric editing across an axis plane."""
+
+    enabled: bool = False
+    axis: Axis = Axis.X
+    threshold: float = 1.0
+
+    def is_editable_side(self, pos) -> bool:
+        if not self.enabled:
+            return True
+        return float(pos[self.axis.value]) >= -self.threshold
+
+    def is_on_plane(self, pos) -> bool:
+        return abs(float(pos[self.axis.value])) <= self.threshold
+
+    def constrain_to_plane(self, pos) -> np.ndarray:
+        p = np.asarray(pos, np.float32).copy()
+        if self.enabled and self.is_on_plane(p):
+            p[self.axis.value] = 0.0
+        return p
+
+    def mirror_position(self, pos) -> np.ndarray:
+        p = np.asarray(pos, np.float32).copy()
+        p[self.axis.value] = -p[self.axis.value]
+        return p
+
+    def mirror_normal(self, normal) -> np.ndarray:
+        return self.mirror_position(normal)
+
+
+# ---------------------------------------------------------------------------
+# Modal transform application (viewport.rs drives these per mouse delta)
+# ---------------------------------------------------------------------------
+
+def transform_positions(positions, mode: ModalTransform, pivot,
+                        delta, axis: Optional[Axis] = None,
+                        snap: Optional[SnapSettings] = None) -> np.ndarray:
+    """Apply a modal transform to (N, 3) positions around `pivot`.
+
+    GRAB:   delta = (3,) translation (constrained to `axis` if set)
+    SCALE:  delta = scalar factor (axis-only when constrained)
+    ROTATE: delta = angle radians about `axis` (Y when unset, matching the
+            viewport's default turntable rotate)
+    """
+    p = np.asarray(positions, np.float32).reshape(-1, 3).copy()
+    pivot = np.asarray(pivot, np.float32)
+    if mode == ModalTransform.GRAB:
+        d = np.asarray(delta, np.float32)
+        if axis is not None:
+            d = axis.vec * float(d[axis.value])
+        p = p + d
+        if snap is not None and snap.enabled:
+            p = np.stack([snap.snap_vec(row) for row in p])
+    elif mode == ModalTransform.SCALE:
+        f = float(delta)
+        rel = p - pivot
+        if axis is not None:
+            rel[:, axis.value] *= f
+        else:
+            rel *= f
+        p = pivot + rel
+    elif mode == ModalTransform.ROTATE:
+        ax = (axis or Axis.Y).value
+        a = float(delta)
+        c, s = math.cos(a), math.sin(a)
+        i, j = [(1, 2), (2, 0), (0, 1)][ax]   # plane perpendicular to axis
+        rel = p - pivot
+        ri = rel[:, i] * c - rel[:, j] * s
+        rj = rel[:, i] * s + rel[:, j] * c
+        rel[:, i] = ri
+        rel[:, j] = rj
+        p = pivot + rel
+    return p
+
+
+def transform_uvs(uvs, mode: ModalTransform, pivot, delta) -> np.ndarray:
+    """UV-space G/S/R (state.rs:638 UvModalTransform)."""
+    uv = np.asarray(uvs, np.float32).reshape(-1, 2).copy()
+    pivot = np.asarray(pivot, np.float32)
+    if mode == ModalTransform.GRAB:
+        uv = uv + np.asarray(delta, np.float32)
+    elif mode == ModalTransform.SCALE:
+        uv = pivot + (uv - pivot) * float(delta)
+    elif mode == ModalTransform.ROTATE:
+        a = float(delta)
+        c, s = math.cos(a), math.sin(a)
+        rel = uv - pivot
+        uv = pivot + np.stack([rel[:, 0] * c - rel[:, 1] * s,
+                               rel[:, 0] * s + rel[:, 1] * c], axis=1)
+    return uv
+
+
+# ---------------------------------------------------------------------------
+# Mesh clipboard (state.rs:855-958)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MeshClipboard:
+    mesh: Optional[EditableMesh] = None
+    center: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def copy_faces(self, mesh: EditableMesh, face_indices) -> None:
+        """Extract the selected faces + their vertices, re-centered at the
+        origin (state.rs:864)."""
+        if not face_indices:
+            self.mesh = None
+            return
+        used: List[int] = []
+        remap: Dict[int, int] = {}
+        for fi in face_indices:
+            for v in mesh.faces[fi].vertices:
+                if v not in remap:
+                    remap[v] = len(used)
+                    used.append(v)
+        verts = [copy.deepcopy(mesh.vertices[v]) for v in used]
+        center = np.mean([v.pos for v in verts], axis=0).astype(np.float32)
+        verts = [dataclasses.replace(
+            v, pos=tuple(np.asarray(v.pos, np.float32) - center))
+            for v in verts]
+        faces = []
+        for fi in face_indices:
+            f = mesh.faces[fi]
+            faces.append(EditFace(
+                vertices=[remap[v] for v in f.vertices],
+                texture_id=f.texture_id,
+                black_transparent=f.black_transparent,
+                blend_mode=f.blend_mode))
+        self.mesh = EditableMesh(vertices=verts, faces=faces)
+        self.center = tuple(float(c) for c in center)
+
+    def paste_into(self, mesh: EditableMesh, at=None) -> List[int]:
+        """Append clipboard geometry at `at` (default: the original
+        center).  Returns the new face indices."""
+        if self.mesh is None:
+            return []
+        offset = np.asarray(at if at is not None else self.center,
+                            np.float32)
+        base = len(mesh.vertices)
+        for v in self.mesh.vertices:
+            mesh.vertices.append(dataclasses.replace(
+                v, pos=tuple(np.asarray(v.pos, np.float32) + offset)))
+        new_faces = []
+        for f in self.mesh.faces:
+            mesh.faces.append(EditFace(
+                vertices=[base + v for v in f.vertices],
+                texture_id=f.texture_id,
+                black_transparent=f.black_transparent,
+                blend_mode=f.blend_mode))
+            new_faces.append(len(mesh.faces) - 1)
+        return new_faces
+
+
+# ---------------------------------------------------------------------------
+# ModelerState
+# ---------------------------------------------------------------------------
+
+def face_edges(face: EditFace) -> List[Tuple[int, int]]:
+    """Edge list of a face loop (sorted vertex pairs)."""
+    n = len(face.vertices)
+    return [tuple(sorted((face.vertices[i], face.vertices[(i + 1) % n])))
+            for i in range(n)]
+
+
+class ModelerState:
+    """state.rs:959 — headless core of the asset editor."""
+
+    MAX_UNDO = 50  # state.rs:1439
+
+    def __init__(self, mesh: Optional[EditableMesh] = None):
+        self.mesh = mesh if mesh is not None else EditableMesh.cube(512.0)
+        self.select_mode = SelectMode.FACE
+        self.selected_faces: Set[int] = set()
+        self.selected_vertices: Set[int] = set()
+        self.selected_edges: Set[Tuple[int, int]] = set()
+        self.modal = ModalTransform.NONE
+        self.modal_axis: Optional[Axis] = None
+        self.snap = SnapSettings()
+        self.mirror = MirrorSettings()
+        self.clipboard = MeshClipboard()
+        self.undo_stack: List[EditableMesh] = []
+        self.redo_stack: List[EditableMesh] = []
+        self.dirty = False
+
+    # --- selection -----------------------------------------------------
+
+    def selection_vertices(self) -> List[int]:
+        """The vertex set a modal transform operates on, per select mode."""
+        if self.select_mode == SelectMode.VERTEX:
+            return sorted(self.selected_vertices)
+        if self.select_mode == SelectMode.EDGE:
+            out: Set[int] = set()
+            for (a, b) in self.selected_edges:
+                out.add(a)
+                out.add(b)
+            return sorted(out)
+        out = set()
+        for fi in self.selected_faces:
+            out.update(self.mesh.faces[fi].vertices)
+        return sorted(out)
+
+    def selection_pivot(self) -> np.ndarray:
+        vids = self.selection_vertices()
+        if not vids:
+            return np.zeros(3, np.float32)
+        return np.mean([self.mesh.vertices[v].pos for v in vids],
+                       axis=0).astype(np.float32)
+
+    # --- undo ------------------------------------------------------------
+
+    def save_undo(self) -> None:
+        self.undo_stack.append(copy.deepcopy(self.mesh))
+        self.redo_stack.clear()
+        if len(self.undo_stack) > self.MAX_UNDO:
+            self.undo_stack.pop(0)
+        self.dirty = True
+
+    def undo(self) -> bool:
+        if not self.undo_stack:
+            return False
+        self.redo_stack.append(self.mesh)
+        self.mesh = self.undo_stack.pop()
+        return True
+
+    def redo(self) -> bool:
+        if not self.redo_stack:
+            return False
+        self.undo_stack.append(self.mesh)
+        self.mesh = self.redo_stack.pop()
+        return True
+
+    # --- modal transforms --------------------------------------------------
+
+    def begin_modal(self, mode: ModalTransform,
+                    axis: Optional[Axis] = None) -> None:
+        self.save_undo()
+        self.modal = mode
+        self.modal_axis = axis
+
+    def apply_modal(self, delta) -> None:
+        """Apply the active modal transform to the selection, honoring snap
+        and mirror (center vertices pinned to the plane; the mirrored half
+        follows when symmetric editing is enabled)."""
+        vids = self.selection_vertices()
+        if not vids or self.modal == ModalTransform.NONE:
+            return
+        pos = np.stack([np.asarray(self.mesh.vertices[v].pos, np.float32)
+                        for v in vids])
+        new = transform_positions(
+            pos, self.modal, self.selection_pivot(), delta,
+            axis=self.modal_axis,
+            snap=self.snap if self.modal == ModalTransform.GRAB else None)
+
+        mirror_map = self._mirror_pairs(vids) if self.mirror.enabled else {}
+        for i, v in enumerate(vids):
+            p = self.mirror.constrain_to_plane(new[i])
+            self.mesh.vertices[v] = dataclasses.replace(
+                self.mesh.vertices[v], pos=tuple(float(c) for c in p))
+            m = mirror_map.get(v)
+            if m is not None and m not in vids:
+                mp = self.mirror.mirror_position(p)
+                self.mesh.vertices[m] = dataclasses.replace(
+                    self.mesh.vertices[m], pos=tuple(float(c) for c in mp))
+
+    def end_modal(self) -> None:
+        self.modal = ModalTransform.NONE
+        self.modal_axis = None
+
+    def cancel_modal(self) -> None:
+        """Escape: restore the pre-modal mesh."""
+        if self.modal != ModalTransform.NONE:
+            self.undo()
+            self.redo_stack.clear()
+        self.end_modal()
+
+    def _mirror_pairs(self, vids) -> Dict[int, int]:
+        """Match each selected vertex to its mirror twin by position."""
+        out: Dict[int, int] = {}
+        eps = max(self.mirror.threshold, 1e-3)
+        for v in vids:
+            p = np.asarray(self.mesh.vertices[v].pos, np.float32)
+            if self.mirror.is_on_plane(p):
+                continue
+            target = self.mirror.mirror_position(p)
+            for j, other in enumerate(self.mesh.vertices):
+                if j == v:
+                    continue
+                q = np.asarray(other.pos, np.float32)
+                if float(np.max(np.abs(q - target))) <= eps:
+                    out[v] = j
+                    break
+        return out
+
+    # --- face ops ------------------------------------------------------------
+
+    def delete_selected_faces(self) -> int:
+        if not self.selected_faces:
+            return 0
+        self.save_undo()
+        keep = [f for i, f in enumerate(self.mesh.faces)
+                if i not in self.selected_faces]
+        n = len(self.mesh.faces) - len(keep)
+        self.mesh.faces = keep
+        self.selected_faces = set()
+        return n
+
+    def copy_selection(self) -> bool:
+        if not self.selected_faces:
+            return False
+        self.clipboard.copy_faces(self.mesh, sorted(self.selected_faces))
+        return True
+
+    def paste(self, at=None) -> List[int]:
+        self.save_undo()
+        new_faces = self.clipboard.paste_into(self.mesh, at)
+        self.selected_faces = set(new_faces)
+        return new_faces
