@@ -237,6 +237,41 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
     )
 
 
+def build_atlas8(textures) -> "TextureAtlas8":
+    """Pack 8-bit textures for the non-RGB555 path.
+
+    `textures`: sequence of (rgba (h, w, 4) uint8, blend_mode).  Alpha-0
+    texels carry BlendMode::ERASE (types.rs:1095); others OPAQUE.
+    """
+    from ..types import TextureAtlas8
+    if not textures:
+        textures = [(np.full((1, 1, 4), 255, np.uint8), int(BlendMode.OPAQUE))]
+    offsets, widths, heights, blends, chunks = [], [], [], [], []
+    off = 0
+    for rgba, blend in textures:
+        rgba = np.asarray(rgba, np.uint8)
+        h, w = rgba.shape[:2]
+        texel_blend = np.where(rgba[..., 3] == 0, int(BlendMode.ERASE),
+                               int(BlendMode.OPAQUE)).astype(np.int64)
+        word = (rgba[..., 0].astype(np.int64)
+                | (rgba[..., 1].astype(np.int64) << 8)
+                | (rgba[..., 2].astype(np.int64) << 16)
+                | (texel_blend << 24))
+        offsets.append(off)
+        widths.append(w)
+        heights.append(h)
+        blends.append(int(blend))
+        chunks.append(word.reshape(-1).astype(np.int32))
+        off += h * w
+    return TextureAtlas8(
+        data=jnp.asarray(np.concatenate(chunks)),
+        offset=jnp.asarray(np.asarray(offsets, np.int32)),
+        width=jnp.asarray(np.asarray(widths, np.int32)),
+        height=jnp.asarray(np.asarray(heights, np.int32)),
+        blend_mode=jnp.asarray(np.asarray(blends, np.int32)),
+    )
+
+
 def camera_basis(pitch: float, yaw: float) -> np.ndarray:
     """Camera::update_basis (camera.rs:76-91) in host f32.
 

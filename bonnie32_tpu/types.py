@@ -71,6 +71,19 @@ class TextureAtlas(NamedTuple):
     black_wrows: jnp.ndarray  # (NT, Wmax) i32
 
 
+class TextureAtlas8(NamedTuple):
+    """8-bit textures for the non-RGB555 path (`&[Texture]`,
+    types.rs:1236).  Texel word: r | g<<8 | b<<16 | blend<<24, where blend
+    is the per-texel BlendMode (ERASE = transparent texel, types.rs:1095).
+    """
+
+    data: jnp.ndarray        # (A,) i32 packed texels
+    offset: jnp.ndarray      # (NT,) i32
+    width: jnp.ndarray       # (NT,) i32
+    height: jnp.ndarray      # (NT,) i32
+    blend_mode: jnp.ndarray  # (NT,) i32 texture-level BlendMode
+
+
 class Lights(NamedTuple):
     """Scene lights. Reference: Light/LightType (types.rs:1296-1369).
 
