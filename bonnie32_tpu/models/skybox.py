@@ -456,6 +456,30 @@ class Skybox:
             horizon_haze=HorizonHaze(True, (140, 120, 160), 0.25, 0.12))
 
     @classmethod
+    def preset_arctic(cls):
+        """geometry.rs:889 — icy blue daylight with aurora-tinted east."""
+        return cls(
+            zenith_color=(60, 100, 140), horizon_sky_color=(140, 180, 200),
+            horizon_ground_color=(180, 200, 220), nadir_color=(100, 140, 180),
+            horizontal_tint_enabled=True,
+            horizontal_tint_color=(200, 150, 180),
+            horizontal_tint_direction=0.0,  # East
+            horizontal_tint_intensity=0.25, horizontal_tint_spread=1.5,
+            horizon=0.5,
+            cloud_layers=[
+                CloudLayer(0.35, 0.04, (220, 200, 240), 0.3, 0.005, 0.6,
+                           0.5, 0.0),
+                CloudLayer(0.48, 0.03, (200, 220, 240), 0.4, 0.003, 0.4,
+                           0.6, 1.5)],
+            mountain_ranges=[
+                MountainRange((200, 210, 230), (100, 120, 160),
+                              (255, 255, 255), 0.2, 0.3, 0.7, 33333),
+                MountainRange((160, 180, 210), (80, 100, 140),
+                              (220, 230, 250), 0.25, 0.5, 0.5, 44444)],
+            mountain_light_direction=0.0,  # East
+            horizon_haze=HorizonHaze(True, (180, 200, 220), 0.4, 0.1))
+
+    @classmethod
     def preset_night(cls):
         return cls(
             zenith_color=(10, 15, 40), horizon_sky_color=(20, 35, 70),
