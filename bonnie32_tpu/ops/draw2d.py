@@ -213,6 +213,47 @@ def draw_lines_alpha(fb: FrameBuffers, ex, ey, rgb, alpha, valid=None,
     return FrameBuffers(color=color, depth=fb.depth)
 
 
+DEPTH_BIAS_3D_ALPHA = 0.995  # render.rs:827
+
+
+def draw_lines_3d_alpha(fb: FrameBuffers, ex, ey, ez, rgb, alpha,
+                        valid=None, depth_mode: str = "harmonic",
+                        max_steps: int = 384) -> FrameBuffers:
+    """Depth-tested alpha-blended 3D lines (render.rs:822): endpoint z
+    scaled by 0.995 to out-bias co-planar geometry, `<=` depth test, no
+    depth write; sequential because overlapping alpha writes compose."""
+    height, width = fb.color.shape
+    ex = jnp.asarray(ex, _I32)
+    ey = jnp.asarray(ey, _I32)
+    ez = jnp.asarray(ez, _F32) * _F32(DEPTH_BIAS_3D_ALPHA)
+    v = (jnp.ones(ex.shape[0], bool) if valid is None
+         else jnp.asarray(valid, bool))
+
+    def body(color, args):
+        x0, y0, x1, y1, z0, z1, ok_line = args
+        xs, ys, t, ok = line_pixels(x0, y0, x1, y1, width, height, max_steps)
+        z = z0 + t * (z1 - z0)
+        ok &= ok_line & (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+        safe_x = jnp.where(ok, xs, 0)
+        safe_y = jnp.where(ok, ys, 0)
+        buf = fb.depth[safe_y, safe_x]
+        if depth_mode == "harmonic":
+            ok &= z <= buf
+        else:
+            izl = jnp.where(z > 0.0, 1.0 / z, _F32(-jnp.inf))
+            ok &= izl >= buf
+        back = color[safe_y, safe_x]
+        blended = _alpha_blend_words(back, rgb, alpha)
+        color = color.at[jnp.where(ok, ys, height), safe_x].set(
+            blended, mode="drop")
+        return color, None
+
+    color, _ = jax.lax.scan(body, fb.color,
+                            (ex[:, 0], ey[:, 0], ex[:, 1], ey[:, 1],
+                             ez[:, 0], ez[:, 1], v))
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
 # ---------------------------------------------------------------------------
 # 3D overlay helpers (draw.rs)
 # ---------------------------------------------------------------------------

@@ -172,3 +172,22 @@ def test_create_test_cube_renders():
     verts, faces = draw2d.create_test_cube()
     assert len(verts) == 24 and len(faces) == 12
     assert faces[0]["tex_id"] == 0
+
+def test_3d_alpha_lines_depth_bias():
+    from bonnie32_tpu.ops.draw2d import draw_lines_3d_alpha
+    # geometry at depth 1.0 in harmonic mode
+    fb = FrameBuffers(color=jnp.zeros((H, W), jnp.int32),
+                      depth=jnp.full((H, W), 1.0, jnp.float32))
+    ex = jnp.asarray([[5, 50]], jnp.int32)
+    ey = jnp.asarray([[10, 10]], jnp.int32)
+    # line exactly at z=1.0: bias 0.995 pulls it in front -> draws
+    ez = jnp.asarray([[1.0, 1.0]], jnp.float32)
+    out = draw_lines_3d_alpha(fb, ex, ey, ez, (255, 255, 255), 128)
+    pix = unpack(out)
+    assert pix[10, 20, 0] == 128  # (255*128 + 0*127)//255
+    # depth unchanged (no z write)
+    assert float(out.depth[10, 20]) == 1.0
+    # line behind geometry doesn't draw
+    ez_far = jnp.asarray([[5.0, 5.0]], jnp.float32)
+    out2 = draw_lines_3d_alpha(fb, ex, ey, ez_far, (255, 255, 255), 128)
+    assert unpack(out2)[10, 20, 0] == 0
