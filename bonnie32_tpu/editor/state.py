@@ -153,6 +153,53 @@ class UndoEvent:
 
 MAX_UNDO = 100  # state.rs:945
 
+# TRLE grid constraints (state.rs:104-108)
+CLICK_HEIGHT = 256.0
+CEILING_HEIGHT = 3072.0
+
+
+@dataclasses.dataclass
+class MemoryStats:
+    """state.rs:52 — process + asset memory accounting for the debug HUD."""
+
+    physical_bytes: int = 0
+    texture_bytes: int = 0
+    texture15_bytes: int = 0
+    framebuffer_bytes: int = 0
+    texture_count: int = 0
+    gpu_cache_count: int = 0
+
+    def update_process_memory(self) -> None:
+        """RSS from the OS (state.rs:69; /proc on Linux)."""
+        try:
+            with open("/proc/self/statm") as f:
+                pages = int(f.read().split()[1])
+            import os
+            self.physical_bytes = pages * os.sysconf("SC_PAGE_SIZE")
+        except (OSError, ValueError, IndexError):
+            pass
+
+    def update_assets(self, textures=(), framebuffers=()) -> None:
+        """Estimate texture/framebuffer footprints: 15-bit textures are 2
+        bytes/texel; framebuffers 4 (color) + 4 (depth) bytes/pixel."""
+        self.texture_count = len(textures)
+        self.texture15_bytes = sum(
+            int(t.shape[0]) * int(t.shape[1]) * 2 for t in textures)
+        self.texture_bytes = self.texture15_bytes * 2  # rgba8 source copies
+        self.framebuffer_bytes = sum(
+            int(fb.shape[-2]) * int(fb.shape[-1]) * 8 for fb in framebuffers)
+
+    @staticmethod
+    def format_bytes(n: int) -> str:
+        """state.rs:76."""
+        if n >= 1024 ** 3:
+            return f"{n / 1024 ** 3:.1f} GB"
+        if n >= 1024 ** 2:
+            return f"{n / 1024 ** 2:.1f} MB"
+        if n >= 1024:
+            return f"{n / 1024:.1f} KB"
+        return f"{n} B"
+
 
 class EditorState:
     """state.rs:384 — the world editor's host-side state."""
