@@ -13,9 +13,9 @@ from .rect import Rect
 from .theme import Theme, DEFAULT_THEME
 from .context import MouseState, UiContext
 from .widgets import (button, checkbox, drag_value, label_row, slider,
-                      vlist)
+                      tab_bar, toolbar, vlist)
 from .drag_tracker import DragConfig, DragState
 
 __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
            "button", "checkbox", "slider", "drag_value", "vlist",
-           "label_row", "DragState", "DragConfig"]
+           "label_row", "tab_bar", "toolbar", "DragState", "DragConfig"]

@@ -91,6 +91,50 @@ def label_row(ctx: UiContext, rect: Rect, label: str,
         ctx.text(rect.center_x, rect.center_y, value, ctx.theme.text_dim)
 
 
+def tab_bar(ctx: UiContext, wid: str, rect: Rect, labels: Sequence[str],
+            active: int) -> int:
+    """Horizontal tab strip (ui/tabbar.rs): equal-width tabs, click to
+    switch; returns the (possibly new) active index."""
+    if not labels:
+        return active
+    tw = rect.w / len(labels)
+    for i, label in enumerate(labels):
+        tr = Rect(rect.x + i * tw, rect.y, tw, rect.h)
+        tid = f"{wid}.{i}"
+        if ctx.clicked(tid, tr):
+            active = i
+        if i == active:
+            ctx.fill(tr, ctx.theme.widget_active)
+            ctx.fill(Rect(tr.x, tr.bottom - 2, tr.w, 2), ctx.theme.accent)
+        elif ctx.hot == tid:
+            ctx.fill(tr, ctx.theme.widget_hover)
+        else:
+            ctx.fill(tr, ctx.theme.panel)
+        ctx.text(tr.x + 6, tr.center_y, label)
+    ctx.outline(rect, ctx.theme.panel_border)
+    return active
+
+
+def toolbar(ctx: UiContext, wid: str, rect: Rect, items: Sequence[str],
+            active: int, button_w: float = 28.0) -> int:
+    """Icon-button strip (ui/widgets.rs Toolbar): one square-ish button per
+    item, the active one accented; returns the selected index."""
+    for i, label in enumerate(items):
+        br = Rect(rect.x + i * button_w, rect.y, button_w, rect.h).pad(1)
+        bid = f"{wid}.{i}"
+        if ctx.clicked(bid, br):
+            active = i
+        if i == active:
+            ctx.fill(br, ctx.theme.accent)
+        elif ctx.hot == bid:
+            ctx.fill(br, ctx.theme.widget_hover)
+        else:
+            ctx.fill(br, ctx.theme.widget)
+        ctx.outline(br, ctx.theme.panel_border)
+        ctx.text(br.center_x - 3, br.center_y, label)
+    return active
+
+
 def vlist(ctx: UiContext, wid: str, rect: Rect, items: Sequence[str],
           selected: Optional[int], row_h: float = 18.0,
           scroll: float = 0.0) -> Tuple[Optional[int], float]:
