@@ -91,6 +91,17 @@ class Asset:
                 return c.data
         return None
 
+    def collision_shape(self) -> Optional["CollisionShape"]:
+        """Typed collision shape, FromMesh resolved against the asset's
+        mesh bounds (component.rs:251-261 'computed at load time')."""
+        d = self.collision_component()
+        if d is None:
+            return None
+        shape = CollisionShape.parse(d.get("shape"))
+        if shape is not None and shape.kind == "from_mesh":
+            shape = shape.resolve_from_mesh(self.mesh() or [])
+        return shape
+
     @classmethod
     def from_ron(cls, d):
         return cls(
@@ -182,3 +193,131 @@ class AssetLibrary:
 
     def __len__(self):
         return len(self.assets)
+
+
+# =============================================================================
+# Collision shapes (component.rs:251-330)
+# =============================================================================
+
+@dataclasses.dataclass(frozen=True)
+class CollisionShape:
+    """CollisionShapeDef: sphere / box / capsule / cylinder / from_mesh."""
+
+    kind: str
+    radius: float = 0.0
+    height: float = 0.0
+    half_extents: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @classmethod
+    def sphere(cls, radius):
+        return cls("sphere", radius=float(radius))
+
+    @classmethod
+    def box(cls, hx, hy, hz):
+        return cls("box", half_extents=(float(hx), float(hy), float(hz)))
+
+    @classmethod
+    def capsule(cls, radius, height):
+        return cls("capsule", radius=float(radius), height=float(height))
+
+    @classmethod
+    def cylinder(cls, radius, height):
+        return cls("cylinder", radius=float(radius), height=float(height))
+
+    @classmethod
+    def parse(cls, v) -> Optional["CollisionShape"]:
+        """From a RON enum value (Tag) or plain dict."""
+        if v is None:
+            return None
+        if isinstance(v, Tag):
+            name = v.name
+            payload = v.value if isinstance(v.value, dict) else {}
+        elif isinstance(v, dict) and "kind" in v:
+            name = v["kind"]
+            payload = v
+        else:
+            return None
+        name_l = name.lower()
+        if name_l == "sphere":
+            return cls.sphere(payload.get("radius", 0.0))
+        if name_l == "box":
+            he = payload.get("half_extents", (0, 0, 0))
+            return cls.box(he[0], he[1], he[2])
+        if name_l == "capsule":
+            return cls.capsule(payload.get("radius", 0.0),
+                               payload.get("height", 0.0))
+        if name_l == "cylinder":
+            return cls.cylinder(payload.get("radius", 0.0),
+                                payload.get("height", 0.0))
+        if name_l == "frommesh" or name_l == "from_mesh":
+            return cls("from_mesh")
+        return None
+
+    def to_ron(self):
+        if self.kind == "sphere":
+            return Tag("Sphere", {"radius": self.radius})
+        if self.kind == "box":
+            return Tag("Box", {"half_extents": list(self.half_extents)})
+        if self.kind == "capsule":
+            return Tag("Capsule", {"radius": self.radius,
+                                   "height": self.height})
+        if self.kind == "cylinder":
+            return Tag("Cylinder", {"radius": self.radius,
+                                    "height": self.height})
+        return Tag("FromMesh")
+
+    def resolve_from_mesh(self, parts) -> "CollisionShape":
+        """FromMesh -> AABB box of all part vertices (load-time rule)."""
+        if self.kind != "from_mesh":
+            return self
+        import numpy as np
+        pts = [v.pos for p in parts for v in p.mesh.vertices]
+        if not pts:
+            return CollisionShape.box(0.0, 0.0, 0.0)
+        a = np.asarray(pts, np.float32)
+        half = (a.max(axis=0) - a.min(axis=0)) / 2.0
+        return CollisionShape.box(half[0], half[1], half[2])
+
+    def contains(self, point) -> bool:
+        """Point-in-shape test in the shape's local frame (origin at the
+        shape center; capsule/cylinder axis = +Y, height = total)."""
+        import numpy as np
+        p = np.asarray(point, np.float32)
+        if self.kind == "sphere":
+            return bool(p @ p <= self.radius ** 2)
+        if self.kind == "box":
+            he = np.asarray(self.half_extents, np.float32)
+            return bool(np.all(np.abs(p) <= he))
+        if self.kind == "cylinder":
+            return bool(abs(p[1]) <= self.height / 2.0
+                        and p[0] ** 2 + p[2] ** 2 <= self.radius ** 2)
+        if self.kind == "capsule":
+            half_core = max(self.height / 2.0 - self.radius, 0.0)
+            y = min(max(float(p[1]), -half_core), half_core)
+            d = p - np.asarray([0.0, y, 0.0], np.float32)
+            return bool(d @ d <= self.radius ** 2)
+        return False
+
+    def bounding_radius(self) -> float:
+        """Conservative sphere radius (broad-phase)."""
+        import math
+        if self.kind == "sphere":
+            return self.radius
+        if self.kind == "box":
+            return math.sqrt(sum(h * h for h in self.half_extents))
+        if self.kind in ("capsule", "cylinder"):
+            return math.hypot(self.radius, self.height / 2.0)
+        return 0.0
+
+    def description(self) -> str:
+        """component.rs:289."""
+        if self.kind == "sphere":
+            return f"Sphere (r={self.radius:.0f})"
+        if self.kind == "box":
+            hx, hy, hz = self.half_extents
+            return f"Box ({hx * 2:.0f}x{hy * 2:.0f}x{hz * 2:.0f})"
+        if self.kind == "capsule":
+            return f"Capsule (r={self.radius:.0f}, h={self.height:.0f})"
+        if self.kind == "cylinder":
+            return f"Cylinder (r={self.radius:.0f}, h={self.height:.0f})"
+        return "From Mesh"

@@ -122,3 +122,42 @@ def test_level008_placed_asset_renders_and_matches():
         max(8, diff.size // 1000)
     assert diff.sum() <= budget, \
         f"placed-asset scene: {diff.sum()} diffs ({diff.mean():.2%})"
+
+
+def test_collision_shapes():
+    """CollisionShapeDef parsing, containment, FromMesh resolution
+    (component.rs:251-330)."""
+    from bonnie32_tpu.models.asset import (Asset, AssetComponent,
+                                           CollisionShape)
+    from bonnie32_tpu.io.ron import Tag
+
+    s = CollisionShape.parse(Tag("Sphere", {"radius": 300.0}))
+    assert s.kind == "sphere"
+    assert s.contains([0, 299, 0]) and not s.contains([0, 301, 0])
+
+    b = CollisionShape.parse(Tag("Box", {"half_extents": (1, 2, 3)}))
+    assert b.contains([0.9, -1.9, 2.9]) and not b.contains([1.1, 0, 0])
+    assert abs(b.bounding_radius() - 14 ** 0.5) < 1e-6
+
+    # capsule height is TOTAL (caps included): r=1 h=4 -> reaches y=+-2
+    c = CollisionShape.capsule(1.0, 4.0)
+    assert c.contains([0, 1.9, 0]) and not c.contains([0, 2.1, 0])
+    assert c.contains([0.9, 0.0, 0]) and not c.contains([1.1, 0.0, 0])
+
+    cy = CollisionShape.cylinder(1.0, 4.0)
+    assert cy.contains([0.9, 1.9, 0]) and not cy.contains([0, 2.1, 0])
+
+    # RON round trip
+    for shape in (s, b, c, cy):
+        assert CollisionShape.parse(shape.to_ron()) == shape
+    assert "Box (2x4x6)" == b.description()
+
+    # FromMesh resolves to the mesh AABB via the asset accessor
+    from bonnie32_tpu.models.mesh import EditableMesh, MeshPart
+    part = MeshPart(name="p", mesh=EditableMesh.cube(512.0))
+    a = Asset(id=9, name="crate", components=[
+        AssetComponent("Mesh", {"parts_obj": [part]}),
+        AssetComponent("Collision", {"shape": Tag("FromMesh")})])
+    shape = a.collision_shape()
+    assert shape.kind == "box"
+    assert all(abs(h - 256.0) < 1e-3 for h in shape.half_extents)
