@@ -368,3 +368,64 @@ def create_test_cube():
                               black_transparent=True, blend_mode=0,
                               editor_alpha=255))
     return verts, faces
+
+
+def draw_wireframe_cylinder(fb: FrameBuffers, camera: CameraArrays,
+                            center, radius: float, height: float,
+                            segments: int = 12,
+                            rgb=(80, 255, 120),
+                            depth_mode: str = "harmonic") -> FrameBuffers:
+    """Player collision-cylinder debug overlay (game/renderer.rs:984):
+    depth-tested bottom/top circles + vertical lines every other segment
+    (every segment when <= 8).  Lines never write depth."""
+    import numpy as np
+    from .wireframe import _scatter_lines, _pack_rgb
+
+    center = jnp.asarray(center, _F32)
+    ang = jnp.arange(segments, dtype=_F32) / _F32(segments) \
+        * _F32(2.0 * np.pi)
+    bx = center[0] + _F32(radius) * jnp.cos(ang)
+    bz = center[2] + _F32(radius) * jnp.sin(ang)
+    bottom = jnp.stack([bx, jnp.full_like(bx, center[1]), bz], axis=-1)
+    top = bottom.at[:, 1].add(_F32(height))
+
+    h, w = fb.color.shape
+    basis = camera.basis
+
+    def project(pts):
+        rel = pts - camera.position
+        cam = rel @ basis.T
+        cz = cam[:, 2]
+        ok = cz >= 0.1
+        vs = _F32(min(w, h) / 2.0 * 0.75)
+        us = _F32(4.0)
+        denom = jnp.where(ok, cz + _F32(5.0), _F32(1.0))
+        sx = (cam[:, 0] * us / denom) * vs + _F32(w / 2.0)
+        sy = (cam[:, 1] * us / denom) * vs + _F32(h / 2.0)
+        return (jnp.trunc(sx).astype(_I32), jnp.trunc(sy).astype(_I32),
+                cz, ok)
+
+    bsx, bsy, bz_, bok = project(bottom)
+    tsx, tsy, tz_, tok = project(top)
+    nxt = (jnp.arange(segments, dtype=_I32) + 1) % segments
+
+    def ring(sx, sy, sz, ok):
+        ex = jnp.stack([sx, sx[nxt]], axis=-1)
+        ey = jnp.stack([sy, sy[nxt]], axis=-1)
+        ez = jnp.stack([sz, sz[nxt]], axis=-1)
+        return ex, ey, ez, ok & ok[nxt]
+
+    word = _pack_rgb(tuple(rgb))
+    for sx, sy, sz, ok in (ring(bsx, bsy, bz_, bok),
+                           ring(tsx, tsy, tz_, tok)):
+        fb = _scatter_lines(fb, sx, sy, sz, ok, word, 384, depth_mode,
+                            depth_test="strict")
+
+    skip = 2 if segments > 8 else 1
+    sel = jnp.arange(0, segments, skip, dtype=_I32)
+    vex = jnp.stack([bsx[sel], tsx[sel]], axis=-1)
+    vey = jnp.stack([bsy[sel], tsy[sel]], axis=-1)
+    vez = jnp.stack([bz_[sel], tz_[sel]], axis=-1)
+    fb = _scatter_lines(fb, vex, vey, vez, bok[sel] & tok[sel], word, 384,
+                        depth_mode, depth_test="strict")
+    return fb

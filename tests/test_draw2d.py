@@ -191,3 +191,21 @@ def test_3d_alpha_lines_depth_bias():
     ez_far = jnp.asarray([[5.0, 5.0]], jnp.float32)
     out2 = draw_lines_3d_alpha(fb, ex, ey, ez_far, (255, 255, 255), 128)
     assert unpack(out2)[10, 20, 0] == 0
+
+
+def test_wireframe_cylinder():
+    from bonnie32_tpu.ops.draw2d import draw_wireframe_cylinder
+    cam = _camera()
+    fb = FrameBuffers(color=jnp.zeros((H, W), jnp.int32),
+                      depth=jnp.full((H, W), 3.4e38, jnp.float32))
+    out = draw_wireframe_cylinder(fb, cam, (0.0, -1.0, 0.0), 0.8, 2.0,
+                                  segments=12, rgb=(80, 255, 120))
+    pix = unpack(out)
+    lit = np.all(pix[..., :3] == (80, 255, 120), axis=-1)
+    assert lit.sum() > 40                       # rings + verticals visible
+    assert float(out.depth.max()) == np.float32(3.4e38)  # no depth writes
+    # occluded by near geometry: nothing drawn
+    fb2 = FrameBuffers(color=jnp.zeros((H, W), jnp.int32),
+                       depth=jnp.zeros((H, W), jnp.float32))
+    out2 = draw_wireframe_cylinder(fb2, cam, (0.0, -1.0, 0.0), 0.8, 2.0)
+    assert int(out2.color.sum()) == 0
