@@ -1,0 +1,484 @@
+"""Flat scene compilation for the batched Pallas rasterizer.
+
+`compile_level` (scene.py) stacks rooms into (R, ...) buffers and renders
+them with a sequential fori_loop per instance — fine for parity, but it
+keeps the whole rasterizer inside a per-instance vmap (round-1 profile:
+the keyed pass alone was ~1.8 ms/instance there, PLAN_PERF.md item 9).
+
+This module compiles the SAME level into one flat face list:
+
+  * all rooms' (and placed asset parts') vertices/faces concatenated,
+    with one GLOBAL texture atlas (no per-room remap);
+  * per-face fog/ambient arrays carrying each room's settings
+    (render_scene clones settings per room, scene.rs:196-225 — a face's
+    corners always belong to its room, so per-face params are exact);
+  * host-precomputed kernel tables: texel bit-planes for the MXU texel
+    fetch, per-texture key-bit word rows, texture metadata rows.
+
+Draw order is preserved: rooms in order, then placed asset draws in order
+(scene.rs:196, 226).  For opaque faces under a z-buffer the order only
+breaks ties, so flattening is exact; transparent faces are recorded as a
+STATIC index list and composited by the caller (bonnie32_tpu/ops/
+raster_batch.py routes to the sequential path when interleaving with later
+rooms' opaque geometry could change the reference's output).
+"""
+
+import dataclasses
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RasterSettings, ShadingMode, BlendMode, NEAR_PLANE
+from ..types import (CameraArrays, FaceArrays, FrameBuffers, Lights,
+                     MeshArrays, Surfaces, TextureAtlas)
+from ..ops.surface import _fog_factor, _apply_fog_to_color
+from ..ops.exactf import exact_div, exact_recip
+from ..ops.lighting import shade_points
+from ..ops.vertex import transform_vertices, normalize_rows
+from . import build
+from .level import Level
+from .scene import (_room_fog_params, transform_part_vertices,
+                    resolve_part_texture15)
+
+F32 = np.float32
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+
+class FogFaces(NamedTuple):
+    """Per-face room fog parameters (room settings flattened onto faces)."""
+
+    enabled: jnp.ndarray        # (T,) bool
+    start: jnp.ndarray          # (T,) f32
+    falloff: jnp.ndarray        # (T,) f32
+    cull_distance: jnp.ndarray  # (T,) f32
+    color: jnp.ndarray          # (T, 3) i32
+
+
+class FlatScene(NamedTuple):
+    """Device arrays for the whole level as one flat draw list."""
+
+    mesh: MeshArrays        # (V, ...)
+    faces: FaceArrays       # (T, ...) — global texture ids
+    fog: FogFaces           # (T, ...)
+    ambient: jnp.ndarray    # (T,) f32 per-face room ambient
+    lights: Lights
+    atlas: TextureAtlas     # global
+    # Kernel tables (see ops/raster_batch.py):
+    tex_lo: jnp.ndarray     # (Ra, 128) bf16 — texel low byte
+    tex_hi: jnp.ndarray     # (Ra, 128) bf16 — texel high byte
+    keyrows: jnp.ndarray    # (NT, WR, 128) i32 — per-texture key-bit words
+    texmeta: jnp.ndarray    # (4, 128) i32 rows: width, height, offset, 0
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatSceneStatic:
+    """Hashable compile-time facts about a FlatScene (static jit args)."""
+
+    n_faces: int            # T
+    t_pad: int              # compacted-face capacity (multiple of 128)
+    groups: int             # t_pad // 128
+    n_textures: int         # NT (<= 128)
+    atlas_rows: int         # Ra
+    key_wrows: int          # WR: key words per texture / 128
+    transparent_idx: Tuple[int, ...]   # static transparent-face list
+    # True when every transparent face lives in the final room/draw, so
+    # opaque-then-transparent matches the reference's per-room interleave.
+    transparent_last: bool
+
+
+def _faces_to_arrays(verts, faces, textures, pad_faces=None):
+    pos = np.array([v["pos"] for v in verts], F32)
+    uv = np.array([v["uv"] for v in verts], F32)
+    normal = np.array([v["normal"] for v in verts], F32)
+    color = np.array([v["color"] for v in verts], np.int32)
+    cblend = np.array([v.get("color_blend", 0) for v in verts], np.int32)
+    mesh = build.make_mesh_arrays(pos, uv, normal, color, cblend)
+    if faces:
+        vidx = np.array([(f["v0"], f["v1"], f["v2"]) for f in faces], np.int32)
+        tex_id = np.array([-1 if f.get("tex_id") is None else f["tex_id"]
+                           for f in faces], np.int32)
+        bt = np.array([f.get("black_transparent", True) for f in faces], bool)
+        bm = np.array([f.get("blend_mode", 0) for f in faces], np.int32)
+        ea = np.array([f.get("editor_alpha", 255) for f in faces], np.int32)
+        kp = build.compute_key_possible(uv, vidx, tex_id, bt, textures)
+        fa = build.make_face_arrays(vidx, tex_id, bt, bm, ea,
+                                    key_possible=kp, pad_to=pad_faces)
+    else:
+        fa = build.make_face_arrays(np.zeros((1, 3), np.int32),
+                                    pad_to=pad_faces)
+        fa = fa._replace(valid=jnp.zeros_like(fa.valid))
+    return mesh, fa
+
+
+def compile_level_flat(level: Level, textures, resolve,
+                       light_specs: Optional[List[dict]] = None,
+                       asset_library=None, user_textures=None,
+                       light_pad: int = 8):
+    """Level -> (FlatScene, FlatSceneStatic).
+
+    `textures`/`resolve` as in scene.compile_level; placed asset parts
+    append their resolved Texture15s to the global texture table.
+    """
+    tex_list = [t if isinstance(t, tuple) else (t.pixels15, 0)
+                for t in textures]
+
+    groups = []   # (verts, faces(dicts, global tex ids), fog_row, ambient, ds)
+    for room in level.rooms:
+        verts, faces = room.to_render_data(resolve)
+        groups.append((verts, faces, _room_fog_params(room), room.ambient,
+                       None))
+
+    # Placed asset draws (scene.rs:226-259), same walk as compile_level.
+    if asset_library is not None:
+        for room in level.rooms:
+            fog_row = _room_fog_params(room)
+            for obj in room.objects:
+                if not obj.enabled:
+                    continue
+                a = asset_library.get_by_id(obj.asset_id)
+                if a is None:
+                    continue
+                parts = a.mesh()
+                if not parts:
+                    continue
+                wp = obj.world_position(room)
+                for part in parts:
+                    if not part.visible:
+                        continue
+                    verts, pfaces = part.mesh.to_render_data_textured()
+                    if not verts:
+                        continue
+                    verts = transform_part_vertices(verts, obj.facing, wp)
+                    tex15 = resolve_part_texture15(part, user_textures)
+                    gid = len(tex_list)
+                    tex_list.append((tex15, 0))
+                    pfaces = [dict(f, tex_id=(gid if f.get("tex_id")
+                                              is not None else None))
+                              for f in pfaces]
+                    if part.double_sided:
+                        pfaces = [dict(f, double_sided=True) for f in pfaces]
+                    groups.append((verts, pfaces, fog_row, room.ambient,
+                                   part.double_sided))
+
+    # Concatenate into one vertex/face list.
+    all_v, all_f = [], []
+    fog_rows, ambients, ds_flags = [], [], []
+    for verts, faces, fog_row, amb, ds in groups:
+        base = len(all_v)
+        if not verts:
+            verts = [dict(pos=(0, 0, 0), uv=(0, 0), normal=(0, 0, 0),
+                          color=(128, 128, 128), color_blend=0)]
+        all_v.extend(verts)
+        for f in faces:
+            all_f.append(dict(f, v0=f["v0"] + base, v1=f["v1"] + base,
+                              v2=f["v2"] + base))
+            fog_rows.append(fog_row)
+            ambients.append(amb)
+            ds_flags.append(bool(ds) if ds is not None
+                            else bool(f.get("double_sided", False)))
+
+    if not all_f:
+        all_f = [dict(v0=0, v1=0, v2=0, tex_id=None)]
+        fog_rows.append((False, 0.0, 0.0, 3.4e38, (0, 0, 0)))
+        ambients.append(0.5)
+        ds_flags.append(False)
+        dummy_valid = True
+    else:
+        dummy_valid = False
+
+    # Trim the global atlas to textures actually sampled (the per-room path
+    # trims per room, scene.py; here one compact global table).
+    used = sorted({f["tex_id"] for f in all_f
+                   if f.get("tex_id") is not None and f["tex_id"] >= 0})
+    if not used and tex_list:
+        used = [0]
+    remap = {g: i for i, g in enumerate(used)}
+    for f in all_f:
+        if f.get("tex_id") is not None and f["tex_id"] >= 0:
+            f["tex_id"] = remap[f["tex_id"]]
+    tex_list = [tex_list[g] for g in used]
+
+    mesh, fa = _faces_to_arrays(all_v, all_f, tex_list)
+    if dummy_valid:
+        fa = fa._replace(valid=jnp.zeros_like(fa.valid))
+    fa = fa._replace(double_sided=jnp.asarray(np.asarray(ds_flags, bool)))
+
+    fog = FogFaces(
+        enabled=jnp.asarray(np.array([f[0] for f in fog_rows], bool)),
+        start=jnp.asarray(np.array([f[1] for f in fog_rows], F32)),
+        falloff=jnp.asarray(np.array([f[2] for f in fog_rows], F32)),
+        cull_distance=jnp.asarray(np.array([f[3] for f in fog_rows], F32)),
+        color=jnp.asarray(np.array([f[4] for f in fog_rows], np.int32)),
+    )
+    ambient = jnp.asarray(np.array(ambients, F32))
+    lights = build.lights_from_list(light_specs or [], pad=light_pad)
+
+    atlas = build.build_atlas(tex_list)
+
+    # ---- kernel tables ----
+    data = np.asarray(atlas.data)
+    ra = max(-(-data.size // 128), 1)
+    ra = -(-ra // 16) * 16  # bf16 sublane alignment
+    padded = np.zeros(ra * 128, np.int32)
+    padded[:data.size] = data
+    padded = padded.reshape(ra, 128)
+    tex_lo = jnp.asarray((padded & 0xFF).astype(np.float32), jnp.bfloat16)
+    tex_hi = jnp.asarray(((padded >> 8) & 0xFF).astype(np.float32),
+                         jnp.bfloat16)
+
+    wrows_np = np.asarray(atlas.black_wrows)   # (NT, Wmax)
+    nt = wrows_np.shape[0]
+    assert nt <= 128, "global texture table exceeds one metadata lane row"
+    wr = max(-(-wrows_np.shape[1] // 128), 1)
+    keyrows = np.zeros((nt, wr, 128), np.int32)
+    keyrows.reshape(nt, -1)[:, :wrows_np.shape[1]] = wrows_np
+
+    texmeta = np.zeros((4, 128), np.int32)
+    texmeta[0, :nt] = np.asarray(atlas.width)
+    texmeta[1, :nt] = np.asarray(atlas.height)
+    texmeta[2, :nt] = np.asarray(atlas.offset)
+    texmeta[0, nt:] = 1
+    texmeta[1, nt:] = 1
+
+    # ---- static facts ----
+    t = len(all_f)
+    t_pad = max(-(-t // 128) * 128, 128)
+    tex_blend = np.asarray(atlas.blend_mode)
+    tid_np = np.array([-1 if f.get("tex_id") is None else f["tex_id"]
+                       for f in all_f], np.int64)
+    textured = tid_np >= 0
+    face_bm = np.array([f.get("blend_mode", 0) for f in all_f], np.int64)
+    ea_np = np.array([f.get("editor_alpha", 255) for f in all_f], np.int64)
+    has_tr = ((textured & (tex_blend[np.maximum(tid_np, 0)]
+                           != int(BlendMode.OPAQUE)))
+              | (face_bm != int(BlendMode.OPAQUE)) | (ea_np < 255))
+    if dummy_valid:
+        has_tr[:] = False
+    tr_idx = tuple(int(i) for i in np.where(has_tr)[0])
+    # all transparent faces in the final group <=> flat order == per-room
+    last_start = t - len(groups[-1][1]) if groups else 0
+    tr_last = all(i >= last_start for i in tr_idx)
+
+    scene = FlatScene(mesh=mesh, faces=fa, fog=fog, ambient=ambient,
+                      lights=lights, atlas=atlas,
+                      tex_lo=tex_lo, tex_hi=tex_hi,
+                      keyrows=jnp.asarray(keyrows),
+                      texmeta=jnp.asarray(texmeta))
+    static = FlatSceneStatic(
+        n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
+        atlas_rows=ra, key_wrows=wr, transparent_idx=tr_idx,
+        transparent_last=tr_last)
+    return scene, static
+
+
+def build_surfaces_flat(scene: FlatScene, camera: CameraArrays,
+                        settings: RasterSettings,
+                        width: int, height: int) -> Surfaces:
+    """ops/surface.build_surfaces with per-FACE fog/ambient arrays.
+
+    Same math/op order (render.rs:2313-2513); fog parameters and ambient
+    broadcast per face instead of being scalars, which is exact because a
+    face's corners are always in its own room.
+    """
+    mesh, faces, fog = scene.mesh, scene.faces, scene.fog
+    atlas, lights = scene.atlas, scene.lights
+    tv = transform_vertices(mesh.pos, mesh.normal, camera, settings,
+                            width, height)
+
+    vi = faces.vidx
+    c_sx = tv.sx[vi]
+    c_sy = tv.sy[vi]
+    c_sz = tv.sz[vi]
+    c_cam = tv.cam[vi]
+    c_wpos = mesh.pos[vi]
+    c_wnorm = mesh.normal[vi]
+    c_uv = mesh.uv[vi]
+    c_vcol = mesh.color[vi]
+    c_vblend = mesh.color_blend[vi]
+
+    cam_z = c_cam[..., 2]
+
+    if settings.ortho_projection is None:
+        near_ok = jnp.all(cam_z > NEAR_PLANE, axis=-1)
+    else:
+        near_ok = jnp.ones(vi.shape[0], bool)
+
+    v1x, v2x, v3x = c_sx[:, 0], c_sx[:, 1], c_sx[:, 2]
+    v1y, v2y, v3y = c_sy[:, 0], c_sy[:, 1], c_sy[:, 2]
+    signed_area = (v2x - v1x) * (v3y - v1y) - (v3x - v1x) * (v2y - v1y)
+    is_backface = signed_area <= 0.0
+
+    # Fog with per-face params (broadcast over the 3 corners).
+    factors = jnp.where(fog.enabled[:, None],
+                        _fog_factor(cam_z, fog.start[:, None],
+                                    fog.falloff[:, None]),
+                        jnp.zeros_like(cam_z))
+    vc_rgb, vc_blend = _apply_fog_to_color(c_vcol, c_vblend,
+                                           fog.color[:, None, :], factors)
+    fog_cull = fog.enabled & jnp.all(cam_z > fog.cull_distance[:, None],
+                                     axis=-1)
+
+    textured = faces.tex_id >= 0
+    safe_tid = jnp.maximum(faces.tex_id, 0)
+    tex_blend = atlas.blend_mode[safe_tid]
+    has_transparency = ((textured & (tex_blend != int(BlendMode.OPAQUE)))
+                        | (faces.blend_mode != int(BlendMode.OPAQUE))
+                        | (faces.editor_alpha < 255))
+    blend_mode = jnp.where(textured, tex_blend, faces.blend_mode)
+
+    render_back = not settings.backface_cull or settings.xray_mode
+    render_back_face = (faces.double_sided
+                        if not render_back else jnp.ones_like(is_backface))
+    swap = is_backface & (render_back_face | render_back)
+
+    def permute(arr):
+        # corner swap (0,2,1) as a static reindex + select — take_along_axis
+        # promotes indices to i64 under x64, and i64 gathers scalarize on
+        # XLA:TPU (PLAN_PERF.md item 1).
+        swapped = arr[:, jnp.asarray([0, 2, 1], _I32)]
+        mask = swap.reshape(swap.shape + (1,) * (arr.ndim - 1))
+        return jnp.where(mask, swapped, arr)
+
+    sx = permute(c_sx[..., None])[..., 0]
+    sy = permute(c_sy[..., None])[..., 0]
+    sz = permute(c_sz[..., None])[..., 0]
+    uv = permute(c_uv)
+    vc = permute(vc_rgb)
+    vcb = permute(vc_blend[..., None])[..., 0]
+    wpos = permute(c_wpos)
+    wnorm = permute(c_wnorm)
+    wnorm = jnp.where(swap[:, None, None], -wnorm, wnorm)
+
+    amb3 = jnp.broadcast_to(scene.ambient[:, None], wpos.shape[:2])
+    if settings.shading == ShadingMode.GOURAUD:
+        shade = shade_points(wnorm, wpos, lights, ambient=amb3)
+    elif settings.shading == ShadingMode.FLAT:
+        third = _F32(1.0 / 3.0)
+        center = ((wpos[:, 0] + wpos[:, 1]) + wpos[:, 2]) * third
+        avg_n = ((wnorm[:, 0] + wnorm[:, 1]) + wnorm[:, 2]) * third
+        flat = shade_points(normalize_rows(avg_n), center, lights,
+                            ambient=scene.ambient)
+        shade = jnp.broadcast_to(flat[:, None, :], wpos.shape)
+    else:
+        shade = jnp.ones(wpos.shape, _F32)
+
+    vc_eq_12 = jnp.all(vc[:, 0] == vc[:, 1], axis=-1) & (vcb[:, 0] == vcb[:, 1])
+    vc_eq_23 = jnp.all(vc[:, 1] == vc[:, 2], axis=-1) & (vcb[:, 1] == vcb[:, 2])
+    needs_dither = settings.dithering & (
+        (settings.shading == ShadingMode.GOURAUD)
+        | textured | ~vc_eq_12 | ~vc_eq_23)
+
+    front_ok = ~is_backface | render_back_face | render_back
+    valid = faces.valid & near_ok & ~fog_cull & front_ok
+
+    centroid_z = exact_div((sz[:, 0] + sz[:, 1]) + sz[:, 2],
+                           jnp.full_like(sz[:, 0], 3.0))
+    inv_z = exact_recip(sz)
+
+    r1x, r2x, r3x = sx[:, 0], sx[:, 1], sx[:, 2]
+    r1y, r2y, r3y = sy[:, 0], sy[:, 1], sy[:, 2]
+    area = (r2y - r3y) * (r1x - r3x) + (r3x - r2x) * (r1y - r3y)
+    degenerate = jnp.abs(area) < 0.00001
+    inv_area = exact_recip(jnp.where(degenerate, _F32(1.0), area))
+
+    return Surfaces(
+        sx=sx, sy=sy, z=sz, inv_z=inv_z, area=area, inv_area=inv_area,
+        uv=uv, vc=vc, shade=shade,
+        tex_id=faces.tex_id, blend_mode=blend_mode,
+        black_transparent=faces.black_transparent,
+        editor_alpha=faces.editor_alpha,
+        needs_dither=needs_dither,
+        has_transparency=has_transparency,
+        centroid_z=centroid_z,
+        valid=valid,
+        key_possible=faces.key_possible,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-level batched render entry
+# ---------------------------------------------------------------------------
+
+def kernel_path_ok(static: FlatSceneStatic,
+                   settings: RasterSettings) -> bool:
+    """Static eligibility for the fused kernel (else use scene.render_level
+    under vmap).  Mirrors render.render_mesh_15's fast-path conditions plus
+    the flat-order constraint for transparent faces (see module docstring)
+    and the in-kernel wireframe/x-ray exclusions."""
+    return (settings.use_zbuffer
+            and not settings.xray_mode
+            and settings.ortho_projection is None
+            and not settings.wireframe_overlay
+            and not (settings.backface_cull and settings.backface_wireframe)
+            and static.transparent_last)
+
+
+def _transparent_pass(fb, surf, idx_tuple, atlas, settings, width, height):
+    """Back-to-front masked compositing of the STATIC transparent-face set
+    (render.rs:2522-2570 transparent pass), vmapped over instances."""
+    from ..ops.raster_ref import _raster_one
+
+    idxs = np.asarray(idx_tuple, np.int64)
+    sub = jax.tree_util.tree_map(lambda x: x[:, idxs], surf)
+    n = len(idx_tuple)
+
+    yi, xi = jnp.meshgrid(jnp.arange(height, dtype=_I32),
+                          jnp.arange(width, dtype=_I32), indexing="ij")
+    grids = (xi.astype(_F32), yi.astype(_F32), xi, yi)
+
+    def one(color, depth, s):
+        # back-to-front: centroid z descending, stable (index order ties) —
+        # matches raster_fast's lexsort((arange, -centroid_z, ...)).
+        order = jnp.argsort(-s.centroid_z, stable=True).astype(_I32)
+
+        def body(i, carry):
+            k = order[i]
+            scalars = (
+                s.sx[k], s.sy[k], s.z[k], s.inv_z[k], s.area[k],
+                s.inv_area[k], s.uv[k], s.vc[k], s.shade[k], s.tex_id[k],
+                s.blend_mode[k], s.black_transparent[k], s.editor_alpha[k],
+                s.needs_dither[k], jnp.asarray(True), s.valid[k],
+            )
+            return _raster_one(carry, scalars, atlas, settings, grids, "inv")
+
+        return jax.lax.fori_loop(0, n, body, (color, depth))
+
+    color, depth = jax.vmap(one)(fb.color, fb.depth, sub)
+    return FrameBuffers(color=color, depth=depth)
+
+
+@functools.partial(jax.jit, static_argnames=("static", "settings", "height",
+                                             "width", "interpret"))
+def render_level_flat(fb: FrameBuffers, scene: FlatScene,
+                      static: FlatSceneStatic, cams: CameraArrays,
+                      settings: RasterSettings,
+                      height: int, width: int,
+                      interpret: bool = False) -> FrameBuffers:
+    """Batched level render: (I, H, W) framebuffers + (I,) cameras through
+    the fused Pallas kernel.  render_scene (scene.rs:180-261) semantics:
+    identical output to scene.render_level per instance (tested), one
+    kernel launch for the whole batch."""
+    from ..ops import raster_batch as rb
+
+    surf = jax.vmap(
+        lambda c: build_surfaces_flat(scene, c, settings, width, height))(cams)
+    prep = jax.vmap(
+        lambda s: rb.prep_instance(s, scene.atlas, settings, width, height,
+                                   static.t_pad))(surf)
+    fbc = rb.to_layout(fb.color, width)
+    fbd = rb.to_layout(fb.depth, width)
+    color, depth = rb.rasterize_batch(
+        fbc, fbd, prep, scene.keyrows, scene.texmeta, scene.tex_lo,
+        scene.tex_hi, settings, width, height, static.t_pad,
+        static.n_textures, static.atlas_rows, static.key_wrows,
+        interpret=interpret)
+    out = FrameBuffers(color=rb.from_layout(color, width, height),
+                       depth=rb.from_layout(depth, width, height))
+    if static.transparent_idx:
+        out = _transparent_pass(out, surf, static.transparent_idx,
+                                scene.atlas, settings, width, height)
+    return out

@@ -120,8 +120,13 @@ def dither_offset(x, y):
 
 
 def dither_and_quantize8(v8, offset):
-    """((v8 + offset) >> 3).clamp(0, 31) (render.rs:1177)."""
-    return jnp.clip((jnp.asarray(v8, _I32) + offset) >> 3, 0, 31)
+    """((v8 + offset) >> 3).clamp(0, 31) (render.rs:1177).
+
+    Bounds are explicit i32: python ints become weak i64 scalars under x64,
+    which Mosaic's i64->i32 convert lowering cannot handle (recurses).
+    """
+    v = (jnp.asarray(v8, _I32) + offset) >> 3
+    return jnp.minimum(jnp.maximum(v, _I32(0)), _I32(31))
 
 
 def quantize8(v8):

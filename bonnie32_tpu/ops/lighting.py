@@ -39,19 +39,22 @@ def _normalize3(x, y, z):
             l)
 
 
-def shade_points(normal, world_pos, lights: Lights):
+def shade_points(normal, world_pos, lights: Lights, ambient=None):
     """Per-point RGB shade in 0-1 (render.rs:1013).
 
     normal: (..., 3) f32 (world-space); world_pos: (..., 3) f32.
+    `ambient` optionally overrides lights.ambient per point (broadcastable
+    to normal[..., 0]) — used by the flat scene path where each face keeps
+    its own room's ambient (scene.rs:201-205).
     Returns (..., 3) f32 clamped per-channel to <= 1.0.
     """
     nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
     px, py, pz = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
 
-    amb = jnp.asarray(lights.ambient, _F32)
-    total_r = jnp.full_like(nx, amb)
-    total_g = jnp.full_like(nx, amb)
-    total_b = jnp.full_like(nx, amb)
+    amb = jnp.asarray(lights.ambient if ambient is None else ambient, _F32)
+    total_r = jnp.broadcast_to(amb, nx.shape).astype(_F32)
+    total_g = total_r
+    total_b = total_r
 
     num_lights = lights.kind.shape[0]
     for i in range(num_lights):

@@ -1,0 +1,608 @@
+"""Batched Pallas rasterizer — one fused TPU kernel per game instance.
+
+This is the north-star kernel (BASELINE.json; the reference's triangle fill
+inner loop `/root/reference/src/rasterizer/render.rs:1440-1714` and the
+two-pass opaque draw `render.rs:2547-2570`), restructured TPU-first:
+
+  * The framebuffer lives in VMEM for the whole frame, laid out as
+    (NG*H, 128) — the 320(/640)-pixel width padded to NG lane-groups of
+    128, so every window, gather and store is natively tiled.
+  * PHASE 1 (visibility): a sequential loop over COMPACTED candidate faces
+    (XLA prepass culls off-screen/backfacing/degenerate faces and compacts
+    survivors with an exact one-hot matmul).  Each face touches only its
+    clipped bbox: dynamic 8-row windows x its 128-lane groups.  Color
+    keying (render.rs:1588-1607) is folded into coverage via per-texture
+    key-bit word rows fetched with the Mosaic dynamic-gather unit — this
+    replaces round 1's 45 us/face sequential keyed pass (PLAN_PERF.md).
+    Sequential face order + strict izi > test == the reference's z-test
+    with first-drawn-wins-ties, order-independently.
+  * PHASE 2 (resolve): per-pixel winner attributes via lane-gathers over
+    the compacted attr table (dynamic group count), texels via an exact
+    bf16 one-hot MXU row-fetch (8-bit planes are exact in bf16) + lane
+    select, then the full PS1 pixel pipeline (UV wrap, color key fixups,
+    5->8 expand, modulate, shade, Bayer dither — render.rs:1563-1661)
+    entirely in VMEM.
+
+NOTE: index maps derive zeros from the i32 grid index (i * 0) — under
+the package's global x64 mode, literal-0 index maps trace as weak i64 and
+Mosaic rejects the emitted `func.return` (this was round 1's "gridded
+pallas_call does not compile" blocker, PLAN_PERF.md item 5).
+
+Bit-exact with ops/raster_fast.py (same f32 expressions and order; TPU has
+no FMA contraction in either XLA or Mosaic).  Transparent faces are a
+STATIC per-level list and composite afterwards through the sequential
+masked compositor (ops/raster_ref.py), back-to-front per instance.
+"""
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RasterSettings, ShadingMode
+from ..types import FrameBuffers, Surfaces
+from . import color as col
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_BF16 = jnp.bfloat16
+
+WB = 8            # framebuffer rows per phase-1 window
+CH = 24           # layout rows per phase-2 chunk
+
+# attrs column layout (f32). Columns 0-15 also live in SMEM for the
+# phase-1 face loop; the full table transposes into attrsT for resolve.
+C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA = 0, 1, 2, 3, 4, 5, 6
+C_IZA, C_IZB, C_IZC = 7, 8, 9
+C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2 = 10, 11, 12, 13, 14, 15
+C_VCP0, C_VCP1, C_VCP2 = 16, 17, 18
+C_SH = 19                      # 19..27: shade corner-major (r,g,b)x3
+C_TID, C_FLAGS = 28, 29
+N_COLS = 32
+
+# ctrl column layout (i32, SMEM).
+K_XLO, K_XHI, K_YLO, K_YHI, K_YB0, K_NBLK, K_G0, K_NG = 0, 1, 2, 3, 4, 5, 6, 7
+K_TID, K_KEY, K_COUNT = 8, 9, 10
+N_CTRL = 16
+
+FLAG_DITHER = 1
+FLAG_BT = 2
+
+
+def _lane_take(operand, lane_idx):
+    """take_along_axis(operand, idx, axis=1) with i32 indices (Mosaic's
+    fast dynamic-gather unit; see ops/gather_pallas.py)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return jax.lax.gather(
+        operand, lane_idx[..., None].astype(_I32), dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _wrap01(x):
+    """Texture15 UV wrap (pixel.py wrap / types.rs:671-681): fmod into
+    [0,1), negatives shifted, NaN -> 0.  x - trunc(x) is IEEE-exact and
+    equals fmod(x, 1.0)."""
+    r = x - jnp.trunc(x)
+    r = jnp.where(r < 0, r + _F32(1.0), r)
+    return jnp.where(jnp.isnan(r), _F32(0.0), r)
+
+
+def _u8_trunc_sat(x):
+    """Rust `f32 as u8` (pixel.py u8_trunc_sat)."""
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    return jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(_I32)
+
+
+def _interp3(bc_x, bc_y, bc_z, a0, a1, a2):
+    return (bc_x * a0 + bc_y * a1) + bc_z * a2
+
+
+def _dither_offsets(xi, yi):
+    """PS1_DITHER_MATRIX[y & 3][x & 3] as a 16-way select (in-kernel —
+    table gathers are not worth it for a 4x4 constant)."""
+    sel = ((yi & 3) << 2) | (xi & 3)
+    m = col.PS1_DITHER_MATRIX.reshape(-1)
+    out = jnp.zeros_like(xi)
+    for k in range(16):
+        out = jnp.where(sel == k, _I32(int(m[k])), out)
+    return out
+
+
+class BatchPrep(NamedTuple):
+    """Per-instance XLA prepass products."""
+
+    count: jnp.ndarray    # (1,) i32 — number of compacted opaque faces
+    ctrl: jnp.ndarray     # (Tp, N_CTRL) i32
+    fscal: jnp.ndarray    # (Tp, 16) f32 — phase-1 scalar columns
+    attrsT: jnp.ndarray   # (N_COLS, G, 128) f32 — resolve table
+
+
+def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
+                  width: int, height: int, t_pad: int) -> BatchPrep:
+    """Cull + bbox + compact one instance's surfaces for the kernel.
+
+    Replicates raster_fast's routing: opaque = valid & ~has_transparency;
+    keyable needs a texture sample during visibility (render.rs:1588).
+    bbox ints follow _edge_setup exactly.
+    """
+    sx, sy = surfaces.sx, surfaces.sy
+    v1x, v2x, v3x = sx[:, 0], sx[:, 1], sx[:, 2]
+    v1y, v2y, v3y = sy[:, 0], sy[:, 1], sy[:, 2]
+
+    min_xf = jnp.maximum(jnp.minimum(jnp.minimum(v1x, v2x), v3x), 0.0)
+    max_xf = jnp.minimum(jnp.maximum(jnp.maximum(v1x, v2x), v3x) + 1.0,
+                         _F32(width))
+    min_yf = jnp.maximum(jnp.minimum(jnp.minimum(v1y, v2y), v3y), 0.0)
+    max_yf = jnp.minimum(jnp.maximum(jnp.maximum(v1y, v2y), v3y) + 1.0,
+                         _F32(height))
+    x_lo = jnp.trunc(min_xf).astype(_I32)
+    x_hi = jnp.maximum(jnp.trunc(max_xf).astype(_I32), 0)
+    y_lo = jnp.trunc(min_yf).astype(_I32)
+    y_hi = jnp.maximum(jnp.trunc(max_yf).astype(_I32), 0)
+
+    degenerate = jnp.abs(surfaces.area) < 0.00001
+    nan_box = jnp.isnan(min_xf) | jnp.isnan(max_xf) | jnp.isnan(min_yf) \
+        | jnp.isnan(max_yf)
+    opaque = surfaces.valid & ~surfaces.has_transparency
+    keep = (opaque & ~degenerate & ~nan_box
+            & (x_hi > x_lo) & (y_hi > y_lo))
+
+    safe_tid = jnp.maximum(surfaces.tex_id, 0)
+    keyable = ((surfaces.tex_id >= 0) & surfaces.black_transparent
+               & atlas.has_black[safe_tid] & surfaces.key_possible)
+
+    yb0 = (y_lo >> 3) << 3
+    nblk = (y_hi - yb0 + (WB - 1)) >> 3
+    g0 = x_lo >> 7
+    ng = ((x_hi - 1) >> 7) - g0 + 1
+
+    a0 = v2y - v3y
+    b0 = v3x - v2x
+    a1 = v3y - v1y
+    b1 = v1x - v3x
+
+    iz = surfaces.inv_z
+    uv = surfaces.uv
+    vc = surfaces.vc
+    vcp = (vc[:, :, 0] + (vc[:, :, 1] << 8) + (vc[:, :, 2] << 16)).astype(_F32)
+    sh = surfaces.shade.reshape(sh0 := surfaces.shade.shape[0], 9)
+    flags = (jnp.where(surfaces.needs_dither, FLAG_DITHER, 0)
+             | jnp.where(surfaces.black_transparent, FLAG_BT, 0))
+
+    attrs = jnp.stack([
+        v3x, v3y, a0, b0, a1, b1, surfaces.inv_area,
+        iz[:, 0], iz[:, 1], iz[:, 2],
+        uv[:, 0, 0], uv[:, 0, 1], uv[:, 1, 0], uv[:, 1, 1],
+        uv[:, 2, 0], uv[:, 2, 1],
+        vcp[:, 0], vcp[:, 1], vcp[:, 2],
+        sh[:, 0], sh[:, 1], sh[:, 2], sh[:, 3], sh[:, 4], sh[:, 5],
+        sh[:, 6], sh[:, 7], sh[:, 8],
+        surfaces.tex_id.astype(_F32), flags.astype(_F32),
+        jnp.zeros_like(v3x), jnp.zeros_like(v3x),
+    ], axis=1)  # (T, N_COLS)
+
+    ctrl_f = jnp.stack([
+        x_lo, x_hi, y_lo, y_hi, yb0, nblk, g0, ng,
+        surfaces.tex_id, jnp.where(keyable, 1, 0),
+    ], axis=1).astype(_F32)  # (T, 10)
+
+    # Exact one-hot compaction (preserves face order => draw order).
+    keep_i = keep.astype(_I32)
+    pos = jnp.cumsum(keep_i) - keep_i
+    dest = jnp.arange(t_pad, dtype=_I32)
+    m = ((pos[None, :] == dest[:, None]) & keep[None, :]).astype(_F32)
+    hi = jax.lax.Precision.HIGHEST
+    attrs_c = jnp.einsum("pt,tc->pc", m, attrs, precision=hi)
+    ctrl_c = jnp.einsum("pt,tc->pc", m, ctrl_f, precision=hi).astype(_I32)
+    count = jnp.sum(keep_i)
+    pad_cols = jnp.zeros((t_pad, N_CTRL - ctrl_c.shape[1]), _I32)
+    pad_cols = pad_cols.at[:, 0].set(count)   # K_COUNT broadcast per row
+    ctrl_c = jnp.concatenate([ctrl_c, pad_cols], axis=1)
+    count = count[None]
+
+    g = t_pad // 128
+    attrs_t = attrs_c.T.reshape(N_COLS, g, 128)
+    return BatchPrep(count=count, ctrl=ctrl_c, fscal=attrs_c[:, :16],
+                     attrsT=attrs_t)
+
+
+def _make_kernel(settings: RasterSettings, width: int, height: int,
+                 t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
+                 debug: str = ""):
+    """Build the fused visibility+resolve kernel for static config."""
+    ng_total = -(-width // 128)
+    gh = ng_total * height
+    groups = t_pad // 128
+    n_chunks = gh // CH
+    chunks_per_g = height // CH
+    affine = settings.affine_textures
+    shading = settings.shading
+
+    def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
+               texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
+               fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr):
+        count = ctrl_ref[0, 0, K_COUNT]
+        depth_ref[0] = fbd_ref[0]
+        idx_scr[:] = jnp.full((gh, 128), -1, _I32)
+
+        sub8 = jax.lax.broadcasted_iota(_I32, (WB, 128), 0)
+        lane8 = jax.lax.broadcasted_iota(_I32, (WB, 128), 1)
+
+        # ---- PHASE 1: visibility over compacted faces ----
+        def face_body(f, carry):
+            x_lo = ctrl_ref[0, f, K_XLO]
+            x_hi = ctrl_ref[0, f, K_XHI]
+            y_lo = ctrl_ref[0, f, K_YLO]
+            y_hi = ctrl_ref[0, f, K_YHI]
+            yb0 = ctrl_ref[0, f, K_YB0]
+            nblk = ctrl_ref[0, f, K_NBLK]
+            g0 = ctrl_ref[0, f, K_G0]
+            ngr = ctrl_ref[0, f, K_NG]
+            tid = ctrl_ref[0, f, K_TID]
+            keyable = ctrl_ref[0, f, K_KEY]
+
+            v3x = fscal_ref[0, f, C_V3X]
+            v3y = fscal_ref[0, f, C_V3Y]
+            a0 = fscal_ref[0, f, C_A0]
+            b0 = fscal_ref[0, f, C_B0]
+            a1 = fscal_ref[0, f, C_A1]
+            b1 = fscal_ref[0, f, C_B1]
+            ia = fscal_ref[0, f, C_IA]
+            iza = fscal_ref[0, f, C_IZA]
+            izb = fscal_ref[0, f, C_IZB]
+            izc = fscal_ref[0, f, C_IZC]
+
+            def block(g, k):
+                yb = yb0 + k * WB
+                row0 = pl.multiple_of(g * height + yb, WB)
+                xi = lane8 + (g << 7)
+                yi = sub8 + yb
+                px = xi.astype(_F32)
+                py = yi.astype(_F32)
+                dx = px - v3x
+                dy = py - v3y
+                w0 = a0 * dx + b0 * dy
+                w1 = a1 * dx + b1 * dy
+                bcx = w0 * ia
+                bcy = w1 * ia
+                bcz = (1.0 - bcx) - bcy
+                err = _F32(-0.0001)
+                cov = ((bcx >= err) & (bcy >= err) & (bcz >= err)
+                       & (xi >= x_lo) & (xi < x_hi)
+                       & (yi >= y_lo) & (yi < y_hi))
+                izi = (bcx * iza + bcy * izb) + bcz * izc
+                return row0, cov, izi, bcx, bcy, bcz
+
+            def merge(row0, cov, izi):
+                win = depth_ref[0, pl.ds(row0, WB), :]
+                better = cov & (izi > win)
+                depth_ref[0, pl.ds(row0, WB), :] = jnp.where(better, izi, win)
+                iw = idx_scr[pl.ds(row0, WB), :]
+                idx_scr[pl.ds(row0, WB), :] = jnp.where(better, f, iw)
+
+            def blk_clean(q, carry):
+                g = g0 + jax.lax.div(q, nblk)
+                k = jax.lax.rem(q, nblk)
+                row0, cov, izi, _, _, _ = block(g, k)
+                merge(row0, cov, izi)
+                return carry
+
+            def blk_keyed(q, carry):
+                g = g0 + jax.lax.div(q, nblk)
+                k = jax.lax.rem(q, nblk)
+                row0, cov, izi, bcx, bcy, bcz = block(g, k)
+                # UV at pixel (render.rs:1563-1579) + keying bit
+                u0 = fscal_ref[0, f, C_U0]
+                vv0 = fscal_ref[0, f, C_VV0]
+                u1 = fscal_ref[0, f, C_U1]
+                vv1 = fscal_ref[0, f, C_VV1]
+                u2 = fscal_ref[0, f, C_U2]
+                vv2 = fscal_ref[0, f, C_VV2]
+                if affine:
+                    u = _interp3(bcx, bcy, bcz, u0, u1, u2)
+                    v = _interp3(bcx, bcy, bcz, vv0, vv1, vv2)
+                else:
+                    u_oz = ((bcx * u0) * iza + (bcy * u1) * izb) \
+                        + (bcz * u2) * izc
+                    v_oz = ((bcx * vv0) * iza + (bcy * vv1) * izb) \
+                        + (bcz * vv2) * izc
+                    safe = jnp.where(izi == 0, _F32(1.0), izi)
+                    u = u_oz / safe
+                    v = v_oz / safe
+                tw = texmeta_ref[0, tid]
+                th = texmeta_ref[1, tid]
+                vf = _F32(1.0) - v
+                tx = jnp.minimum(
+                    jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32),
+                    tw - 1)
+                ty = jnp.minimum(
+                    jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32),
+                    th - 1)
+                rel = ty * tw + tx
+                widx = rel >> 5
+                word = jnp.zeros((WB, 128), _I32)
+                for rr in range(key_wrows):
+                    krow = keyrows_ref[tid, rr, :]
+                    sel = _lane_take(
+                        jnp.broadcast_to(krow[None, :], (WB, 128)),
+                        widx & 127)
+                    word = jnp.where((widx >> 7) == rr, sel, word)
+                keyed = ((word >> (rel & 31)) & 1) != 0
+                merge(row0, cov & ~keyed, izi)
+                return carry
+
+            @pl.when(keyable == 0)
+            def _():
+                jax.lax.fori_loop(0, ngr * nblk, blk_clean, jnp.int32(0))
+
+            @pl.when(keyable != 0)
+            def _():
+                jax.lax.fori_loop(0, ngr * nblk, blk_keyed, jnp.int32(0))
+            return carry
+
+        if "novis" not in debug:
+            jax.lax.fori_loop(0, count, face_body, jnp.int32(0))
+
+        # ---- PHASE 2: resolve + pixel pipeline, chunked ----
+        if "nophase2" in debug:
+            color_ref[0] = fbc_ref[0]
+            return
+        ngroups = jnp.maximum((count + 127) >> 7, 1)
+
+        if shading == ShadingMode.GOURAUD:
+            sh_cols = list(range(C_SH, C_SH + 9))
+        elif shading == ShadingMode.FLAT:
+            sh_cols = [C_SH, C_SH + 1, C_SH + 2]
+        else:
+            sh_cols = []
+        cols = ([C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA]
+                + ([] if affine else [C_IZA, C_IZB, C_IZC])
+                + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2,
+                   C_VCP0, C_VCP1, C_VCP2]
+                + sh_cols + [C_TID, C_FLAGS])
+
+        lane_iota3 = jax.lax.broadcasted_iota(_I32, (CH, 128, 128), 2)
+        ra_iota = jax.lax.broadcasted_iota(_I32, (CH, 128, atlas_rows), 2)
+
+        for c in range(n_chunks):
+            g = c // chunks_per_g
+            ybase = (c % chunks_per_g) * CH
+            r0 = c * CH
+            idx = idx_scr[r0:r0 + CH, :]
+            has = idx >= 0
+            idxs = jnp.maximum(idx, 0)
+            lanei = idxs & 127
+            grp = idxs >> 7
+
+            def gather_body(gg, carry, lanei=lanei, grp=grp):
+                out = []
+                for ci, cc in enumerate(cols):
+                    row = attrsT_ref[0, cc, gg, :]
+                    sel = _lane_take(
+                        jnp.broadcast_to(row[None, :], (CH, 128)), lanei)
+                    out.append(jnp.where(grp == gg, sel, carry[ci]))
+                return tuple(out)
+
+            vals = jax.lax.fori_loop(
+                0, ngroups, gather_body,
+                tuple(jnp.zeros((CH, 128), _F32) for _ in cols))
+            a = dict(zip(cols, vals))
+
+            xi = jax.lax.broadcasted_iota(_I32, (CH, 128), 1) + (g << 7)
+            yi = jax.lax.broadcasted_iota(_I32, (CH, 128), 0) + ybase
+            px = xi.astype(_F32)
+            py = yi.astype(_F32)
+            dx = px - a[C_V3X]
+            dy = py - a[C_V3Y]
+            w0 = a[C_A0] * dx + a[C_B0] * dy
+            w1 = a[C_A1] * dx + a[C_B1] * dy
+            bcx = w0 * a[C_IA]
+            bcy = w1 * a[C_IA]
+            bcz = (1.0 - bcx) - bcy
+
+            if affine:
+                u = _interp3(bcx, bcy, bcz, a[C_U0], a[C_U1], a[C_U2])
+                v = _interp3(bcx, bcy, bcz, a[C_VV0], a[C_VV1], a[C_VV2])
+            else:
+                izi = depth_ref[0, pl.ds(r0, CH), :]
+                u_oz = ((bcx * a[C_U0]) * a[C_IZA]
+                        + (bcy * a[C_U1]) * a[C_IZB]) \
+                    + (bcz * a[C_U2]) * a[C_IZC]
+                v_oz = ((bcx * a[C_VV0]) * a[C_IZA]
+                        + (bcy * a[C_VV1]) * a[C_IZB]) \
+                    + (bcz * a[C_VV2]) * a[C_IZC]
+                safe = jnp.where(izi == 0, _F32(1.0), izi)
+                u = u_oz / safe
+                v = v_oz / safe
+
+            tid = a[C_TID].astype(_I32)
+            textured = tid >= 0
+            tids = jnp.maximum(tid, 0)
+            tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
+                                             (CH, 128)), tids)
+            th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
+                                             (CH, 128)), tids)
+            toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
+                                               (CH, 128)), tids)
+            vf = _F32(1.0) - v
+            tx = jnp.minimum(
+                jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
+            ty = jnp.minimum(
+                jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
+            flat = toff + ty * tw + tx
+            trow = flat >> 7
+            tlane = flat & 127
+            oh = (trow[..., None] == ra_iota).astype(_BF16)
+            lo = jax.lax.dot_general(
+                oh, texlo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+            hiw = jax.lax.dot_general(
+                oh, texhi_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=_F32)
+            tv = lo + hiw * 256.0
+            texel = jnp.sum(
+                jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
+                axis=2).astype(_I32)
+
+            flags = a[C_FLAGS].astype(_I32)
+            bt = (flags & FLAG_BT) != 0
+            ndith = (flags & FLAG_DITHER) != 0
+
+            c15 = jnp.where(textured, texel, _I32(col.WHITE))
+            is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
+                & (col.b5(c15) == 0)
+            is_transp = c15 == 0
+            keyed_out = is_black & bt & textured
+            c15 = jnp.where(is_transp & ~bt, _I32(col.BLACK_DRAWABLE), c15)
+
+            tex_r8 = col.expand_5_to_8(col.r5(c15))
+            tex_g8 = col.expand_5_to_8(col.g5(c15))
+            tex_b8 = col.expand_5_to_8(col.b5(c15))
+
+            def unpack_vc(packed):
+                p = packed.astype(_I32)
+                return (p & 255, (p >> 8) & 255, (p >> 16) & 255)
+
+            vc0 = unpack_vc(a[C_VCP0])
+            vc1 = unpack_vc(a[C_VCP1])
+            vc2 = unpack_vc(a[C_VCP2])
+            vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                        vc0[0].astype(_F32),
+                                        vc1[0].astype(_F32),
+                                        vc2[0].astype(_F32)))
+            vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                        vc0[1].astype(_F32),
+                                        vc1[1].astype(_F32),
+                                        vc2[1].astype(_F32)))
+            vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                        vc0[2].astype(_F32),
+                                        vc1[2].astype(_F32),
+                                        vc2[2].astype(_F32)))
+
+            # modulate8 ((tex*vc)//128, render.rs:1624): operands are
+            # nonnegative u8 so the floor-div is a shift (Mosaic's
+            # floor_divide lowering recurses — avoid // in-kernel).
+            mod_r8 = jnp.minimum((tex_r8 * vr) >> 7, 255)
+            mod_g8 = jnp.minimum((tex_g8 * vg) >> 7, 255)
+            mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
+
+            if shading == ShadingMode.NONE:
+                sh_r = sh_g = sh_b = jnp.ones((CH, 128), _F32)
+            elif shading == ShadingMode.FLAT:
+                sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
+            else:
+                sh_r = _interp3(bcx, bcy, bcz, a[C_SH], a[C_SH + 3],
+                                a[C_SH + 6])
+                sh_g = _interp3(bcx, bcy, bcz, a[C_SH + 1], a[C_SH + 4],
+                                a[C_SH + 7])
+                sh_b = _interp3(bcx, bcy, bcz, a[C_SH + 2], a[C_SH + 5],
+                                a[C_SH + 8])
+
+            def apply_shade(m8, s):
+                return _u8_trunc_sat(jnp.minimum(
+                    m8.astype(_F32) * jnp.clip(s, 0.0, 2.0), 255.0))
+
+            shaded_r8 = apply_shade(mod_r8, sh_r)
+            shaded_g8 = apply_shade(mod_g8, sh_g)
+            shaded_b8 = apply_shade(mod_b8, sh_b)
+
+            offset = _dither_offsets(xi, yi)
+            r5v = jnp.where(ndith, col.dither_and_quantize8(shaded_r8, offset),
+                            shaded_r8 >> 3)
+            g5v = jnp.where(ndith, col.dither_and_quantize8(shaded_g8, offset),
+                            shaded_g8 >> 3)
+            b5v = jnp.where(ndith, col.dither_and_quantize8(shaded_b8, offset),
+                            shaded_b8 >> 3)
+
+            word = col.pack_rgba8(col.expand_5_to_8(r5v),
+                                  col.expand_5_to_8(g5v),
+                                  col.expand_5_to_8(b5v),
+                                  jnp.full((CH, 128), 255, _I32))
+            drawn = has & ~keyed_out
+            bg = fbc_ref[0, pl.ds(r0, CH), :]
+            color_ref[0, pl.ds(r0, CH), :] = jnp.where(drawn, word, bg)
+
+    return kernel, gh, groups
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "width", "height", "t_pad", "n_tex",
+                     "atlas_rows", "key_wrows", "interpret", "debug"))
+def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
+                    tex_lo, tex_hi, settings: RasterSettings,
+                    width: int, height: int, t_pad: int, n_tex: int,
+                    atlas_rows: int, key_wrows: int,
+                    interpret: bool = False, debug: str = ""):
+    """Run the fused kernel over the instance grid.
+
+    fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
+    carry a leading instance axis.  Returns (color, depth) in layout form.
+    """
+    n_inst = fbc.shape[0]
+    kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
+                                      n_tex, atlas_rows, key_wrows, debug)
+    grid = (n_inst,)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t_pad, N_CTRL), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_pad, 16), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N_COLS, groups, 128), lambda i: (i, i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tex, key_wrows, 128), lambda i: (i * 0, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 128), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((atlas_rows, 128), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((atlas_rows, 128), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_inst, gh, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_inst, gh, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((gh, 128), jnp.int32)],
+        interpret=interpret,
+    )(prep.ctrl, prep.fscal, prep.attrsT, keyrows, texmeta,
+      texmeta, tex_lo, tex_hi, fbc, fbd)
+    return out[0], out[1]
+
+
+def to_layout(a, width: int):
+    """(I, H, W) -> (I, NG*H, 128): width padded to NG lane groups."""
+    n_inst, h, w = a.shape
+    ngl = -(-width // 128)
+    pad = ngl * 128 - w
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+    return a.reshape(n_inst, h, ngl, 128).transpose(0, 2, 1, 3).reshape(
+        n_inst, ngl * h, 128)
+
+
+def from_layout(g, width: int, height: int):
+    """(I, NG*H, 128) -> (I, H, W)."""
+    n_inst = g.shape[0]
+    ngl = -(-width // 128)
+    return g.reshape(n_inst, ngl, height, 128).transpose(0, 2, 1, 3).reshape(
+        n_inst, height, ngl * 128)[..., :width]

@@ -122,14 +122,15 @@ def build_surfaces(mesh: MeshArrays, faces: FaceArrays, atlas: TextureAtlas,
     render_back = not settings.backface_cull or settings.xray_mode
     render_back_face = (faces.double_sided
                         if not render_back else jnp.ones_like(is_backface))
-    swap = is_backface & (render_back_face | render_back)
-    perm = jnp.where(swap[:, None],
-                     jnp.asarray([0, 2, 1], _I32)[None, :],
-                     jnp.asarray([0, 1, 2], _I32)[None, :])  # (T, 3)
+    swap = is_backface & (render_back_face | render_back)  # (T, 3)
 
     def permute(arr):
-        return jnp.take_along_axis(
-            arr, perm.reshape(perm.shape + (1,) * (arr.ndim - 2)), axis=1)
+        # corner swap (0,2,1) as a static reindex + select — take_along_axis
+        # promotes indices to i64 under x64, and i64 gathers scalarize on
+        # XLA:TPU (PLAN_PERF.md item 1).
+        swapped = arr[:, jnp.asarray([0, 2, 1], _I32)]
+        mask = swap.reshape(swap.shape + (1,) * (arr.ndim - 1))
+        return jnp.where(mask, swapped, arr)
 
     sx = permute(c_sx[..., None])[..., 0]
     sy = permute(c_sy[..., None])[..., 0]

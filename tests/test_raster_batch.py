@@ -1,0 +1,104 @@
+"""Batched flat-scene rasterizer (ops/raster_batch.py) vs the sequential
+per-room path (models/scene.py) — same level, same cameras, same settings.
+
+The batched path is the round-2 performance architecture (PLAN_PERF.md):
+one fused Pallas kernel over all instances, faces compacted and drawn
+sequentially with a strict-greater inverse-z test, then the static
+transparent list composited back-to-front.  Its output must equal the
+per-room reference path (`render_scene` semantics, scene.rs:180-261).
+
+Runs in Pallas interpret mode on CPU; on TPU hardware the same comparison
+was measured bit-exact (0 diffs color+depth, Cave, 4 instances).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bonnie32_tpu.config import RasterSettings, WIDTH, HEIGHT
+from bonnie32_tpu.models import level as L
+from bonnie32_tpu.models import scene as scene_mod
+from bonnie32_tpu.models import scene_flat
+from bonnie32_tpu.models import texture_pack as tp
+from bonnie32_tpu.ops import raster_ref
+from bonnie32_tpu.models import build
+
+LEVELS = "/root/reference/assets/samples/levels"
+PACKS = "/root/reference/assets/samples/texture-packs"
+
+
+def _seam_budget(npixels, n_inst):
+    # XLA:CPU contracts FMAs per fusion context; the two paths compile
+    # separately, so near-tie depth/coverage decisions on triangle seams
+    # can flip.  Bit-exact on TPU (no FMA contraction there).
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        return 0
+    return max(64 * n_inst, npixels // 500)
+
+
+@pytest.fixture(scope="module")
+def cave():
+    level = L.load_level(f"{LEVELS}/Cave.ron")
+    textures = tp.load_texture_packs(PACKS)
+    resolve = tp.make_resolver(textures)
+    flat, static = scene_flat.compile_level_flat(level, textures, resolve)
+    seq = scene_mod.compile_level(level, textures, resolve)
+    return level, flat, static, seq
+
+
+def _cams(level, n):
+    fi_pos = []
+    r0 = level.rooms[0]
+    for x, z, s in r0.iter_sectors():
+        if s.floor is not None:
+            px = float(r0.position[0]) + (x + 0.5) * 1024.0
+            pz = float(r0.position[2]) + (z + 0.5) * 1024.0
+            fi = level.get_floor_info((px, 0.0, pz))
+            fi_pos.append((px, fi.floor - 800.0, pz))
+            if len(fi_pos) >= n:
+                break
+    while len(fi_pos) < n:
+        fi_pos.append(fi_pos[-1])
+    cams = []
+    for i, p in enumerate(fi_pos):
+        basis = build.camera_basis(0.1 + 0.2 * i, 0.7 * i)
+        cams.append(build.make_camera(np.asarray(p, np.float32), basis))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def test_flat_equals_sequential_cave(cave):
+    level, flat, static, seq = cave
+    settings = RasterSettings.game()
+    assert scene_flat.kernel_path_ok(static, settings)
+
+    n = 2
+    cams = _cams(level, n)
+    fb0 = raster_ref.new_framebuffer(HEIGHT, WIDTH, depth_mode="inv")
+    fbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
+
+    out = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                       height=HEIGHT, width=WIDTH,
+                                       interpret=True)
+    ref = jax.vmap(lambda c: scene_mod.render_level(
+        fb0, seq, c, settings, depth_mode="fast"))(cams)
+
+    c_new = np.asarray(out.color)
+    c_ref = np.asarray(ref.color)
+    # scene must actually be visible (not an empty-frame vacuous pass)
+    drawn = (c_ref != c_ref.reshape(n, -1)[:, :1, None]).any(-1)
+    assert drawn.mean() > 0.2, "cameras should see the cave walls"
+    diff = (c_new != c_ref).any(-1)
+    budget = _seam_budget(diff.size, n)
+    assert diff.sum() <= budget, \
+        f"flat vs sequential: {diff.sum()} pixel diffs (budget {budget})"
+
+
+def test_flat_scene_has_transparent_faces_static(cave):
+    level, flat, static, seq = cave
+    # Cave has no transparent faces; the static list must reflect that and
+    # keep the kernel path eligible.
+    assert static.transparent_last
+    assert static.n_faces > 100
+    assert static.t_pad % 128 == 0
