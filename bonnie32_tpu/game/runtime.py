@@ -117,6 +117,44 @@ class FreeflyCamera:
                             basis=jnp.asarray(basis))
 
 
+def viewport_fb_size(settings: RasterSettings, rect_w: float,
+                     rect_h: float) -> Tuple[int, int]:
+    """Framebuffer size for the game viewport (renderer.rs:34-49).
+
+    stretch_to_fill keeps the vertical resolution fixed (240 or 480 per
+    `low_resolution`) and scales the width to the viewport aspect ratio;
+    otherwise the fixed 4:3 PS1 resolutions 320x240 / 640x480.
+    """
+    from ..config import WIDTH, HEIGHT, WIDTH_HI, HEIGHT_HI
+
+    if settings.stretch_to_fill:
+        base_h = HEIGHT if settings.low_resolution else HEIGHT_HI
+        scaled_w = int(base_h * (float(rect_w) / float(rect_h)))
+        return max(scaled_w, 1), base_h
+    if settings.low_resolution:
+        return WIDTH, HEIGHT
+    return WIDTH_HI, HEIGHT_HI
+
+
+def present_rect(settings: RasterSettings, fb_w: int, fb_h: int,
+                 rect_x: float, rect_y: float, rect_w: float,
+                 rect_h: float) -> Tuple[float, float, float, float]:
+    """Destination (x, y, w, h) for drawing the framebuffer into the
+    viewport (renderer.rs:183-199): full-rect in stretch mode, 4:3
+    letterbox/pillarbox otherwise (bars filled rgb(10,10,12))."""
+    if settings.stretch_to_fill:
+        return rect_x, rect_y, rect_w, rect_h
+    fb_aspect = float(fb_w) / float(fb_h)
+    rect_aspect = rect_w / rect_h
+    if fb_aspect > rect_aspect:
+        w = rect_w
+        h = rect_w / fb_aspect
+        return rect_x, rect_y + (rect_h - h) * 0.5, w, h
+    h = rect_h
+    w = rect_h * fb_aspect
+    return rect_x + (rect_w - w) * 0.5, rect_y, w, h
+
+
 class FrameLimiter:
     """main.rs:1640-1668 — sleep-then-spin frame pacing."""
 

@@ -237,7 +237,8 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
     )
 
 
-def build_atlas8(textures) -> "TextureAtlas8":
+def build_atlas8(textures, pad_data_to=None, pad_count_to=None
+                 ) -> "TextureAtlas8":
     """Pack 8-bit textures for the non-RGB555 path.
 
     `textures`: sequence of (rgba (h, w, 4) uint8, blend_mode).  Alpha-0
@@ -263,8 +264,18 @@ def build_atlas8(textures) -> "TextureAtlas8":
         blends.append(int(blend))
         chunks.append(word.reshape(-1).astype(np.int32))
         off += h * w
+    data = np.concatenate(chunks)
+    if pad_data_to is not None and data.size < pad_data_to:
+        data = np.concatenate([data,
+                               np.zeros(pad_data_to - data.size, np.int32)])
+    if pad_count_to is not None and len(offsets) < pad_count_to:
+        extra = pad_count_to - len(offsets)
+        offsets += [0] * extra
+        widths += [1] * extra
+        heights += [1] * extra
+        blends += [int(BlendMode.OPAQUE)] * extra
     return TextureAtlas8(
-        data=jnp.asarray(np.concatenate(chunks)),
+        data=jnp.asarray(data),
         offset=jnp.asarray(np.asarray(offsets, np.int32)),
         width=jnp.asarray(np.asarray(widths, np.int32)),
         height=jnp.asarray(np.asarray(heights, np.int32)),

@@ -43,6 +43,36 @@ class CompiledScene(NamedTuple):
     a_atlas: TextureAtlas   # fields (D, ...): one texture per draw
     a_fog: Fog              # fields (D, ...): containing room's fog
     a_ambient: jnp.ndarray  # (D,) f32: containing room's ambient
+    # 8-bit path (use_rgb555=False, scene.rs:214-219 / :163-168); None
+    # unless compiled with with_8bit=True.
+    atlas8: "object" = None     # TextureAtlas8 — GLOBAL (untrimmed)
+    tex_map: "object" = None    # (R, NT) i32: per-room local -> global id
+    a_atlas8: "object" = None   # TextureAtlas8 fields (D, ...)
+
+
+def _rgba8_from_c15(c15: np.ndarray) -> np.ndarray:
+    """Color15 -> quantized RGBA8 exactly as to_raster_texture
+    (mesh_editor.rs:725-747): 5->8 expansion `(v<<3)|(v>>2)`, texel 0
+    (transparent / CLUT index 0) -> alpha 0 (ERASE)."""
+    r5 = (c15 >> 10) & 31
+    g5 = (c15 >> 5) & 31
+    b5 = c15 & 31
+    out = np.stack([((r5 << 3) | (r5 >> 2)).astype(np.uint8),
+                    ((g5 << 3) | (g5 >> 2)).astype(np.uint8),
+                    ((b5 << 3) | (b5 >> 2)).astype(np.uint8),
+                    np.where(c15 == 0, 0, 255).astype(np.uint8)], axis=-1)
+    return out
+
+
+def _tex_rgba8(entry) -> np.ndarray:
+    """8-bit view of a texture-table entry: the retained quantized PNG
+    source when available (PackTexture.rgba8, types.rs:876), else the
+    Color15 texels expanded 5->8."""
+    if not isinstance(entry, tuple) \
+            and getattr(entry, "rgba8", None) is not None:
+        return entry.rgba8
+    p15 = entry[0] if isinstance(entry, tuple) else entry.pixels15
+    return _rgba8_from_c15(np.asarray(p15, np.uint16))
 
 
 def _room_fog_params(room: Room):
@@ -137,11 +167,14 @@ def compile_level(level: Level, textures, resolve,
                   asset_library=None, user_textures=None,
                   pad_verts: Optional[int] = None,
                   pad_faces: Optional[int] = None,
-                  light_pad: int = 8) -> CompiledScene:
+                  light_pad: int = 8,
+                  with_8bit: bool = False) -> CompiledScene:
     """Emit all rooms (and placed asset parts) into stacked padded arrays.
 
     `textures`: sequence of PackTexture (or (pixels15, blend) tuples);
-    `resolve`: TextureRef -> (id, width) or None.
+    `resolve`: TextureRef -> (id, width) or None.  `with_8bit` also packs
+    the untrimmed global 8-bit atlas so render_level can dispatch on
+    `settings.use_rgb555` (scene.rs:214-219).
     """
     per_room = [room.to_render_data(resolve) for room in level.rooms]
     max_v = max((len(v) for v, _ in per_room), default=1)
@@ -156,6 +189,7 @@ def compile_level(level: Level, textures, resolve,
     for t in textures:
         tex_list.append(t if isinstance(t, tuple) else (t.pixels15, 0))
     room_tex_lists = []
+    room_used = []
     for _, faces in per_room:
         used = sorted({f["tex_id"] for f in faces
                        if f.get("tex_id") is not None and f["tex_id"] >= 0})
@@ -166,6 +200,7 @@ def compile_level(level: Level, textures, resolve,
             if f.get("tex_id") is not None and f["tex_id"] >= 0:
                 f["tex_id"] = remap[f["tex_id"]]
         room_tex_lists.append([tex_list[g] for g in used])
+        room_used.append(used)
 
     meshes, face_arrays = [], []
     for room_i, (verts, faces) in enumerate(per_room):
@@ -312,11 +347,30 @@ def compile_level(level: Level, textures, resolve,
         cull_distance=jnp.asarray(np.array([f[3] for f in a_fogs], F32)),
         color=jnp.asarray(np.array([f[4] for f in a_fogs], np.int32)),
     )
+    atlas8 = tex_map = a_atlas8 = None
+    if with_8bit:
+        # Global untrimmed 8-bit atlas + per-room local->global id map
+        # (the reference's 8-bit branch samples the full texture list,
+        # scene.rs:214-219); asset draws expand their baked Texture15
+        # exactly like to_raster_texture (mesh_editor.rs:725-747).
+        atlas8 = build.build_atlas8(
+            [(_tex_rgba8(t), 0) for t in textures]
+            or [(np.full((1, 1, 4), 255, np.uint8), 0)])
+        tm = np.zeros((len(room_used) or 1, nt_max), np.int32)
+        for i, used in enumerate(room_used):
+            tm[i, :len(used)] = used
+        tex_map = jnp.asarray(tm)
+        aa8 = [build.build_atlas8([(_rgba8_from_c15(np.asarray(t, np.uint16)),
+                                    0)], pad_data_to=aa_max, pad_count_to=1)
+               for _, _, t, _, _, _ in draws]
+        a_atlas8 = stack(aa8)
+
     return CompiledScene(mesh=mesh, faces=faces, atlas=atlas, fog=fog,
                          ambient=ambient, lights=lights,
                          a_mesh=a_mesh, a_faces=a_faces, a_atlas=a_atlas,
                          a_fog=a_fog,
-                         a_ambient=jnp.asarray(np.array(a_amb, F32)))
+                         a_ambient=jnp.asarray(np.array(a_amb, F32)),
+                         atlas8=atlas8, tex_map=tex_map, a_atlas8=a_atlas8)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "depth_mode"))
@@ -324,7 +378,16 @@ def render_level(fb: FrameBuffers, scene: CompiledScene,
                  camera: CameraArrays, settings: RasterSettings,
                  depth_mode: str = "fast") -> FrameBuffers:
     """render_scene (scene.rs:180-261): sequential rooms (each with its own
-    ambient + fog), then placed asset parts, into one framebuffer."""
+    ambient + fog), then placed asset parts, into one framebuffer.
+
+    Dispatches on `settings.use_rgb555` (scene.rs:214-219): the False
+    branch runs the full-8-bit pipeline (render_mesh, no fog) and needs a
+    scene compiled with `with_8bit=True`."""
+    if not settings.use_rgb555:
+        if scene.atlas8 is None:
+            raise ValueError(
+                "use_rgb555=False needs compile_level(..., with_8bit=True)")
+        return _render_level8(fb, scene, camera, settings, depth_mode)
     n_rooms = scene.ambient.shape[0]
 
     def room_body(i, fb):
@@ -348,5 +411,42 @@ def render_level(fb: FrameBuffers, scene: CompiledScene,
         lights = scene.lights._replace(ambient=scene.a_ambient[i])
         return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
                               fog, settings, depth_mode=depth_mode)
+
+    return jax.lax.fori_loop(0, n_draws, draw_body, fb)
+
+
+def _render_level8(fb: FrameBuffers, scene: CompiledScene,
+                   camera: CameraArrays, settings: RasterSettings,
+                   depth_mode: str) -> FrameBuffers:
+    """use_rgb555=False branch: 8-bit pipeline against the untrimmed global
+    atlas (scene.rs:216-218 `render_mesh(...)` — fog is 15-bit-only)."""
+    from ..ops.raster8 import render_mesh8
+    from ..types import no_fog
+
+    n_rooms = scene.ambient.shape[0]
+    fog0 = no_fog()
+
+    def room_body(i, fb):
+        mesh = jax.tree_util.tree_map(lambda x: x[i], scene.mesh)
+        faces = jax.tree_util.tree_map(lambda x: x[i], scene.faces)
+        tm = scene.tex_map[i]
+        tid = faces.tex_id
+        faces = faces._replace(
+            tex_id=jnp.where(tid >= 0, tm[jnp.maximum(tid, 0)], tid))
+        lights = scene.lights._replace(ambient=scene.ambient[i])
+        return render_mesh8(fb, mesh, faces, scene.atlas8, camera, lights,
+                            fog0, settings)
+
+    fb = jax.lax.fori_loop(0, n_rooms, room_body, fb)
+
+    n_draws = scene.a_ambient.shape[0]
+
+    def draw_body(i, fb):
+        mesh = jax.tree_util.tree_map(lambda x: x[i], scene.a_mesh)
+        faces = jax.tree_util.tree_map(lambda x: x[i], scene.a_faces)
+        atlas8 = jax.tree_util.tree_map(lambda x: x[i], scene.a_atlas8)
+        lights = scene.lights._replace(ambient=scene.a_ambient[i])
+        return render_mesh8(fb, mesh, faces, atlas8, camera, lights,
+                            fog0, settings)
 
     return jax.lax.fori_loop(0, n_draws, draw_body, fb)

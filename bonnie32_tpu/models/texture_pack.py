@@ -17,9 +17,13 @@ import numpy as np
 
 
 class PackTexture:
-    def __init__(self, name: str, pixels15: np.ndarray):
+    def __init__(self, name: str, pixels15: np.ndarray,
+                 rgba8: Optional[np.ndarray] = None):
         self.name = name
         self.pixels15 = pixels15  # (h, w) uint16 Color15
+        # 8-bit quantized source (types.rs:876 quantize_15bit masks &0xF8;
+        # alpha kept) — consumed by the non-RGB555 path (render_mesh).
+        self.rgba8 = rgba8        # (h, w, 4) uint8, or None
 
     @property
     def width(self) -> int:
@@ -43,16 +47,31 @@ def png_to_color15(path) -> np.ndarray:
     return np.where(arr[..., 3] == 0, np.uint16(0), c15.astype(np.uint16))
 
 
+def load_png_pack_texture(path) -> PackTexture:
+    """PNG -> PackTexture with both views: Color15 (alpha-0 -> 0x0000) and
+    the quantized 8-bit original (channels masked &0xF8, types.rs:876)."""
+    from PIL import Image
+
+    name = os.path.splitext(os.path.basename(path))[0]
+    img = Image.open(path).convert("RGBA")
+    arr8 = np.asarray(img, np.uint8)
+    arr = arr8.astype(np.uint16)
+    r5 = arr[..., 0] >> 3
+    g5 = arr[..., 1] >> 3
+    b5 = arr[..., 2] >> 3
+    c15 = ((r5 << 10) | (g5 << 5) | b5).astype(np.uint16)
+    c15 = np.where(arr[..., 3] == 0, np.uint16(0), c15)
+    rgba8 = arr8.copy()
+    rgba8[..., :3] &= 0xF8
+    return PackTexture(name, c15, rgba8=rgba8)
+
+
 def load_texture_pack(pack_dir) -> List[PackTexture]:
     """One pack directory, PNGs sorted by path (texture_pack.rs:16-50)."""
-    out = []
     paths = sorted(
         os.path.join(pack_dir, f) for f in os.listdir(pack_dir)
         if f.lower().endswith(".png"))
-    for p in paths:
-        name = os.path.splitext(os.path.basename(p))[0]
-        out.append(PackTexture(name, png_to_color15(p)))
-    return out
+    return [load_png_pack_texture(p) for p in paths]
 
 
 def load_texture_packs(root, pack_names: Optional[Sequence[str]] = None

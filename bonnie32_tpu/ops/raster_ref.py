@@ -5,8 +5,8 @@ render.rs:1440-1714`) and the two-pass DRAW phase (render.rs:2547-2570) as a
 `lax.fori_loop` over surfaces in draw order, each iteration evaluating the
 triangle over the whole framebuffer with masks.  O(T * H * W) — this is the
 *correctness* path (bit-exact vs the scalar golden model for the PS1
-fixed-point pipeline); the throughput path lives in raster_fast.py /
-raster_pallas.py.
+fixed-point pipeline); the throughput paths live in raster_fast.py (XLA
+visibility reduction) and raster_batch.py (fused Pallas kernel).
 
 Depth handling: `depth_mode`
   * "harmonic": buffer stores z = 1/interp(1/z) recomputed per pixel with a

@@ -31,15 +31,37 @@ class RolloutEnv(NamedTuple):
     sky: "object"              # ops.skybox.SkyTables, or None (no skybox);
                                # None vs not-None is part of the pytree
                                # STRUCTURE, so jitted code can branch on it
+    flat: "object" = None      # models.scene_flat.FlatScene, or None
+    flat_static: "object" = None  # FlatSceneStatic (hashable, static facts)
+
+
+# flat_static is compile-time data (face counts, pad sizes, transparent
+# list) — keep it out of the traced leaves so jit can specialize on it.
+jax.tree_util.register_pytree_node(
+    RolloutEnv,
+    lambda e: ((e.scene, e.grid, e.params, e.sky, e.flat),
+               (e.flat_static,)),
+    lambda aux, ch: RolloutEnv(*ch, flat_static=aux[0]),
+)
 
 
 def build_env(level: Level, textures, resolve, light_specs=None,
-              asset_library=None, user_textures=None) -> RolloutEnv:
+              asset_library=None, user_textures=None,
+              flat: bool = False) -> RolloutEnv:
+    """`flat=True` additionally compiles the level for the batched Pallas
+    kernel path (models/scene_flat.py) — the throughput configuration used
+    by bench.py on real TPU hardware."""
     from .models.skybox import Skybox
+    from .models import scene_flat
     from .ops import skybox as sky_ops
 
     sky_cfg = Skybox.from_ron(level.skybox) if level.skybox else None
     sky = sky_ops.build_sky_tables(sky_cfg) if sky_cfg else None
+    fscene = fstatic = None
+    if flat:
+        fscene, fstatic = scene_flat.compile_level_flat(
+            level, textures, resolve, light_specs=light_specs,
+            asset_library=asset_library, user_textures=user_textures)
     return RolloutEnv(
         scene=scene_mod.compile_level(level, textures, resolve,
                                       light_specs=light_specs,
@@ -48,6 +70,8 @@ def build_env(level: Level, textures, resolve, light_specs=None,
         grid=col.compile_collision(level),
         params=col.player_params(level),
         sky=sky,
+        flat=fscene,
+        flat_static=fstatic,
     )
 
 
@@ -76,6 +100,24 @@ def step_and_render(states: st.GameState, env: RolloutEnv,
 
     n = states.alive.shape[0]
 
+    from .models import scene_flat
+    from .ops import raster_batch as rb
+    if (env.flat is not None and env.flat_static is not None
+            and (height * -(-width // 128)) % rb.CH == 0
+            and scene_flat.kernel_path_ok(env.flat_static, settings)):
+        fb0 = raster_ref.new_framebuffer(height, width, depth_mode="inv")
+        fbs = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
+        if env.sky is not None:
+            from .ops import skybox as sky_ops
+            fbs = jax.vmap(
+                lambda fb, c: sky_ops.render_skybox(fb, env.sky, c))(fbs, cams)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        fbs = scene_flat.render_level_flat(fbs, env.flat, env.flat_static,
+                                           cams, settings, height=height,
+                                           width=width, interpret=interpret)
+        return states, fbs
+
     def render_one(cam):
         fb = raster_ref.new_framebuffer(height, width, depth_mode="inv")
         if env.sky is not None:
@@ -97,7 +139,8 @@ def step_and_render(states: st.GameState, env: RolloutEnv,
     return states, fbs
 
 
-def demo_env(level_path="/root/reference/assets/samples/levels/Cave.ron"):
+def demo_env(level_path="/root/reference/assets/samples/levels/Cave.ron",
+             flat: bool = False):
     """Convenience: Cave level + all sample packs."""
     from .models import level as L
 
@@ -105,7 +148,7 @@ def demo_env(level_path="/root/reference/assets/samples/levels/Cave.ron"):
     textures = tp.load_texture_packs(
         "/root/reference/assets/samples/texture-packs")
     resolve = tp.make_resolver(textures)
-    env = build_env(level, textures, resolve)
+    env = build_env(level, textures, resolve, flat=flat)
     # first sector with a floor = spawn
     r0 = level.rooms[0]
     spawn = None
