@@ -91,11 +91,49 @@ def _row_tables(song: Song):
     return pitch, vol, inst, start, reverb_rows
 
 
+def _sf2_channel_signal(sf, song, pitch, vol, inst, start, c, n,
+                        rows_per_sec, sample_rate):
+    """One channel's note stream through the SoundFont synth."""
+    from . import sf2_synth
+
+    n_rows = pitch.shape[0]
+    events = []
+    r = 0
+    while r < n_rows:
+        if pitch[r, c] >= 0 and start[r, c] == r:
+            # note starts at row r; key held until pitch/start changes
+            r2 = r + 1
+            while r2 < n_rows and pitch[r2, c] == pitch[r, c] \
+                    and start[r2, c] == r:
+                r2 += 1
+            f0 = int(r / rows_per_sec * sample_rate)
+            f_off = int(r2 / rows_per_sec * sample_rate)
+            f_end = min(f_off + sample_rate, n)   # <=1s release tail
+            events.append(sf2_synth.NoteEvent(
+                start_frame=f0, off_frame=f_off, end_frame=f_end,
+                key=int(pitch[r, c]), vel=int(max(min(vol[r, c], 127), 1)),
+                bank=0, program=int(inst[r, c])))
+            r = r2
+        else:
+            r += 1
+    return sf2_synth.render_events(sf, events, n, sample_rate)
+
+
 def render_song(song: Song, seconds: Optional[float] = None,
                 sample_rate: int = SAMPLE_RATE,
                 apply_reverb: bool = True,
-                apply_resampler: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-    """Render the song's arrangement to stereo f32 PCM."""
+                apply_resampler: bool = True,
+                soundfont=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Render the song's arrangement to stereo f32 PCM.
+
+    `soundfont`: an audio.sf2.SoundFont (or path / bytes) — when given,
+    notes play through the sample-based SF2 synthesizer exactly like the
+    reference's rustysynth path (audio.rs:516); otherwise the documented
+    oscillator fallback below is used."""
+    if soundfont is not None:
+        from . import sf2 as sf2_mod
+        if not isinstance(soundfont, sf2_mod.SoundFont):
+            soundfont = sf2_mod.load(soundfont)
     pitch, vol, inst, start, _ = _row_tables(song)
     n_rows, n_ch = pitch.shape
     if n_rows == 0:
@@ -121,6 +159,18 @@ def render_song(song: Song, seconds: Optional[float] = None,
         p = pitch[row_idx, c]
         active = p >= 0
         if not active.any():
+            continue
+        if soundfont is not None:
+            sl, sr_ = _sf2_channel_signal(soundfont, song, pitch, vol,
+                                          inst, start, c, n, rows_per_sec,
+                                          sample_rate)
+            expr = exprs[c] / 127.0
+            pan = pans[c] / 127.0
+            # channel pan/expression (CC10/CC11, audio.rs program setup)
+            # composes with the per-voice SF2 pan; sqrt(2) normalizes the
+            # constant-power curve to unity at center pan
+            left += sl * np.float32(expr * math.sqrt(2.0 * (1.0 - pan)))
+            right += sr_ * np.float32(expr * math.sqrt(2.0 * pan))
             continue
         freq = 440.0 * np.exp2((p - 69) / 12.0)
         phase = np.cumsum(np.where(active, freq / sample_rate, 0.0))
