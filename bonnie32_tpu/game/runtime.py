@@ -204,6 +204,7 @@ class GameToolState:
         self.fps_limit = FpsLimit.FPS60
         self.options_menu_open = False
         self.show_debug_overlay = False
+        self.debug_menu_selection = 0   # renderer.rs debug menu cursor
         self.camera_initialized = False
 
     def spawn_player(self, pos, hp: int = 100) -> int:

@@ -429,3 +429,29 @@ def draw_wireframe_cylinder(fb: FrameBuffers, camera: CameraArrays,
     fb = _scatter_lines(fb, vex, vey, vez, bok[sel] & tok[sel], word, 384,
                         depth_mode, depth_test="strict")
     return fb
+
+
+def draw_text(fb: FrameBuffers, x: int, y: int, s: str, rgb,
+              scale: int = 1) -> FrameBuffers:
+    """Blit a single-line string with the 5x7 bitmap font (ui/font.py)
+    at (x, y) top-left.  The coverage mask is host data (text content is
+    host state, like the reference's ttf draw calls); the write is one
+    clipped dynamic-slice update.  Off-screen text clips."""
+    from ..ui import font as font_mod
+
+    mask = font_mod.render_text_mask(s, scale=scale)
+    mh, mw = mask.shape
+    height, width = fb.color.shape
+    x, y = int(x), int(y)
+    # host-side clip (text layout is host data, so static is fine)
+    sx0, sy0 = max(x, 0), max(y, 0)
+    sx1, sy1 = min(x + mw, width), min(y + mh, height)
+    if sx0 >= sx1 or sy0 >= sy1:
+        return fb
+    sub = jnp.asarray(mask[sy0 - y:sy1 - y, sx0 - x:sx1 - x])
+    window = jax.lax.dynamic_slice(fb.color, (sy0, sx0),
+                                   (sy1 - sy0, sx1 - sx0))
+    painted = jnp.where(sub, jnp.asarray(_pack_rgb(tuple(rgb)),
+                                         window.dtype), window)
+    color = jax.lax.dynamic_update_slice(fb.color, painted, (sy0, sx0))
+    return FrameBuffers(color=color, depth=fb.depth)

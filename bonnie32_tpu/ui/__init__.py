@@ -15,7 +15,12 @@ from .context import MouseState, UiContext
 from .widgets import (button, checkbox, drag_value, label_row, slider,
                       tab_bar, toolbar, vlist)
 from .drag_tracker import DragConfig, DragState
+from .panel import (SplitDir, SplitPanel, draw_panel, panel_content_rect,
+                    draw_collapsible_panel, COLLAPSED_PANEL_HEIGHT)
+from . import font
 
 __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
            "button", "checkbox", "slider", "drag_value", "vlist",
-           "label_row", "tab_bar", "toolbar", "DragState", "DragConfig"]
+           "label_row", "tab_bar", "toolbar", "DragState", "DragConfig",
+           "SplitDir", "SplitPanel", "draw_panel", "panel_content_rect",
+           "draw_collapsible_panel", "COLLAPSED_PANEL_HEIGHT", "font"]

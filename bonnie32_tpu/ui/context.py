@@ -87,11 +87,12 @@ class UiContext:
     def line(self, x0, y0, x1, y1, rgb) -> None:
         self.commands.append(("line", (x0, y0, x1, y1), tuple(rgb)))
 
-    def text(self, x, y, s: str, rgb=None) -> None:
-        """Headless text: recorded for tests/tooling; pixel fonts are a
-        display-layer concern."""
+    def text(self, x, y, s: str, rgb=None, scale: int = 1) -> None:
+        """Queue a text draw; paint() rasterizes it with the 5x7 bitmap
+        font (ui/font.py) like the reference draws its ttf text into the
+        frame (ui/widgets.rs)."""
         self.commands.append(("text", (x, y), s,
-                              tuple(rgb or self.theme.text)))
+                              tuple(rgb or self.theme.text), scale))
 
     def paint(self, fb):
         """Replay the queue into a FrameBuffers via ops/draw2d."""
@@ -114,5 +115,8 @@ class UiContext:
                 fb = draw2d.draw_lines(
                     fb, jnp.asarray([[int(x0), int(x1)]], jnp.int32),
                     jnp.asarray([[int(y0), int(y1)]], jnp.int32), rgb)
-            # "text" has no raster form in the headless build
+            elif cmd[0] == "text":
+                _, (x, y), s, rgb, scale = cmd
+                fb = draw2d.draw_text(fb, int(x), int(y), s, rgb,
+                                      scale=scale)
         return fb

@@ -145,3 +145,83 @@ def test_drag_tracker_line_and_circle():
     np.testing.assert_allclose(st3.position_delta(), [0.5, 0, 0], atol=1e-5)
     st3.reset_initial()
     assert st3.mouse_delta() == (0.0, 0.0)
+
+def test_font_masks():
+    from bonnie32_tpu.ui import font
+    m = font.render_text_mask("A")
+    assert m.shape == (7, 5)
+    assert m.any() and not m.all()
+    # 'A' is symmetric around the center column
+    np.testing.assert_array_equal(m, m[:, ::-1])
+    w, h = font.text_size("HELLO")
+    assert (w, h) == (5 * 6 - 1, 7)
+    m2 = font.render_text_mask("HI", scale=2)
+    assert m2.shape == (14, 22)
+    # every printable ASCII char has a real glyph
+    for code in range(32, 127):
+        assert chr(code) in font.GLYPHS
+
+
+def test_text_rasterizes_into_framebuffer():
+    """Headless screenshot: widget chrome + text land in the frame."""
+    from bonnie32_tpu.ui import draw_panel, panel_content_rect
+    ctx = UiContext()
+    frame(ctx, 0, 0, False)
+    draw_panel(ctx, Rect(0, 0, 120, 60), "TOOLS", (30, 30, 36))
+    ctx.text(4, 30, "Hello, world!", (255, 200, 50))
+    fb = FrameBuffers(color=jnp.zeros((64, 128), jnp.int32),
+                      depth=jnp.zeros((64, 128), jnp.float32))
+    out = ctx.paint(fb)
+    w = np.asarray(out.color)
+    # title text pixels (white) somewhere in the title bar rows
+    title_rows = w[7:14, 5:60]
+    assert ((title_rows & 0xFFFFFF) == 0xFFFFFF).sum() > 20
+    # body text: orange pixels ((50<<16)|(200<<8)|255)
+    body = w[30:37, 4:90]
+    expected = (50 << 16) | (200 << 8) | 255
+    assert ((body & 0xFFFFFF) == expected).sum() > 40
+    # text clips safely at the edge without error
+    ctx2 = UiContext()
+    frame(ctx2, 0, 0, False)
+    ctx2.text(120, 60, "CLIPPED", (255, 255, 255))
+    ctx2.text(-3, -2, "NEG", (255, 255, 255))
+    out2 = ctx2.paint(fb)
+    assert np.asarray(out2.color).shape == (64, 128)
+
+
+def test_split_panel_layout_and_drag():
+    from bonnie32_tpu.ui import SplitPanel
+    sp = SplitPanel.horizontal("main").with_ratio(0.5).with_min_size(20)
+    bounds = Rect(0, 0, 200, 100)
+    a, b = sp.layout(bounds)
+    assert a.w == 98 and b.w == 98 and b.x == 102
+
+    ctx = UiContext()
+    # press on the divider, drag right, release
+    frame(ctx, 100, 50, False)
+    sp.handle_input(ctx, bounds)
+    frame(ctx, 100, 50, True)
+    sp.handle_input(ctx, bounds)
+    frame(ctx, 150, 50, True)
+    sp.handle_input(ctx, bounds)
+    assert sp.ratio == 0.75
+    # min-size clamps the drag
+    frame(ctx, 999, 50, True)
+    sp.handle_input(ctx, bounds)
+    assert sp.ratio == 0.9  # 1 - 20/200
+    frame(ctx, 999, 50, False)
+
+
+def test_collapsible_panel():
+    from bonnie32_tpu.ui import draw_collapsible_panel
+    ctx = UiContext()
+    r = Rect(0, 0, 100, 80)
+    frame(ctx, 50, 10, False)
+    clicked, content = draw_collapsible_panel(ctx, r, "INFO", False,
+                                              (20, 20, 25))
+    assert not clicked and content is not None
+    assert content.y == 22 and content.h == 80 - 20 - 4
+    frame(ctx, 50, 10, True)   # press on header
+    clicked, content = draw_collapsible_panel(ctx, r, "INFO", True,
+                                              (20, 20, 25))
+    assert clicked and content is None
