@@ -44,6 +44,12 @@ class SkyTables(NamedTuple):
     mtn_colors: jnp.ndarray    # (M, 3) i32
     mtn_faces: jnp.ndarray     # (MF, 3) i32 (padded; valid mask)
     mtn_valid: jnp.ndarray     # (MF,) bool
+    # full generated mesh (sphere then mountains, geometry.rs:529-733) for
+    # the exact path that mirrors fb.render_skybox triangle-for-triangle
+    all_dirs: jnp.ndarray      # (V, 3) f32 (unit * per-range scale)
+    all_colors: jnp.ndarray    # (V, 3) i32
+    all_faces: jnp.ndarray     # (F, 3) i32
+    all_valid: jnp.ndarray     # (F,) bool
     star_dirs: jnp.ndarray     # (S, 3) f32 unit directions
     star_phase: jnp.ndarray    # (S,) f32 twinkle phase
     star_color: jnp.ndarray    # (3,) i32
@@ -55,10 +61,25 @@ class SkyTables(NamedTuple):
 def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
                      mtn_pad=128) -> SkyTables:
     """Host: models.skybox.Skybox -> device tables."""
-    _, colors, _ = skybox.generate_sphere(time, h_segments, v_segments)
+    sdirs_m, colors, sfaces_m = skybox.generate_sphere(time, h_segments,
+                                                       v_segments)
     grid = colors.reshape(v_segments + 1, h_segments + 1, 3)
 
     mdirs, mcolors, mfaces = skybox.generate_mountains(time)
+
+    # combined mesh, sphere first then mountains (generate_mesh order,
+    # geometry.rs:529-733) for the exact triangle path
+    nv_sphere = len(sdirs_m)
+    if len(mdirs):
+        all_dirs = np.concatenate([sdirs_m, mdirs]).astype(np.float32)
+        all_colors = np.concatenate([colors, mcolors]).astype(np.int32)
+        all_faces = np.concatenate(
+            [sfaces_m, np.asarray(mfaces, np.int32) + nv_sphere])
+    else:
+        all_dirs = sdirs_m.astype(np.float32)
+        all_colors = colors.astype(np.int32)
+        all_faces = sfaces_m
+    all_valid = np.ones(len(all_faces), bool)
     mf = np.zeros((mtn_pad, 3), np.int32)
     mvalid = np.zeros(mtn_pad, bool)
     n = min(len(mfaces), mtn_pad)
@@ -97,12 +118,24 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
         star_size=jnp.float32(stars.size),
         star_twinkle=jnp.float32(stars.twinkle_speed),
         stars_enabled=jnp.asarray(bool(stars.enabled)),
+        all_dirs=jnp.asarray(all_dirs),
+        all_colors=jnp.asarray(all_colors),
+        all_faces=jnp.asarray(np.asarray(all_faces, np.int32)),
+        all_valid=jnp.asarray(all_valid),
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("exact",))
 def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
-                  time=0.0) -> FrameBuffers:
+                  time=0.0, exact: bool = False) -> FrameBuffers:
+    """fb.render_skybox (render.rs:81-145) + stars (:149-237).
+
+    exact=False (default, the datagen hot path): the sphere gradient is
+    sampled analytically per pixel from the vertex-color grid — appearance
+    -faithful, one pass, no 3k-triangle loop.  exact=True rasterizes the
+    generated sphere+mountain mesh triangle-by-triangle with
+    rasterize_skybox_triangle's semantics (render.rs:246-299) for
+    pixel-exact parity (tests/test_skybox.py)."""
     height, width = fb.color.shape
     vseg = sky.grid_colors.shape[0] - 1
     hseg = sky.grid_colors.shape[1] - 1
@@ -112,45 +145,65 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
                           jnp.arange(width, dtype=_I32), indexing="ij")
     vs = _F32((min(width, height) / 2.0) * PROJ_SCALE)
 
-    # --- per-pixel view ray -> world direction (math.rs screen_to_ray) ---
-    ndc_x = (xi.astype(_F32) + 0.5 - _F32(width / 2.0)) / vs
-    ndc_y = (yi.astype(_F32) + 0.5 - _F32(height / 2.0)) / vs
-    norm = jnp.sqrt(ndc_x * ndc_x + ndc_y * ndc_y + 1.0)
-    cx, cy, cz = ndc_x / norm, ndc_y / norm, 1.0 / norm
-    b = camera.basis
-    wx = cx * b[0, 0] + cy * b[1, 0] + cz * b[2, 0]
-    wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
-    wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
+    if exact:
+        # start from the current frame; the mesh triangles cover the sky
+        w = fb.color
+        r = w & 0xFF
+        gch = (w >> 8) & 0xFF
+        bch = (w >> 16) & 0xFF
+    else:
+        # --- per-pixel view ray -> world dir (ray.rs:46 inverse of
+        # project(): dx = ndc/us, dz = 1) ---
+        usq = _F32(PROJ_DISTANCE - 1.0)
+        ndc_x = (xi.astype(_F32) + 0.5 - _F32(width / 2.0)) / vs / usq
+        ndc_y = (yi.astype(_F32) + 0.5 - _F32(height / 2.0)) / vs / usq
+        norm = jnp.sqrt(ndc_x * ndc_x + ndc_y * ndc_y + 1.0)
+        cx, cy, cz = ndc_x / norm, ndc_y / norm, 1.0 / norm
+        b = camera.basis
+        wx = cx * b[0, 0] + cy * b[1, 0] + cz * b[2, 0]
+        wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
+        wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
 
-    # --- sphere cell interpolation ---
-    phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
-    theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
-    fv = phi / _F32(math.pi) * vseg
-    fh = theta / _F32(TWO_PI) * hseg
-    cv = jnp.clip(fv.astype(_I32), 0, vseg - 1)
-    ch = jnp.clip(fh.astype(_I32), 0, hseg - 1)
-    a = fh - ch.astype(_F32)
-    bb = fv - cv.astype(_F32)
+        # --- sphere cell interpolation ---
+        phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
+        theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
+        fv = phi / _F32(math.pi) * vseg
+        fh = theta / _F32(TWO_PI) * hseg
+        cv = jnp.clip(fv.astype(_I32), 0, vseg - 1)
+        ch = jnp.clip(fh.astype(_I32), 0, hseg - 1)
+        a = fh - ch.astype(_F32)
+        bb = fv - cv.astype(_F32)
 
-    g = sky.grid_colors
-    c00 = g[cv, ch].astype(_F32)
-    c01 = g[cv, ch + 1].astype(_F32)
-    c10 = g[cv + 1, ch].astype(_F32)
-    c11 = g[cv + 1, ch + 1].astype(_F32)
+        g = sky.grid_colors
+        c00 = g[cv, ch].astype(_F32)
+        c01 = g[cv, ch + 1].astype(_F32)
+        c10 = g[cv + 1, ch].astype(_F32)
+        c11 = g[cv + 1, ch + 1].astype(_F32)
 
-    in_t1 = (a + bb) <= 1.0
-    w0 = jnp.where(in_t1, 1.0 - a - bb, 0.0)[..., None]
-    w1 = jnp.where(in_t1, a, 1.0 - bb)[..., None]
-    w2 = jnp.where(in_t1, bb, 1.0 - a)[..., None]
-    w3 = jnp.where(in_t1, 0.0, a + bb - 1.0)[..., None]
-    rgbf = c00 * w0 + c01 * w1 + c10 * w2 + c11 * w3
-    r = jnp.clip(jnp.trunc(rgbf[..., 0]), 0, 255).astype(_I32)
-    gch = jnp.clip(jnp.trunc(rgbf[..., 1]), 0, 255).astype(_I32)
-    bch = jnp.clip(jnp.trunc(rgbf[..., 2]), 0, 255).astype(_I32)
+        in_t1 = (a + bb) <= 1.0
+        w0 = jnp.where(in_t1, 1.0 - a - bb, 0.0)[..., None]
+        w1 = jnp.where(in_t1, a, 1.0 - bb)[..., None]
+        w2 = jnp.where(in_t1, bb, 1.0 - a)[..., None]
+        w3 = jnp.where(in_t1, 0.0, a + bb - 1.0)[..., None]
+        rgbf = c00 * w0 + c01 * w1 + c10 * w2 + c11 * w3
+        r = jnp.clip(jnp.trunc(rgbf[..., 0]), 0, 255).astype(_I32)
+        gch = jnp.clip(jnp.trunc(rgbf[..., 1]), 0, 255).astype(_I32)
+        bch = jnp.clip(jnp.trunc(rgbf[..., 2]), 0, 255).astype(_I32)
 
-    # --- mountains: last-covering-wins over the peak triangles ---
-    # project mountain vertices with the float pipeline (render.rs:94-109)
-    mdir = sky.mtn_dirs * _F32(10000.0)
+    # --- triangle pass: last-covering-wins (render.rs:111-139) ---
+    # exact mode walks the FULL generated mesh (sphere + mountains, in
+    # order); the fast path only the mountain peaks over the analytic sky
+    if exact:
+        t_dirs = sky.all_dirs
+        t_colors = sky.all_colors
+        t_faces = sky.all_faces
+        t_valid = sky.all_valid
+    else:
+        t_dirs = sky.mtn_dirs
+        t_colors = sky.mtn_colors
+        t_faces = sky.mtn_faces
+        t_valid = sky.mtn_valid
+    mdir = t_dirs * _F32(10000.0)
     mcam = jnp.einsum("vk,rk->vr", mdir, camera.basis)
     mvalid_v = mcam[:, 2] > 0.1
     ud = _F32(PROJ_DISTANCE)
@@ -159,7 +212,7 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
     sx = (mcam[:, 0] * us) / denom * vs + _F32(width / 2.0)
     sy = (mcam[:, 1] * us) / denom * vs + _F32(height / 2.0)
 
-    fverts = sky.mtn_faces  # (MF, 3)
+    fverts = t_faces  # (F, 3)
     n_faces = fverts.shape[0]
     px = xi.astype(_F32) + 0.5
     py = yi.astype(_F32) + 0.5
@@ -167,7 +220,7 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
     def face_body(i, carry):
         r, gc, bc = carry
         f = fverts[i]
-        ok = (sky.mtn_valid[i] & mvalid_v[f[0]] & mvalid_v[f[1]]
+        ok = (t_valid[i] & mvalid_v[f[0]] & mvalid_v[f[1]]
               & mvalid_v[f[2]])
         x0, x1, x2 = sx[f[0]], sx[f[1]], sx[f[2]]
         y0, y1, y2 = sy[f[0]], sy[f[1]], sy[f[2]]
@@ -180,7 +233,7 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
         w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv
         w2 = 1.0 - w0 - w1
         covered = ok & (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
-        cols = sky.mtn_colors[f].astype(_F32)  # (3 corners, 3)
+        cols = t_colors[f].astype(_F32)  # (3 corners, 3)
         rr = w0 * cols[0, 0] + w1 * cols[1, 0] + w2 * cols[2, 0]
         gg = w0 * cols[0, 1] + w1 * cols[1, 1] + w2 * cols[2, 1]
         bbv = w0 * cols[0, 2] + w1 * cols[1, 2] + w2 * cols[2, 2]
@@ -202,10 +255,13 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
         0.5 + 0.5 * jnp.sin(time * sky.star_twinkle + sky.star_phase),
         1.0)
     base = sky.star_color.astype(_F32)
+    # two-stage truncation exactly as the reference: the center color
+    # truncates base*brightness to u8 FIRST, then the diamond arms
+    # truncate center*0.7 / center*0.4 (render.rs:194-232)
+    center_c = jnp.trunc(base[None, :] * brightness[:, None]).astype(_I32)
 
     def star_color(bright, dim):
-        return (jnp.trunc(base[None, :] * bright[:, None] * dim)
-                .astype(_I32))
+        return jnp.trunc(center_c.astype(_F32) * _F32(dim)).astype(_I32)
 
     s = jnp.maximum(sky.star_size, 1.0).astype(_I32)
     offsets = [((0, 0), 1.0, 1)]

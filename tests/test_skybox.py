@@ -65,3 +65,69 @@ def test_device_render_skybox():
     wn = np.asarray(outn.color)
     rn = wn & 0xFF
     assert rn.max() > 150, "bright star pixels present"
+
+
+def test_exact_skybox_matches_scalar_golden():
+    """render_skybox(exact=True) vs the scalar transcription of
+    fb.render_skybox + render_stars (render.rs:81-299)."""
+    import jax
+    from golden import skybox_golden as G
+
+    sb = Skybox.preset_night()   # has mountains + stars
+    tables = sky_ops.build_sky_tables(sb)
+    basis = build.camera_basis(0.15, 0.9)
+    cam = build.make_camera((0.0, 0.0, 0.0), basis)
+    H, W = 120, 160
+    fb = raster_ref.new_framebuffer(H, W, depth_mode="inv")
+    out = sky_ops.render_skybox(fb, tables, cam, time=0.0, exact=True)
+    w = np.asarray(out.color)
+    jpix = np.stack([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                    axis=-1).astype(np.uint8)
+
+    gpix = np.zeros((H, W, 3), np.uint8)
+    star_spec = dict(dirs=np.asarray(tables.star_dirs),
+                     phase=np.asarray(tables.star_phase),
+                     color=np.asarray(tables.star_color),
+                     size=float(tables.star_size),
+                     twinkle=float(tables.star_twinkle),
+                     enabled=bool(tables.stars_enabled))
+    G.render_skybox_scalar(gpix, np.asarray(tables.all_dirs),
+                           np.asarray(tables.all_colors),
+                           np.asarray(tables.all_faces), basis,
+                           star_spec=star_spec, time=0.0)
+
+    diff = (jpix != gpix).any(-1)
+    covered = (gpix != 0).any(-1).mean()
+    assert covered > 0.9, f"sky should cover the frame ({covered:.0%})"
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        # bit-exact on TPU (no FMA contraction there)
+        assert diff.sum() == 0, f"exact skybox: {diff.sum()} pixel diffs"
+    else:
+        # XLA:CPU contracts FMAs per fusion context: interpolated colors
+        # can land one quantization step apart on gradient boundaries
+        mag = np.abs(jpix.astype(np.int32) - gpix.astype(np.int32)).max(-1)
+        assert (mag <= 1).all(), f"exact skybox: diffs beyond +-1 step"
+        assert diff.mean() < 0.05, f"exact skybox: {diff.mean():.1%} diffs"
+
+
+def test_analytic_close_to_exact():
+    """The fast analytic sky is a documented approximation of the mesh
+    path — bound its divergence so regressions are caught."""
+    sb = Skybox.preset_sunset()
+    tables = sky_ops.build_sky_tables(sb)
+    basis = build.camera_basis(0.05, 2.1)
+    cam = build.make_camera((0.0, 0.0, 0.0), basis)
+    H, W = 120, 160
+    fb = raster_ref.new_framebuffer(H, W, depth_mode="inv")
+    fast = np.asarray(sky_ops.render_skybox(fb, tables, cam).color)
+    ex = np.asarray(sky_ops.render_skybox(fb, tables, cam,
+                                          exact=True).color)
+
+    def unpack(w):
+        return np.stack([w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF],
+                        -1).astype(np.int32)
+
+    a, b = unpack(fast), unpack(ex)
+    # mean absolute channel error small; allow sparkle/seam outliers
+    mae = np.abs(a - b).mean()
+    assert mae < 4.0, f"analytic sky drifted from mesh sky (MAE {mae:.2f})"
