@@ -218,6 +218,22 @@ class EditorState:
         self.geometry_clipboard = GeometryClipboard()
         self.user_textures: Dict[str, Any] = {}
         self.dirty = False
+        # status toast (state.rs:922 set_status): message + remaining secs
+        self.status_message: str = ""
+        self.status_time: float = 0.0
+
+    def set_status(self, message: str, seconds: float = 2.0) -> None:
+        """state.rs:922 — transient status-bar toast (the reference's only
+        user-facing observability channel)."""
+        self.status_message = message
+        self.status_time = float(seconds)
+
+    def tick_status(self, dt: float) -> None:
+        """Advance the toast timer; clears the message when it expires."""
+        if self.status_time > 0.0:
+            self.status_time = max(self.status_time - dt, 0.0)
+            if self.status_time == 0.0:
+                self.status_message = ""
 
     # --- rooms ---------------------------------------------------------
 

@@ -1,0 +1,469 @@
+"""3D-viewport interactive editing: click/drag state machines.
+
+The headless port of draw_viewport_3d's edit interactions
+(`/root/reference/src/editor/viewport_3d.rs:294-5654`):
+
+  * DrawFloor / DrawCeiling — ray-plane pick snapped to the sector grid
+    (:701-800), Shift+drag height adjustment in CLICK_HEIGHT clicks
+    (:742-768), drag-rectangle fill committed on release (:2009-2021 +
+    release handler).
+  * DrawWall (cardinal) — edge preview + drag along the edge line,
+    committed as wall faces spanning the floor/ceiling gap.
+  * Select — clicking a face selects it (editor/hover.py); dragging a
+    selected floor/ceiling vertically moves its corner heights in
+    CLICK_HEIGHT increments (vertex selection moves one corner).
+  * PlaceObject — click to place the chosen asset at the preview cell;
+    dragging an existing object moves it in the XZ plane, Shift+drag
+    adjusts its height (:2071-2115).
+
+Mutations snapshot to the undo stack exactly once per gesture
+(state.save_undo, state.rs:938).  All coordinates are framebuffer pixels;
+the caller resolves window-to-fb mapping.
+"""
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..models.level import (EAST, NESW, NORTH, NWSE, SECTOR_SIZE, SOUTH,
+                            WEST, AssetInstance, HorizontalFace)
+from ..ops import picking
+from .state import (CEILING_HEIGHT, CLICK_HEIGHT, EditorState, EditorTool,
+                    Selection)
+
+Y_SENSITIVITY = 5.0   # viewport_3d.rs:761 (mouse px -> world units)
+
+
+def pick_plane(mouse_fb, camera_pos, basis, fb_w, fb_h, plane_y):
+    """Ray from the mouse through the camera onto the y=plane_y plane
+    (viewport_3d.rs pick_plane); returns world (x, y, z) or None."""
+    origin, direction = picking.screen_to_ray(
+        float(mouse_fb[0]), float(mouse_fb[1]), fb_w, fb_h,
+        np.asarray(camera_pos, np.float32), np.asarray(basis, np.float32))
+    o = np.asarray(origin, np.float32).reshape(3)
+    d = np.asarray(direction, np.float32).reshape(3)
+    if abs(d[1]) < 1e-8:
+        return None
+    t = (plane_y - o[1]) / d[1]
+    if t <= 0:
+        return None
+    return o + d * t
+
+
+@dataclasses.dataclass
+class ViewportEditor:
+    """Per-viewport interaction state (the state.rs:462-500 drag fields)."""
+
+    state: EditorState
+    fb_w: int = 320
+    fb_h: int = 240
+
+    # floor/ceiling placement
+    placement_target_y: float = 0.0
+    height_adjust_mode: bool = False
+    height_adjust_start_mouse_y: float = 0.0
+    height_adjust_start_y: float = 0.0
+    height_adjust_locked_pos: Optional[Tuple[float, float]] = None
+    placement_drag_start: Optional[Tuple[int, int]] = None
+    placement_drag_current: Optional[Tuple[int, int]] = None
+    preview_sector: Optional[Tuple[float, float, float, bool]] = None
+
+    # wall placement
+    wall_direction: int = NORTH
+    wall_prefer_high: bool = False
+    wall_drag_start: Optional[Tuple[int, int, int]] = None
+    wall_drag_current: Optional[Tuple[int, int, int]] = None
+
+    # select-tool height dragging
+    drag_started: bool = False
+    drag_start_mouse_y: float = 0.0
+    drag_start_heights: Optional[list] = None
+
+    # object dragging
+    dragging_object: Optional[Tuple[int, int]] = None
+    object_drag_y: bool = False
+    object_drag_initial_height: float = 0.0
+    object_drag_start_mouse_y: float = 0.0
+    object_xz_click_offset: Tuple[float, float] = (0.0, 0.0)
+    selected_asset: Optional[int] = None
+
+    # -----------------------------------------------------------------
+    # shared picking
+    # -----------------------------------------------------------------
+
+    def _room(self):
+        return self.state.current_room_ref()
+
+    def _snap_cell(self, mouse_fb, camera_pos, basis):
+        """Mouse -> snapped world (x, z) on the room's floor plane
+        (viewport_3d.rs:712-739)."""
+        room = self._room()
+        room_y = float(room.position[1]) if room is not None else 0.0
+        hit = pick_plane(mouse_fb, camera_pos, basis, self.fb_w, self.fb_h,
+                         room_y)
+        if hit is None:
+            return None
+        gx = math.floor(hit[0] / SECTOR_SIZE) * SECTOR_SIZE
+        gz = math.floor(hit[2] / SECTOR_SIZE) * SECTOR_SIZE
+        return gx, gz
+
+    def _world_to_cell(self, wx, wz):
+        room = self._room()
+        if room is None:
+            return None
+        gx = math.floor((wx - float(room.position[0])) / SECTOR_SIZE)
+        gz = math.floor((wz - float(room.position[2])) / SECTOR_SIZE)
+        return int(gx), int(gz)
+
+    # -----------------------------------------------------------------
+    # floor / ceiling placement (viewport_3d.rs:701-800, :2009-2021)
+    # -----------------------------------------------------------------
+
+    def update_placement_preview(self, mouse_fb, camera_pos, basis,
+                                 shift: bool = False) -> None:
+        if self.state.tool not in (EditorTool.DRAW_FLOOR,
+                                   EditorTool.DRAW_CEILING):
+            self.preview_sector = None
+            return
+        is_floor = self.state.tool == EditorTool.DRAW_FLOOR
+
+        if self.height_adjust_locked_pos is not None:
+            snapped = self.height_adjust_locked_pos
+        else:
+            snapped = self._snap_cell(mouse_fb, camera_pos, basis)
+
+        # Shift enters height-adjust mode, locking the cell (:745-756)
+        if shift and not self.height_adjust_mode and snapped is not None:
+            self.height_adjust_mode = True
+            self.height_adjust_start_mouse_y = mouse_fb[1]
+            self.height_adjust_start_y = self.placement_target_y
+            self.height_adjust_locked_pos = snapped
+        elif not shift and self.height_adjust_mode:
+            self.height_adjust_mode = False
+            self.height_adjust_locked_pos = None
+
+        if self.height_adjust_mode:
+            delta = (self.height_adjust_start_mouse_y - mouse_fb[1]) \
+                * Y_SENSITIVITY
+            snapped_delta = round(delta / CLICK_HEIGHT) * CLICK_HEIGHT
+            self.placement_target_y = self.height_adjust_start_y \
+                + snapped_delta
+            clicks = int(self.placement_target_y / CLICK_HEIGHT)
+            self.state.set_status(
+                f"Height: {self.placement_target_y:.0f} ({clicks} clicks)",
+                0.5)
+
+        if snapped is None:
+            self.preview_sector = None
+            return
+        cell = self._world_to_cell(snapped[0] + SECTOR_SIZE * 0.5,
+                                   snapped[1] + SECTOR_SIZE * 0.5)
+        occupied = False
+        room = self._room()
+        if room is not None and cell is not None:
+            s = room.get_sector(*cell)
+            if s is not None:
+                occupied = (s.floor if is_floor else s.ceiling) is not None
+        y = self.placement_target_y
+        if y == 0.0 and not self.height_adjust_mode:
+            y = 0.0 if is_floor else CEILING_HEIGHT
+        self.preview_sector = (snapped[0], snapped[1], y, occupied)
+
+    def press_placement(self) -> None:
+        """Mouse down in DrawFloor/DrawCeiling: start the drag rectangle
+        (:2009-2021)."""
+        if self.preview_sector is None:
+            return
+        sx, sz, _, _ = self.preview_sector
+        cell = self._world_to_cell(sx, sz)
+        if cell is not None:
+            self.placement_drag_start = cell
+            self.placement_drag_current = cell
+
+    def move_placement(self, mouse_fb, camera_pos, basis,
+                       shift: bool = False) -> None:
+        self.update_placement_preview(mouse_fb, camera_pos, basis, shift)
+        if self.placement_drag_start is None or self.preview_sector is None:
+            return
+        cell = self._world_to_cell(self.preview_sector[0],
+                                   self.preview_sector[1])
+        if cell is not None:
+            self.placement_drag_current = cell
+
+    def release_placement(self, texture) -> int:
+        """Mouse up: fill the dragged rectangle with floors/ceilings at
+        the target height, skipping occupied cells.  Returns the number
+        of faces placed (one undo snapshot for the gesture)."""
+        start, cur = self.placement_drag_start, self.placement_drag_current
+        self.placement_drag_start = self.placement_drag_current = None
+        if start is None or cur is None or self.preview_sector is None:
+            return 0
+        room = self._room()
+        if room is None:
+            return 0
+        is_floor = self.state.tool == EditorTool.DRAW_FLOOR
+        y = self.preview_sector[2]
+        placed = 0
+        x0, x1 = sorted((start[0], cur[0]))
+        z0, z1 = sorted((start[1], cur[1]))
+        snapshot_done = False
+        for gx in range(x0, x1 + 1):
+            for gz in range(z0, z1 + 1):
+                if not (0 <= gx < room.width and 0 <= gz < room.depth):
+                    continue
+                s = room.get_sector(gx, gz)
+                if s is not None and \
+                        (s.floor if is_floor else s.ceiling) is not None:
+                    continue
+                if not snapshot_done:
+                    self.state.save_undo()
+                    snapshot_done = True
+                if is_floor:
+                    room.set_floor(gx, gz, y, texture)
+                else:
+                    room.set_ceiling(gx, gz, y, texture)
+                placed += 1
+        if placed:
+            room.recalculate_bounds()
+            self.state.set_status(
+                f"Placed {placed} "
+                f"{'floor' if is_floor else 'ceiling'}"
+                f"{'s' if placed != 1 else ''}", 1.5)
+        return placed
+
+    # -----------------------------------------------------------------
+    # wall placement (viewport_3d.rs:801-938, :2022-2047)
+    # -----------------------------------------------------------------
+
+    def cycle_wall_direction(self) -> None:
+        """R key (:373-379): N -> E -> S -> W -> NwSe -> NeSw."""
+        order = [NORTH, EAST, SOUTH, WEST, NWSE, NESW]
+        self.wall_direction = order[(order.index(self.wall_direction) + 1)
+                                    % len(order)]
+
+    def press_wall(self, mouse_fb, camera_pos, basis) -> None:
+        snapped = self._snap_cell(mouse_fb, camera_pos, basis)
+        if snapped is None:
+            return
+        cell = self._world_to_cell(snapped[0] + SECTOR_SIZE * 0.5,
+                                   snapped[1] + SECTOR_SIZE * 0.5)
+        if cell is not None:
+            self.wall_drag_start = (cell[0], cell[1], self.wall_direction)
+            self.wall_drag_current = self.wall_drag_start
+
+    def move_wall(self, mouse_fb, camera_pos, basis) -> None:
+        if self.wall_drag_start is None:
+            return
+        snapped = self._snap_cell(mouse_fb, camera_pos, basis)
+        if snapped is None:
+            return
+        cell = self._world_to_cell(snapped[0] + SECTOR_SIZE * 0.5,
+                                   snapped[1] + SECTOR_SIZE * 0.5)
+        if cell is None:
+            return
+        sx, sz, d = self.wall_drag_start
+        # constrain the drag to the edge's axis (N/S walls run along X,
+        # E/W along Z; diagonals place a single edge)
+        if d in (NORTH, SOUTH):
+            self.wall_drag_current = (cell[0], sz, d)
+        elif d in (EAST, WEST):
+            self.wall_drag_current = (sx, cell[1], d)
+        else:
+            self.wall_drag_current = (sx, sz, d)
+
+    def _wall_gap(self, sector) -> Tuple[float, float]:
+        """Vertical span for a new wall: the sector's floor..ceiling gap
+        (defaults 0..CEILING_HEIGHT when absent)."""
+        bottom = 0.0
+        top = CEILING_HEIGHT
+        if sector is not None:
+            if sector.floor is not None:
+                bottom = max(sector.floor.heights)
+            if sector.ceiling is not None:
+                top = min(sector.ceiling.heights)
+        return bottom, top
+
+    def release_wall(self, texture) -> int:
+        start, cur = self.wall_drag_start, self.wall_drag_current
+        self.wall_drag_start = self.wall_drag_current = None
+        if start is None or cur is None:
+            return 0
+        room = self._room()
+        if room is None:
+            return 0
+        d = start[2]
+        cells = []
+        if d in (NORTH, SOUTH):
+            x0, x1 = sorted((start[0], cur[0]))
+            cells = [(x, start[1]) for x in range(x0, x1 + 1)]
+        elif d in (EAST, WEST):
+            z0, z1 = sorted((start[1], cur[1]))
+            cells = [(start[0], z) for z in range(z0, z1 + 1)]
+        else:
+            cells = [(start[0], start[1])]
+        placed = 0
+        snapshot_done = False
+        for gx, gz in cells:
+            if not (0 <= gx < room.width and 0 <= gz < room.depth):
+                continue
+            sector = room.get_sector(gx, gz)
+            bottom, top = self._wall_gap(sector)
+            if top <= bottom:
+                continue
+            if not snapshot_done:
+                self.state.save_undo()
+                snapshot_done = True
+            room.add_wall(gx, gz, d, bottom, top, texture)
+            placed += 1
+        if placed:
+            room.recalculate_bounds()
+            self.state.set_status(f"Placed {placed} wall"
+                                  f"{'s' if placed != 1 else ''}", 1.5)
+        return placed
+
+    # -----------------------------------------------------------------
+    # select-tool height dragging (face / vertex)
+    # -----------------------------------------------------------------
+
+    def press_select_drag(self, mouse_fb) -> None:
+        """Mouse down with a floor/ceiling (or vertex) selected: arm the
+        height drag; the undo snapshot lands on first movement."""
+        sel = self.state.selection
+        if sel.kind not in ("sector_face", "vertex"):
+            return
+        face = self._selected_face(sel)
+        if face is None:
+            return
+        self.drag_started = False
+        self.drag_start_mouse_y = mouse_fb[1]
+        self.drag_start_heights = list(face.heights)
+
+    def _selected_face(self, sel) -> Optional[HorizontalFace]:
+        room = self.state.level.rooms[sel.room] \
+            if sel.room < len(self.state.level.rooms) else None
+        if room is None:
+            return None
+        s = room.get_sector(sel.x, sel.z)
+        if s is None:
+            return None
+        if sel.face is not None and sel.face.kind == "ceiling":
+            return s.ceiling
+        return s.floor
+
+    def move_select_drag(self, mouse_fb) -> None:
+        sel = self.state.selection
+        if self.drag_start_heights is None or \
+                sel.kind not in ("sector_face", "vertex"):
+            return
+        face = self._selected_face(sel)
+        if face is None:
+            return
+        delta = (self.drag_start_mouse_y - mouse_fb[1]) * Y_SENSITIVITY
+        snapped = round(delta / CLICK_HEIGHT) * CLICK_HEIGHT
+        if snapped != 0.0 and not self.drag_started:
+            self.state.save_undo()
+            self.drag_started = True
+        if not self.drag_started:
+            return
+        if sel.kind == "vertex":
+            corner = sel.corner_idx
+            face.heights[corner] = self.drag_start_heights[corner] + snapped
+        else:
+            for i in range(4):
+                face.heights[i] = self.drag_start_heights[i] + snapped
+        self.state.dirty = True
+
+    def release_select_drag(self) -> None:
+        if self.drag_started:
+            room = self._room()
+            if room is not None:
+                room.recalculate_bounds()
+        self.drag_started = False
+        self.drag_start_heights = None
+
+    # -----------------------------------------------------------------
+    # object placement / dragging (viewport_3d.rs:2071-2140)
+    # -----------------------------------------------------------------
+
+    def place_object(self, mouse_fb, camera_pos, basis) -> Optional[int]:
+        """Click with PlaceObject + a selected asset: add an instance at
+        the snapped cell.  Returns the new object index."""
+        if self.selected_asset is None:
+            return None
+        snapped = self._snap_cell(mouse_fb, camera_pos, basis)
+        if snapped is None:
+            return None
+        cell = self._world_to_cell(snapped[0] + SECTOR_SIZE * 0.5,
+                                   snapped[1] + SECTOR_SIZE * 0.5)
+        room = self._room()
+        if room is None or cell is None:
+            return None
+        if not (0 <= cell[0] < room.width and 0 <= cell[1] < room.depth):
+            return None
+        self.state.save_undo()
+        room.objects.append(AssetInstance(
+            sector_x=cell[0], sector_z=cell[1],
+            asset_id=self.selected_asset))
+        idx = len(room.objects) - 1
+        self.state.set_selection(Selection(kind="object",
+                                           room=self.state.current_room,
+                                           index=idx))
+        return idx
+
+    def press_object(self, room_idx: int, obj_idx: int, mouse_fb,
+                     camera_pos, basis, shift: bool = False) -> None:
+        """Click on an existing object: select + start XZ (or Shift=Y)
+        drag (:2075-2115)."""
+        self.state.save_selection_undo()
+        self.state.set_selection(Selection(kind="object", room=room_idx,
+                                           index=obj_idx))
+        room = self.state.level.rooms[room_idx]
+        obj = room.objects[obj_idx]
+        self.dragging_object = (room_idx, obj_idx)
+        self.drag_started = False
+        if shift:
+            self.object_drag_y = True
+            self.object_drag_initial_height = obj.height
+            self.object_drag_start_mouse_y = mouse_fb[1]
+        else:
+            self.object_drag_y = False
+            wp = obj.world_position(room)
+            hit = pick_plane(mouse_fb, camera_pos, basis, self.fb_w,
+                             self.fb_h, float(wp[1]))
+            if hit is not None:
+                self.object_xz_click_offset = (float(hit[0] - wp[0]),
+                                               float(hit[2] - wp[2]))
+
+    def move_object(self, mouse_fb, camera_pos, basis) -> None:
+        if self.dragging_object is None:
+            return
+        room_idx, obj_idx = self.dragging_object
+        room = self.state.level.rooms[room_idx]
+        obj = room.objects[obj_idx]
+        if not self.drag_started:
+            self.state.save_undo()
+            self.drag_started = True
+        if self.object_drag_y:
+            delta = (self.object_drag_start_mouse_y - mouse_fb[1]) \
+                * Y_SENSITIVITY
+            obj.height = self.object_drag_initial_height + delta
+            return
+        wp = obj.world_position(room)
+        hit = pick_plane(mouse_fb, camera_pos, basis, self.fb_w, self.fb_h,
+                         float(wp[1]))
+        if hit is None:
+            return
+        wx = hit[0] - self.object_xz_click_offset[0]
+        wz = hit[2] - self.object_xz_click_offset[1]
+        cell = self._world_to_cell(wx, wz)
+        if cell is None:
+            return
+        gx = min(max(cell[0], 0), room.width - 1)
+        gz = min(max(cell[1], 0), room.depth - 1)
+        obj.sector_x, obj.sector_z = gx, gz
+
+    def release_object(self) -> None:
+        self.dragging_object = None
+        self.drag_started = False

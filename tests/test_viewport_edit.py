@@ -1,0 +1,210 @@
+"""3D-viewport interactive editing: scripted mouse gestures must produce
+the reference's Level mutations (viewport_3d.rs:294-5654 semantics):
+drag-rectangle floor/ceiling placement with Shift height adjustment,
+wall placement along an edge, select-tool height drags with undo
+snapshots, and object placement/dragging."""
+
+import numpy as np
+
+from bonnie32_tpu.editor.state import (CEILING_HEIGHT, CLICK_HEIGHT,
+                                       EditorState, EditorTool, SectorFace,
+                                       Selection)
+from bonnie32_tpu.editor.viewport_edit import ViewportEditor, pick_plane
+from bonnie32_tpu.models.level import (NORTH, SECTOR_SIZE, Level, Room,
+                                       TextureRef)
+from bonnie32_tpu.models import build
+
+TEX = TextureRef("p", "T")
+
+
+def _editor(width=6, depth=6, with_floors=()):
+    level = Level()
+    room = Room.new(0, (0.0, 0.0, 0.0), width, depth)
+    for x, z in with_floors:
+        room.set_floor(x, z, 0.0, TEX)
+    room.recalculate_bounds()
+    level.add_room(room)
+    state = EditorState(level)
+    return ViewportEditor(state=state)
+
+
+def _cam_above(cx=3 * 1024.0, cz=3 * 1024.0, h=4000.0):
+    """Camera straight above the room center, looking down."""
+    pos = np.asarray([cx, h, cz], np.float32)
+    basis = build.camera_basis(math_pitch_down(), 0.0)
+    return pos, basis
+
+
+def math_pitch_down():
+    # pitch so that bz points toward -y (down): bz.y = -sin(pitch) => ~+1.2
+    return 1.2
+
+
+def _screen_of_world(wx, wz, cam_pos, basis, fb_w=320, fb_h=240, wy=0.0):
+    """Invert via projection to aim the mouse at a world point."""
+    import numpy as np
+    rel = np.asarray([wx, wy, wz], np.float32) - cam_pos
+    cam = np.asarray(basis) @ rel
+    vs = (min(fb_w, fb_h) / 2.0) * 0.75
+    sx = (cam[0] * 4.0) / (cam[2] + 5.0) * vs + fb_w / 2.0
+    sy = (cam[1] * 4.0) / (cam[2] + 5.0) * vs + fb_h / 2.0
+    return float(sx), float(sy)
+
+
+def test_pick_plane_roundtrip():
+    cam_pos, basis = _cam_above()
+    target = (1.5 * 1024.0, 0.0, 2.5 * 1024.0)
+    mx, my = _screen_of_world(target[0], target[2], cam_pos, basis)
+    hit = pick_plane((mx, my), cam_pos, basis, 320, 240, 0.0)
+    assert hit is not None
+    np.testing.assert_allclose([hit[0], hit[2]], [target[0], target[2]],
+                               atol=4.0)
+
+
+def test_floor_drag_rectangle_placement():
+    ed = _editor()
+    ed.state.tool = EditorTool.DRAW_FLOOR
+    cam_pos, basis = _cam_above()
+
+    def aim(cellx, cellz):
+        wx = (cellx + 0.5) * 1024.0
+        wz = (cellz + 0.5) * 1024.0
+        return _screen_of_world(wx, wz, cam_pos, basis)
+
+    m0 = aim(1, 1)
+    ed.update_placement_preview(m0, cam_pos, basis)
+    assert ed.preview_sector is not None and not ed.preview_sector[3]
+    ed.press_placement()
+    m1 = aim(3, 2)
+    ed.move_placement(m1, cam_pos, basis)
+    placed = ed.release_placement(TEX)
+    assert placed == 3 * 2
+    room = ed.state.level.rooms[0]
+    for x in range(1, 4):
+        for z in range(1, 3):
+            assert room.get_sector(x, z).floor is not None
+    assert room.get_sector(0, 0) is None
+    # one gesture = one undo snapshot; undo removes everything
+    assert len(ed.state.undo_stack) == 1
+    ed.state.undo()
+    room = ed.state.level.rooms[0]
+    assert room.get_sector(2, 2) is None or \
+        room.get_sector(2, 2).floor is None
+
+
+def test_placement_skips_occupied_and_shift_height():
+    ed = _editor(with_floors=[(2, 2)])
+    ed.state.tool = EditorTool.DRAW_FLOOR
+    cam_pos, basis = _cam_above()
+
+    def aim(cellx, cellz):
+        return _screen_of_world((cellx + 0.5) * 1024.0,
+                                (cellz + 0.5) * 1024.0, cam_pos, basis)
+
+    # shift-drag raises the target height in CLICK_HEIGHT snaps
+    m = aim(2, 3)
+    ed.update_placement_preview(m, cam_pos, basis, shift=False)
+    ed.update_placement_preview(m, cam_pos, basis, shift=True)
+    # drag 52px up: 52*5=260 -> snaps to 256 (1 click)
+    m_up = (m[0], m[1] - 52)
+    ed.update_placement_preview(m_up, cam_pos, basis, shift=True)
+    assert ed.placement_target_y == CLICK_HEIGHT
+    assert "Height" in ed.state.status_message
+    ed.update_placement_preview(m_up, cam_pos, basis, shift=False)
+
+    # drag across the occupied cell: only the empty ones are filled
+    ed.update_placement_preview(aim(2, 2), cam_pos, basis)
+    ed.press_placement()
+    ed.move_placement(aim(2, 3), cam_pos, basis)
+    placed = ed.release_placement(TEX)
+    assert placed == 1
+    room = ed.state.level.rooms[0]
+    assert room.get_sector(2, 3).floor.heights[0] == CLICK_HEIGHT
+
+
+def test_ceiling_default_height():
+    ed = _editor()
+    ed.state.tool = EditorTool.DRAW_CEILING
+    cam_pos, basis = _cam_above()
+    m = _screen_of_world(0.5 * 1024, 0.5 * 1024, cam_pos, basis)
+    ed.update_placement_preview(m, cam_pos, basis)
+    ed.press_placement()
+    ed.release_placement(TEX)
+    room = ed.state.level.rooms[0]
+    assert room.get_sector(0, 0).ceiling.heights[0] == CEILING_HEIGHT
+
+
+def test_wall_drag_along_edge():
+    ed = _editor(with_floors=[(1, 1), (2, 1), (3, 1)])
+    ed.state.tool = EditorTool.DRAW_WALL
+    ed.wall_direction = NORTH
+    cam_pos, basis = _cam_above()
+
+    def aim(cellx, cellz):
+        return _screen_of_world((cellx + 0.5) * 1024.0,
+                                (cellz + 0.5) * 1024.0, cam_pos, basis)
+
+    ed.press_wall(aim(1, 1), cam_pos, basis)
+    ed.move_wall(aim(3, 4), cam_pos, basis)   # z ignored for N walls
+    placed = ed.release_wall(TEX)
+    assert placed == 3
+    room = ed.state.level.rooms[0]
+    for x in (1, 2, 3):
+        walls = room.get_sector(x, 1).walls(NORTH)
+        assert len(walls) == 1
+        assert walls[0].heights[2] == CEILING_HEIGHT  # floor..ceiling gap
+    assert len(ed.state.undo_stack) == 1
+
+
+def test_select_face_height_drag():
+    ed = _editor(with_floors=[(2, 2)])
+    ed.state.tool = EditorTool.SELECT
+    ed.state.set_selection(Selection(kind="sector_face", room=0, x=2, z=2,
+                                     face=SectorFace(kind="floor")))
+    ed.press_select_drag((100.0, 200.0))
+    ed.move_select_drag((100.0, 200.0 - 103))   # 103*5=515 -> 2 clicks
+    ed.release_select_drag()
+    face = ed.state.level.rooms[0].get_sector(2, 2).floor
+    assert all(h == 2 * CLICK_HEIGHT for h in face.heights)
+    assert len(ed.state.undo_stack) == 1        # snapshot on first move
+
+    # vertex drag moves a single corner
+    ed.state.set_selection(Selection(kind="vertex", room=0, x=2, z=2,
+                                     face=SectorFace(kind="floor"),
+                                     corner_idx=1))
+    ed.press_select_drag((50.0, 100.0))
+    ed.move_select_drag((50.0, 100.0 + 52))     # down: -256
+    ed.release_select_drag()
+    face = ed.state.level.rooms[0].get_sector(2, 2).floor
+    assert face.heights[1] == 2 * CLICK_HEIGHT - CLICK_HEIGHT
+    assert face.heights[0] == 2 * CLICK_HEIGHT
+
+
+def test_object_place_and_drag():
+    ed = _editor(with_floors=[(x, z) for x in range(6) for z in range(6)])
+    ed.state.tool = EditorTool.PLACE_OBJECT
+    ed.selected_asset = 42
+    cam_pos, basis = _cam_above()
+
+    def aim(cellx, cellz):
+        return _screen_of_world((cellx + 0.5) * 1024.0,
+                                (cellz + 0.5) * 1024.0, cam_pos, basis)
+
+    idx = ed.place_object(aim(1, 2), cam_pos, basis)
+    assert idx == 0
+    room = ed.state.level.rooms[0]
+    obj = room.objects[0]
+    assert (obj.sector_x, obj.sector_z, obj.asset_id) == (1, 2, 42)
+    assert ed.state.selection.kind == "object"
+
+    # XZ drag to another cell
+    ed.press_object(0, 0, aim(1, 2), cam_pos, basis)
+    ed.move_object(aim(4, 4), cam_pos, basis)
+    ed.release_object()
+    assert (obj.sector_x, obj.sector_z) == (4, 4)
+
+    # shift-drag adjusts height
+    ed.press_object(0, 0, (100.0, 150.0), cam_pos, basis, shift=True)
+    ed.move_object((100.0, 150.0 - 20), cam_pos, basis)
+    ed.release_object()
+    assert obj.height == 100.0  # 20px * 5.0
