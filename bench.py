@@ -2,20 +2,21 @@
 """Benchmark: batched 320x240 game-instance throughput on one chip.
 
 Headline (BASELINE.json north star / config #5): independent 320x240 game
-instances per second per chip for the FULL fused frame — souls-like game tick
-+ cylinder collision + third-person camera + sector-level rasterization
-(Cave.ron sample level, PS1-authentic settings) — vs the target of
-1024 instances at 60 FPS-equivalent (61440 instance-frames/s).
+instances per second per chip for the FULL fused frame — souls-like game
+tick + cylinder collision + third-person camera + skybox + sector-level
+rasterization through the batched Pallas kernel (Cave.ron sample level,
+PS1-authentic settings) — vs the target of 1024 instances at 60
+FPS-equivalent (61440 instance-frames/s).  Run at N=1024 by default.
 
-detail also reports config #1 (spinning textured mesh, raster only) and
-triangle throughput.
+detail adds config #1 (spinning textured cube, raster only, same batched
+kernel) and config #3 (Cathedral, the largest multi-room sample level).
 
 Methodology: the remote-TPU tunnel has a ~27 ms host<->device sync latency
 and an asynchronous dispatch queue, so per-call wall timing measures
-latency, not throughput.  Frames are therefore CHAINED on device (each
-frame's state feeds the next; a scalar from each framebuffer joins a
-carried accumulator) and timed as the slope between a short and a long
-chain — pipeline throughput, which is what a datagen consumer sees.
+latency, not throughput.  Frames are CHAINED on device (each frame's state
+feeds the next; a scalar from each framebuffer joins a carried
+accumulator) and timed as the slope between a short and a long chain —
+pipeline throughput, which is what a datagen consumer sees.
 
 Prints ONE JSON line.
 """
@@ -42,27 +43,12 @@ def slope_time(run, k1=3, k2=13):
     return max(per, 1e-9)
 
 
-def main():
-    n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    k_long = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-
-    import jax
+def datagen_rate(level_path, n, settings, k_long):
     import jax.numpy as jnp
-    import bonnie32_tpu  # noqa: F401
-    from bonnie32_tpu.config import RasterSettings, WIDTH, HEIGHT
-    from bonnie32_tpu.models import build
-    from bonnie32_tpu import batch, rollout
+    from bonnie32_tpu import rollout
     from bonnie32_tpu.game import step as stp
-    from bonnie32_tpu.ops import camera as cam_ops
-    from bonnie32_tpu.types import no_fog
-    import scenes
 
-    settings = RasterSettings.game()
-    target = 1024 * 60
-    n = n_instances
-
-    # ---- config #5: fused datagen on the Cave sample level ----
-    level, env, spawn = rollout.demo_env()
+    level, env, spawn = rollout.demo_env(level_path, flat=True)
     states0 = rollout.initial_states(level, spawn, n)
     rng = np.random.default_rng(0)
     ang = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
@@ -71,33 +57,60 @@ def main():
         cam_x=jnp.zeros(n, jnp.float32), cam_y=jnp.zeros(n, jnp.float32),
         sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
 
-    def run_datagen(k):
+    def run(k):
         states = states0
         acc = jnp.float32(0)
         for _ in range(k):
-            states, fbs = rollout.step_and_render(states, env, acts, settings)
+            states, fbs = rollout.step_and_render(states, env, acts,
+                                                  settings)
             acc = acc + fbs.color[0, 0, 0]
         return float(acc)
 
-    dt_datagen = slope_time(run_datagen, k2=k_long)
-    datagen_ifps = n / dt_datagen
-
+    dt = slope_time(run, k2=k_long)
     tris = int(np.asarray(env.scene.faces.valid).sum())
+    return n / dt, dt, tris
 
-    # ---- config #1: spinning textured cube, raster only ----
+
+def main():
+    n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    k_long = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    import jax
+    import jax.numpy as jnp
+    import bonnie32_tpu  # noqa: F401
+    from bonnie32_tpu.config import RasterSettings, WIDTH, HEIGHT
+    from bonnie32_tpu.models import scene_flat
+    from bonnie32_tpu.ops import camera as cam_ops
+    from bonnie32_tpu.ops import raster_ref
+    import scenes
+
+    settings = RasterSettings.game()
+    target = 1024 * 60
+    n = n_instances
+
+    # ---- config #5 (headline): fused datagen on the Cave sample level ----
+    cave = "/root/reference/assets/samples/levels/Cave.ron"
+    datagen_ifps, dt_datagen, tris = datagen_rate(cave, n, settings, k_long)
+
+    # ---- config #1: spinning textured cube, raster only, batched kernel --
     tex = [scenes.checker_texture15(32, 32, with_black=False)]
     verts, faces = scenes.cube_scene(tex_ids=(0, 0, 0, 0, 0, 0))
-    mesh, fa = scenes.to_jax_scene(verts, faces)
-    atlas = build.build_atlas(tex)
-    lights = build.lights_from_list(scenes.DEFAULT_LIGHT_SPECS)
-    fog = no_fog()
-    base_angles = jnp.arange(n, dtype=jnp.float32) * 0.01
-    fbs0 = batch.batched_framebuffers(n, HEIGHT, WIDTH)
+    flat, static = scene_flat.compile_scene_flat(
+        verts, faces, tex, scenes.DEFAULT_LIGHT_SPECS)
+    base_angles = np.arange(n, dtype=np.float32) * 0.01
+    fb0 = raster_ref.new_framebuffer(HEIGHT, WIDTH, depth_mode="inv")
+    fbs0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
 
-    cube_frame = jax.jit(lambda t: batch.render_batch(
-        fbs0, mesh, fa, atlas,
-        cam_ops.orbit_cameras(base_angles + t * 0.031, 0.35, 3.5),
-        lights, fog, settings).color)
+    def cube_frame(t):
+        cams = cam_ops.orbit_cameras(
+            jnp.asarray(base_angles) + t * 0.031, 0.35, 3.5)
+        out = scene_flat.render_level_flat(fbs0, flat, static, cams,
+                                           settings, height=HEIGHT,
+                                           width=WIDTH)
+        return out.color
+
+    cube_frame = jax.jit(cube_frame)
 
     def run_cube(k):
         t = jnp.float32(0)
@@ -111,6 +124,16 @@ def main():
     dt_cube = slope_time(run_cube, k2=k_long)
     cube_ifps = n / dt_cube
 
+    # ---- config #3: Cathedral (largest multi-room sample) ----
+    cathedral = "/root/reference/assets/samples/levels/Cathedral.ron"
+    n3 = min(n, 256)
+    try:
+        cath_ifps, dt_cath, cath_tris = datagen_rate(
+            cathedral, n3, settings, k_long)
+    except Exception as e:  # keep the headline even if the level changes
+        cath_ifps, dt_cath, cath_tris = 0.0, 0.0, 0
+        print(f"# cathedral config failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "game_instance_frames_per_sec_320x240",
         "value": round(datagen_ifps, 1),
@@ -123,6 +146,9 @@ def main():
             "mtris_per_sec": round(datagen_ifps * tris / 1e6, 2),
             "cube_raster_only_ifps": round(cube_ifps, 1),
             "cube_ms_per_batched_frame": round(1000 * dt_cube, 2),
+            "cathedral_ifps": round(cath_ifps, 1),
+            "cathedral_n_instances": n3,
+            "cathedral_triangles": cath_tris,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -164,6 +164,23 @@ def compile_level_flat(level: Level, textures, resolve,
                     groups.append((verts, pfaces, fog_row, room.ambient,
                                    part.double_sided))
 
+    return _compile_groups(groups, tex_list, light_specs, light_pad)
+
+
+def compile_scene_flat(verts, faces, textures, light_specs=None,
+                       ambient: float = 0.5, light_pad: int = 8):
+    """One raw mesh (scenes.py-style vert/face dicts + (pixels15, blend)
+    textures) -> (FlatScene, FlatSceneStatic) for the batched kernel —
+    the bench's raster-only configs go through the same kernel as levels."""
+    tex_list = [t if isinstance(t, tuple) else (t.pixels15, 0)
+                for t in textures]
+    fog_row = (False, 0.0, 0.0, 3.4e38, (0, 0, 0))
+    groups = [(list(verts), [dict(f) for f in faces], fog_row, ambient,
+               None)]
+    return _compile_groups(groups, tex_list, light_specs, light_pad)
+
+
+def _compile_groups(groups, tex_list, light_specs, light_pad):
     # Concatenate into one vertex/face list.
     all_v, all_f = [], []
     fog_rows, ambients, ds_flags = [], [], []
@@ -191,9 +208,13 @@ def compile_level_flat(level: Level, textures, resolve,
         dummy_valid = False
 
     # Trim the global atlas to textures actually sampled (the per-room path
-    # trims per room, scene.py; here one compact global table).
-    used = sorted({f["tex_id"] for f in all_f
-                   if f.get("tex_id") is not None and f["tex_id"] >= 0})
+    # trims per room, scene.py; here one compact global table).  FIRST-USE
+    # order, not sorted: faces draw in room order, so co-occurring textures
+    # pack into adjacent atlas rows — the kernel's 128-row texel tiles then
+    # stay sparse per screen chunk (raster_batch.py fetch_texel).
+    used = list(dict.fromkeys(f["tex_id"] for f in all_f
+                              if f.get("tex_id") is not None
+                              and f["tex_id"] >= 0))
     if not used and tex_list:
         used = [0]
     remap = {g: i for i, g in enumerate(used)}

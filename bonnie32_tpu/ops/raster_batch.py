@@ -438,17 +438,43 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             flat = toff + ty * tw + tx
             trow = flat >> 7
             tlane = flat & 127
-            oh = (trow[..., None] == ra_iota).astype(_BF16)
-            lo = jax.lax.dot_general(
-                oh, texlo_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=_F32)
-            hiw = jax.lax.dot_general(
-                oh, texhi_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=_F32)
-            tv = lo + hiw * 256.0
-            texel = jnp.sum(
-                jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
-                axis=2).astype(_I32)
+            if "notex" in debug:      # perf diagnosis: no texel fetch
+                lo = hiw = jnp.zeros((CH, 128, 1), _F32)
+            else:
+                oh = (trow[..., None] == ra_iota).astype(_BF16)
+                lo = jax.lax.dot_general(
+                    oh, texlo_ref[:],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32)
+                hiw = jax.lax.dot_general(
+                    oh, texhi_ref[:],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32)
+            if "notex" in debug:
+                texel = jnp.full((CH, 128), col.WHITE, _I32)
+            elif "pick0" in debug:    # perf diagnosis: skip the lane pick
+                texel = (lo[..., 0] + hiw[..., 0] * 256.0).astype(_I32)
+            elif "sumones" in debug:
+                # lane pick as per-plane bf16 ones-matmul (byte planes are
+                # bf16-exact) instead of the VPU cross-lane reduction
+                laneeq = lane_iota3 == tlane[..., None]
+                ones16 = jnp.ones((128, 128), _BF16)
+                mlo = jnp.where(laneeq, lo, 0.0).astype(_BF16)
+                mhi = jnp.where(laneeq, hiw, 0.0).astype(_BF16)
+                lo_sel = jax.lax.dot_general(
+                    mlo, ones16,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32)[..., 0]
+                hi_sel = jax.lax.dot_general(
+                    mhi, ones16,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=_F32)[..., 0]
+                texel = (lo_sel + hi_sel * 256.0).astype(_I32)
+            else:
+                tv = lo + hiw * 256.0
+                texel = jnp.sum(
+                    jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
+                    axis=2).astype(_I32)
 
             flags = a[C_FLAGS].astype(_I32)
             bt = (flags & FLAG_BT) != 0
