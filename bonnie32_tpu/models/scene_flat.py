@@ -69,7 +69,7 @@ class FlatScene(NamedTuple):
     atlas: TextureAtlas     # global
     # Kernel tables (see ops/raster_batch.py):
     tex_lo: jnp.ndarray     # (Ra, 128) bf16 — texel low byte
-    tex_hi: jnp.ndarray     # (Ra, 128) bf16 — texel high byte
+    tex_hi: jnp.ndarray     # (Ra, 128) bf16 — texel high byte << 8
     keyrows: jnp.ndarray    # (NT, WR, 128) i32 — per-texture key-bit words
     texmeta: jnp.ndarray    # (4, 128) i32 rows: width, height, offset, 0
 
@@ -247,8 +247,10 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
     padded = np.zeros(ra * 128, np.int32)
     padded[:data.size] = data
     padded = padded.reshape(ra, 128)
+    # hi plane prescaled by 256 (hi<<8 keeps 8 significant bits — still
+    # bf16-exact) so the kernel combines planes with one add, no multiply
     tex_lo = jnp.asarray((padded & 0xFF).astype(np.float32), jnp.bfloat16)
-    tex_hi = jnp.asarray(((padded >> 8) & 0xFF).astype(np.float32),
+    tex_hi = jnp.asarray((padded & 0xFF00).astype(np.float32),
                          jnp.bfloat16)
 
     wrows_np = np.asarray(atlas.black_wrows)   # (NT, Wmax)

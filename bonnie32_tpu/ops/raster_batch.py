@@ -380,179 +380,192 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             lanei = idxs & 127
             grp = idxs >> 7
 
-            def gather_body(gg, carry, lanei=lanei, grp=grp):
-                out = []
-                for ci, cc in enumerate(cols):
-                    row = attrsT_ref[0, cc, gg, :]
-                    sel = _lane_take(
-                        jnp.broadcast_to(row[None, :], (CH, 128)), lanei)
-                    out.append(jnp.where(grp == gg, sel, carry[ci]))
-                return tuple(out)
+            # chunks with no winning face skip the whole pixel pipeline
+            # and just pass the background through (sparse scenes: most
+            # of the frame is skybox/clear)
+            any_winner = jnp.max(jnp.where(has, _I32(1), _I32(0))) > 0
 
-            vals = jax.lax.fori_loop(
-                0, ngroups, gather_body,
-                tuple(jnp.zeros((CH, 128), _F32) for _ in cols))
-            a = dict(zip(cols, vals))
+            @pl.when(jnp.logical_not(any_winner))
+            def _(r0=r0):
+                color_ref[0, pl.ds(r0, CH), :] = fbc_ref[0, pl.ds(r0, CH), :]
 
-            xi = jax.lax.broadcasted_iota(_I32, (CH, 128), 1) + (g << 7)
-            yi = jax.lax.broadcasted_iota(_I32, (CH, 128), 0) + ybase
-            px = xi.astype(_F32)
-            py = yi.astype(_F32)
-            dx = px - a[C_V3X]
-            dy = py - a[C_V3Y]
-            w0 = a[C_A0] * dx + a[C_B0] * dy
-            w1 = a[C_A1] * dx + a[C_B1] * dy
-            bcx = w0 * a[C_IA]
-            bcy = w1 * a[C_IA]
-            bcz = (1.0 - bcx) - bcy
+            @pl.when(any_winner)
+            def _(idx=idx, has=has, idxs=idxs, lanei=lanei, grp=grp,
+                  g=g, ybase=ybase, r0=r0):
 
-            if affine:
-                u = _interp3(bcx, bcy, bcz, a[C_U0], a[C_U1], a[C_U2])
-                v = _interp3(bcx, bcy, bcz, a[C_VV0], a[C_VV1], a[C_VV2])
-            else:
-                izi = depth_ref[0, pl.ds(r0, CH), :]
-                u_oz = ((bcx * a[C_U0]) * a[C_IZA]
-                        + (bcy * a[C_U1]) * a[C_IZB]) \
-                    + (bcz * a[C_U2]) * a[C_IZC]
-                v_oz = ((bcx * a[C_VV0]) * a[C_IZA]
-                        + (bcy * a[C_VV1]) * a[C_IZB]) \
-                    + (bcz * a[C_VV2]) * a[C_IZC]
-                safe = jnp.where(izi == 0, _F32(1.0), izi)
-                u = u_oz / safe
-                v = v_oz / safe
+                def gather_body(gg, carry, lanei=lanei, grp=grp):
+                    out = []
+                    for ci, cc in enumerate(cols):
+                        row = attrsT_ref[0, cc, gg, :]
+                        sel = _lane_take(
+                            jnp.broadcast_to(row[None, :], (CH, 128)), lanei)
+                        out.append(jnp.where(grp == gg, sel, carry[ci]))
+                    return tuple(out)
 
-            tid = a[C_TID].astype(_I32)
-            textured = tid >= 0
-            tids = jnp.maximum(tid, 0)
-            tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
-                                             (CH, 128)), tids)
-            th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
-                                             (CH, 128)), tids)
-            toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
-                                               (CH, 128)), tids)
-            vf = _F32(1.0) - v
-            tx = jnp.minimum(
-                jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
-            ty = jnp.minimum(
-                jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
-            flat = toff + ty * tw + tx
-            trow = flat >> 7
-            tlane = flat & 127
-            if "notex" in debug:      # perf diagnosis: no texel fetch
-                lo = hiw = jnp.zeros((CH, 128, 1), _F32)
-            else:
-                oh = (trow[..., None] == ra_iota).astype(_BF16)
-                lo = jax.lax.dot_general(
-                    oh, texlo_ref[:],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=_F32)
-                hiw = jax.lax.dot_general(
-                    oh, texhi_ref[:],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=_F32)
-            if "notex" in debug:
-                texel = jnp.full((CH, 128), col.WHITE, _I32)
-            elif "pick0" in debug:    # perf diagnosis: skip the lane pick
-                texel = (lo[..., 0] + hiw[..., 0] * 256.0).astype(_I32)
-            elif "sumones" in debug:
-                # lane pick as per-plane bf16 ones-matmul (byte planes are
-                # bf16-exact) instead of the VPU cross-lane reduction
-                laneeq = lane_iota3 == tlane[..., None]
-                ones16 = jnp.ones((128, 128), _BF16)
-                mlo = jnp.where(laneeq, lo, 0.0).astype(_BF16)
-                mhi = jnp.where(laneeq, hiw, 0.0).astype(_BF16)
-                lo_sel = jax.lax.dot_general(
-                    mlo, ones16,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=_F32)[..., 0]
-                hi_sel = jax.lax.dot_general(
-                    mhi, ones16,
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=_F32)[..., 0]
-                texel = (lo_sel + hi_sel * 256.0).astype(_I32)
-            else:
-                tv = lo + hiw * 256.0
-                texel = jnp.sum(
-                    jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
-                    axis=2).astype(_I32)
+                vals = jax.lax.fori_loop(
+                    0, ngroups, gather_body,
+                    tuple(jnp.zeros((CH, 128), _F32) for _ in cols))
+                a = dict(zip(cols, vals))
 
-            flags = a[C_FLAGS].astype(_I32)
-            bt = (flags & FLAG_BT) != 0
-            ndith = (flags & FLAG_DITHER) != 0
+                xi = jax.lax.broadcasted_iota(_I32, (CH, 128), 1) + (g << 7)
+                yi = jax.lax.broadcasted_iota(_I32, (CH, 128), 0) + ybase
+                px = xi.astype(_F32)
+                py = yi.astype(_F32)
+                dx = px - a[C_V3X]
+                dy = py - a[C_V3Y]
+                w0 = a[C_A0] * dx + a[C_B0] * dy
+                w1 = a[C_A1] * dx + a[C_B1] * dy
+                bcx = w0 * a[C_IA]
+                bcy = w1 * a[C_IA]
+                bcz = (1.0 - bcx) - bcy
 
-            c15 = jnp.where(textured, texel, _I32(col.WHITE))
-            is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
-                & (col.b5(c15) == 0)
-            is_transp = c15 == 0
-            keyed_out = is_black & bt & textured
-            c15 = jnp.where(is_transp & ~bt, _I32(col.BLACK_DRAWABLE), c15)
+                if affine:
+                    u = _interp3(bcx, bcy, bcz, a[C_U0], a[C_U1], a[C_U2])
+                    v = _interp3(bcx, bcy, bcz, a[C_VV0], a[C_VV1], a[C_VV2])
+                else:
+                    izi = depth_ref[0, pl.ds(r0, CH), :]
+                    u_oz = ((bcx * a[C_U0]) * a[C_IZA]
+                            + (bcy * a[C_U1]) * a[C_IZB]) \
+                        + (bcz * a[C_U2]) * a[C_IZC]
+                    v_oz = ((bcx * a[C_VV0]) * a[C_IZA]
+                            + (bcy * a[C_VV1]) * a[C_IZB]) \
+                        + (bcz * a[C_VV2]) * a[C_IZC]
+                    safe = jnp.where(izi == 0, _F32(1.0), izi)
+                    u = u_oz / safe
+                    v = v_oz / safe
 
-            tex_r8 = col.expand_5_to_8(col.r5(c15))
-            tex_g8 = col.expand_5_to_8(col.g5(c15))
-            tex_b8 = col.expand_5_to_8(col.b5(c15))
+                tid = a[C_TID].astype(_I32)
+                textured = tid >= 0
+                tids = jnp.maximum(tid, 0)
+                tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
+                                                 (CH, 128)), tids)
+                th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
+                                                 (CH, 128)), tids)
+                toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
+                                                   (CH, 128)), tids)
+                vf = _F32(1.0) - v
+                tx = jnp.minimum(
+                    jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
+                ty = jnp.minimum(
+                    jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
+                flat = toff + ty * tw + tx
+                trow = flat >> 7
+                tlane = flat & 127
+                if "notex" in debug:      # perf diagnosis: no texel fetch
+                    lo = hiw = jnp.zeros((CH, 128, 1), _F32)
+                else:
+                    oh = (trow[..., None] == ra_iota).astype(_BF16)
+                    lo = jax.lax.dot_general(
+                        oh, texlo_ref[:],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32)
+                    hiw = jax.lax.dot_general(
+                        oh, texhi_ref[:],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32)
+                if "notex" in debug:
+                    texel = jnp.full((CH, 128), col.WHITE, _I32)
+                elif "pick0" in debug:    # perf diagnosis: skip the lane pick
+                    texel = (lo[..., 0] + hiw[..., 0] * 256.0).astype(_I32)
+                elif "sumones" in debug:
+                    # lane pick as per-plane bf16 ones-matmul (byte planes are
+                    # bf16-exact) instead of the VPU cross-lane reduction
+                    laneeq = lane_iota3 == tlane[..., None]
+                    ones16 = jnp.ones((128, 128), _BF16)
+                    mlo = jnp.where(laneeq, lo, 0.0).astype(_BF16)
+                    mhi = jnp.where(laneeq, hiw, 0.0).astype(_BF16)
+                    lo_sel = jax.lax.dot_general(
+                        mlo, ones16,
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32)[..., 0]
+                    hi_sel = jax.lax.dot_general(
+                        mhi, ones16,
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=_F32)[..., 0]
+                    texel = (lo_sel + hi_sel).astype(_I32)
+                else:
+                    tv = lo + hiw   # hi table prescaled by 256
+                    texel = jnp.sum(
+                        jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
+                        axis=2).astype(_I32)
 
-            def unpack_vc(packed):
-                p = packed.astype(_I32)
-                return (p & 255, (p >> 8) & 255, (p >> 16) & 255)
+                flags = a[C_FLAGS].astype(_I32)
+                bt = (flags & FLAG_BT) != 0
+                ndith = (flags & FLAG_DITHER) != 0
 
-            vc0 = unpack_vc(a[C_VCP0])
-            vc1 = unpack_vc(a[C_VCP1])
-            vc2 = unpack_vc(a[C_VCP2])
-            vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                        vc0[0].astype(_F32),
-                                        vc1[0].astype(_F32),
-                                        vc2[0].astype(_F32)))
-            vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                        vc0[1].astype(_F32),
-                                        vc1[1].astype(_F32),
-                                        vc2[1].astype(_F32)))
-            vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                        vc0[2].astype(_F32),
-                                        vc1[2].astype(_F32),
-                                        vc2[2].astype(_F32)))
+                c15 = jnp.where(textured, texel, _I32(col.WHITE))
+                is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
+                    & (col.b5(c15) == 0)
+                is_transp = c15 == 0
+                keyed_out = is_black & bt & textured
+                c15 = jnp.where(is_transp & ~bt, _I32(col.BLACK_DRAWABLE), c15)
 
-            # modulate8 ((tex*vc)//128, render.rs:1624): operands are
-            # nonnegative u8 so the floor-div is a shift (Mosaic's
-            # floor_divide lowering recurses — avoid // in-kernel).
-            mod_r8 = jnp.minimum((tex_r8 * vr) >> 7, 255)
-            mod_g8 = jnp.minimum((tex_g8 * vg) >> 7, 255)
-            mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
+                tex_r8 = col.expand_5_to_8(col.r5(c15))
+                tex_g8 = col.expand_5_to_8(col.g5(c15))
+                tex_b8 = col.expand_5_to_8(col.b5(c15))
 
-            if shading == ShadingMode.NONE:
-                sh_r = sh_g = sh_b = jnp.ones((CH, 128), _F32)
-            elif shading == ShadingMode.FLAT:
-                sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
-            else:
-                sh_r = _interp3(bcx, bcy, bcz, a[C_SH], a[C_SH + 3],
-                                a[C_SH + 6])
-                sh_g = _interp3(bcx, bcy, bcz, a[C_SH + 1], a[C_SH + 4],
-                                a[C_SH + 7])
-                sh_b = _interp3(bcx, bcy, bcz, a[C_SH + 2], a[C_SH + 5],
-                                a[C_SH + 8])
+                def unpack_vc(packed):
+                    p = packed.astype(_I32)
+                    return (p & 255, (p >> 8) & 255, (p >> 16) & 255)
 
-            def apply_shade(m8, s):
-                return _u8_trunc_sat(jnp.minimum(
-                    m8.astype(_F32) * jnp.clip(s, 0.0, 2.0), 255.0))
+                vc0 = unpack_vc(a[C_VCP0])
+                vc1 = unpack_vc(a[C_VCP1])
+                vc2 = unpack_vc(a[C_VCP2])
+                vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                            vc0[0].astype(_F32),
+                                            vc1[0].astype(_F32),
+                                            vc2[0].astype(_F32)))
+                vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                            vc0[1].astype(_F32),
+                                            vc1[1].astype(_F32),
+                                            vc2[1].astype(_F32)))
+                vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                            vc0[2].astype(_F32),
+                                            vc1[2].astype(_F32),
+                                            vc2[2].astype(_F32)))
 
-            shaded_r8 = apply_shade(mod_r8, sh_r)
-            shaded_g8 = apply_shade(mod_g8, sh_g)
-            shaded_b8 = apply_shade(mod_b8, sh_b)
+                # modulate8 ((tex*vc)//128, render.rs:1624): operands are
+                # nonnegative u8 so the floor-div is a shift (Mosaic's
+                # floor_divide lowering recurses — avoid // in-kernel).
+                mod_r8 = jnp.minimum((tex_r8 * vr) >> 7, 255)
+                mod_g8 = jnp.minimum((tex_g8 * vg) >> 7, 255)
+                mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
 
-            offset = _dither_offsets(xi, yi)
-            r5v = jnp.where(ndith, col.dither_and_quantize8(shaded_r8, offset),
-                            shaded_r8 >> 3)
-            g5v = jnp.where(ndith, col.dither_and_quantize8(shaded_g8, offset),
-                            shaded_g8 >> 3)
-            b5v = jnp.where(ndith, col.dither_and_quantize8(shaded_b8, offset),
-                            shaded_b8 >> 3)
+                if shading == ShadingMode.NONE:
+                    sh_r = sh_g = sh_b = jnp.ones((CH, 128), _F32)
+                elif shading == ShadingMode.FLAT:
+                    sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
+                else:
+                    sh_r = _interp3(bcx, bcy, bcz, a[C_SH], a[C_SH + 3],
+                                    a[C_SH + 6])
+                    sh_g = _interp3(bcx, bcy, bcz, a[C_SH + 1], a[C_SH + 4],
+                                    a[C_SH + 7])
+                    sh_b = _interp3(bcx, bcy, bcz, a[C_SH + 2], a[C_SH + 5],
+                                    a[C_SH + 8])
 
-            word = col.pack_rgba8(col.expand_5_to_8(r5v),
-                                  col.expand_5_to_8(g5v),
-                                  col.expand_5_to_8(b5v),
-                                  jnp.full((CH, 128), 255, _I32))
-            drawn = has & ~keyed_out
-            bg = fbc_ref[0, pl.ds(r0, CH), :]
-            color_ref[0, pl.ds(r0, CH), :] = jnp.where(drawn, word, bg)
+                def apply_shade(m8, s):
+                    return _u8_trunc_sat(jnp.minimum(
+                        m8.astype(_F32) * jnp.clip(s, 0.0, 2.0), 255.0))
+
+                shaded_r8 = apply_shade(mod_r8, sh_r)
+                shaded_g8 = apply_shade(mod_g8, sh_g)
+                shaded_b8 = apply_shade(mod_b8, sh_b)
+
+                offset = _dither_offsets(xi, yi)
+                r5v = jnp.where(ndith, col.dither_and_quantize8(shaded_r8, offset),
+                                shaded_r8 >> 3)
+                g5v = jnp.where(ndith, col.dither_and_quantize8(shaded_g8, offset),
+                                shaded_g8 >> 3)
+                b5v = jnp.where(ndith, col.dither_and_quantize8(shaded_b8, offset),
+                                shaded_b8 >> 3)
+
+                word = col.pack_rgba8(col.expand_5_to_8(r5v),
+                                      col.expand_5_to_8(g5v),
+                                      col.expand_5_to_8(b5v),
+                                      jnp.full((CH, 128), 255, _I32))
+                drawn = has & ~keyed_out
+                bg = fbc_ref[0, pl.ds(r0, CH), :]
+                color_ref[0, pl.ds(r0, CH), :] = jnp.where(drawn, word, bg)
 
     return kernel, gh, groups
 
