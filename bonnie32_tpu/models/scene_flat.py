@@ -168,7 +168,9 @@ def compile_level_flat(level: Level, textures, resolve,
 
 
 def compile_scene_flat(verts, faces, textures, light_specs=None,
-                       ambient: float = 0.5, light_pad: int = 8):
+                       ambient: float = 0.3, light_pad: int = 8):
+    # default ambient matches build.lights_from_list's 0.3 so raw-mesh
+    # scenes shade identically through either path
     """One raw mesh (scenes.py-style vert/face dicts + (pixels15, blend)
     textures) -> (FlatScene, FlatSceneStatic) for the batched kernel —
     the bench's raster-only configs go through the same kernel as levels."""

@@ -102,3 +102,40 @@ def test_flat_scene_has_transparent_faces_static(cave):
     assert static.transparent_last
     assert static.n_faces > 100
     assert static.t_pad % 128 == 0
+
+
+def test_flat_cube_matches_render_mesh(cave):
+    """compile_scene_flat (raw meshes, the bench's raster configs) must
+    match render_mesh_15 on the textured cube."""
+    import scenes
+    from bonnie32_tpu.ops import camera as cam_ops
+    from bonnie32_tpu.render import render_mesh_15
+    from bonnie32_tpu.types import no_fog
+
+    settings = RasterSettings.game()
+    tex = [scenes.checker_texture15(32, 32, with_black=False)]
+    verts, faces = scenes.cube_scene(tex_ids=(0, 0, 0, 0, 0, 0))
+    flat, static = scene_flat.compile_scene_flat(
+        verts, faces, tex, scenes.DEFAULT_LIGHT_SPECS)
+    assert scene_flat.kernel_path_ok(static, settings)
+
+    fb0 = raster_ref.new_framebuffer(HEIGHT, WIDTH, depth_mode="inv")
+    cams = cam_ops.orbit_cameras(
+        jnp.asarray(np.arange(2, dtype=np.float32) * 0.7), 0.35, 3.5)
+    fbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (2,) + x.shape), fb0)
+    out = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                       height=HEIGHT, width=WIDTH,
+                                       interpret=True)
+
+    mesh, fa = scenes.to_jax_scene(verts, faces)
+    atlas = build.build_atlas(tex)
+    lights = build.lights_from_list(scenes.DEFAULT_LIGHT_SPECS)
+    for i in range(2):
+        cam_i = jax.tree_util.tree_map(lambda x: x[i], cams)
+        ref = render_mesh_15(fb0, mesh, fa, atlas, cam_i, lights, no_fog(),
+                             settings, depth_mode="fast")
+        diff = (np.asarray(out.color[i]) != np.asarray(ref.color))
+        budget = _seam_budget(diff.size, 1)
+        assert diff.sum() <= budget, \
+            f"cube inst {i}: {diff.sum()} diffs (budget {budget})"
