@@ -1,0 +1,145 @@
+"""World-editor screen composition (the headless layout.rs counterpart).
+
+Mirrors `draw_editor` (`/root/reference/src/editor/layout.rs:231-290`):
+a unified toolbar strip on top, a status bar at the bottom, then a
+horizontal main split (left sidebar | rest) and a second split (center
+viewport | right sidebar).  The left sidebar holds four collapsible
+panels (Skybox, 2D Grid, Room, Debug); the right sidebar holds Textures
+and Properties.  Everything renders into the UiContext draw queue, which
+paint() rasterizes into a framebuffer alongside the 3D viewport.
+"""
+
+import dataclasses
+from typing import Dict, List, Optional
+
+from ..ui import (Rect, SplitPanel, UiContext, button, draw_collapsible_panel,
+                  draw_panel, toolbar, vlist)
+from ..ui.panel import COLLAPSED_PANEL_HEIGHT
+from .state import EditorState, EditorTool
+
+TOOLBAR_HEIGHT = 36.0   # layout.rs:248
+STATUS_HEIGHT = 22.0    # layout.rs:253
+PANEL_BG = (35, 35, 40)  # layout.rs:275
+
+TOOLS = [EditorTool.SELECT, EditorTool.DRAW_FLOOR, EditorTool.DRAW_WALL,
+         EditorTool.DRAW_CEILING, EditorTool.PLACE_OBJECT]
+TOOL_LABELS = ["Sel", "Flr", "Wal", "Cei", "Obj"]
+LEFT_PANELS = ["Skybox", "2D Grid", "Room", "Debug"]  # layout.rs:274
+RIGHT_PANELS = ["Textures", "Properties"]
+
+
+@dataclasses.dataclass
+class EditorLayout:
+    """Persistent layout state (splits + collapse flags)."""
+
+    main_split: SplitPanel = dataclasses.field(
+        default_factory=lambda: SplitPanel.horizontal("main")
+        .with_ratio(0.22).with_min_size(120))
+    right_split: SplitPanel = dataclasses.field(
+        default_factory=lambda: SplitPanel.horizontal("right")
+        .with_ratio(0.72).with_min_size(160))
+    left_collapsed: List[bool] = dataclasses.field(
+        default_factory=lambda: [True, False, False, True])
+    right_collapsed: List[bool] = dataclasses.field(
+        default_factory=lambda: [False, False])
+    room_scroll: float = 0.0
+
+
+def _collapsible_stack(ctx, rect, names, collapsed, bg) -> Dict[str, Rect]:
+    """layout.rs:278-300 — equal heights for expanded panels, headers for
+    collapsed ones; toggles on header click."""
+    n_collapsed = sum(collapsed)
+    avail = max(rect.h - n_collapsed * COLLAPSED_PANEL_HEIGHT, 0.0)
+    n_expanded = len(names) - n_collapsed
+    exp_h = avail / n_expanded if n_expanded else 0.0
+
+    content: Dict[str, Rect] = {}
+    y = rect.y
+    for i, name in enumerate(names):
+        h = COLLAPSED_PANEL_HEIGHT if collapsed[i] else exp_h
+        pr = Rect(rect.x, y, rect.w, h)
+        clicked, body = draw_collapsible_panel(ctx, pr, name, collapsed[i],
+                                               bg)
+        if clicked:
+            collapsed[i] = not collapsed[i]
+        if body is not None:
+            content[name] = body
+        y += h
+    return content
+
+
+def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
+                bounds: Rect, dt: float = 1.0 / 60.0) -> Dict[str, Rect]:
+    """One editor frame's chrome; returns named rects so the caller can
+    render the 3D viewport / grid views into them and route input."""
+    screen = bounds
+    toolbar_rect = screen.slice_top(TOOLBAR_HEIGHT)
+    main_rect = screen.remaining_after_top(TOOLBAR_HEIGHT)
+    status_rect = main_rect.slice_bottom(STATUS_HEIGHT)
+    panels_rect = main_rect.remaining_after_bottom(STATUS_HEIGHT)
+
+    # --- toolbar: tool buttons + undo/redo (draw_unified_toolbar) ---
+    ctx.fill(toolbar_rect, (28, 28, 33))
+    ctx.outline(toolbar_rect, (60, 60, 70))
+    active = TOOLS.index(state.tool) if state.tool in TOOLS else 0
+    strip = Rect(toolbar_rect.x + 4, toolbar_rect.y + 4,
+                 len(TOOLS) * 30.0, toolbar_rect.h - 8)
+    new_active = toolbar(ctx, "tools", strip, TOOL_LABELS, active,
+                         button_w=30.0)
+    if new_active != active:
+        state.tool = TOOLS[new_active]
+    ux = strip.right + 12
+    if button(ctx, "undo", Rect(ux, strip.y, 40, strip.h), "Undo"):
+        state.undo()
+    if button(ctx, "redo", Rect(ux + 44, strip.y, 40, strip.h), "Redo"):
+        state.redo()
+
+    # --- splits (layout.rs:263-266) ---
+    left_rect, rest_rect = layout.main_split.update(ctx, panels_rect)
+    center_rect, right_rect = layout.right_split.update(ctx, rest_rect)
+
+    # --- left sidebar: 4 collapsible panels ---
+    left_content = _collapsible_stack(ctx, left_rect, LEFT_PANELS,
+                                      layout.left_collapsed, PANEL_BG)
+    if "Room" in left_content:
+        rooms = [f"Room {r.id}" for r in state.level.rooms]
+        sel, layout.room_scroll = vlist(
+            ctx, "rooms", left_content["Room"], rooms,
+            state.current_room, scroll=layout.room_scroll)
+        if sel is not None and sel != state.current_room:
+            state.current_room = sel
+
+    # --- right sidebar: Textures + Properties ---
+    right_content = _collapsible_stack(ctx, right_rect, RIGHT_PANELS,
+                                       layout.right_collapsed, PANEL_BG)
+    if "Properties" in right_content:
+        body = right_content["Properties"]
+        sel = state.selection
+        ctx.text(body.x + 2, body.y + 2, f"Sel: {sel.kind}")
+        if sel.kind in ("sector", "sector_face", "vertex"):
+            ctx.text(body.x + 2, body.y + 12,
+                     f"room {sel.room} cell {sel.x},{sel.z}")
+        elif sel.kind == "object":
+            ctx.text(body.x + 2, body.y + 12,
+                     f"room {sel.room} obj {sel.index}")
+
+    # --- viewport frame ---
+    draw_panel(ctx, center_rect, None, (12, 12, 16))
+
+    # --- status bar (state.set_status toasts) ---
+    ctx.fill(status_rect, (24, 24, 28))
+    ctx.outline(status_rect, (60, 60, 70))
+    state.tick_status(dt)
+    if state.status_message:
+        ctx.text(status_rect.x + 6, status_rect.y + 7,
+                 state.status_message)
+    else:
+        ctx.text(status_rect.x + 6, status_rect.y + 7,
+                 f"Tool: {state.tool.value}", (120, 120, 130))
+
+    return {
+        "toolbar": toolbar_rect, "status": status_rect,
+        "left": left_rect, "viewport": center_rect, "right": right_rect,
+        **{f"left:{k}": v for k, v in left_content.items()},
+        **{f"right:{k}": v for k, v in right_content.items()},
+    }
