@@ -73,6 +73,25 @@ def main(n_devices: int) -> None:
           f"sharded axes {shard_axes or '{replicated}'}, "
           f"output == unsharded baseline")
 
+    # The flagship batched-Pallas path shards via shard_map (XLA auto-SPMD
+    # cannot partition a pallas_call); verify it too.
+    from bonnie32_tpu.models import texture_pack as tp
+    textures = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+    resolve = tp.make_resolver(textures)
+    fenv = rollout.build_env(level, textures, resolve, flat=True)
+    fref_states, fref_fbs = rollout.step_and_render(
+        states, fenv, acts, settings, height=24, width=32,
+        instance_chunk=None)
+    step = pmesh.sharded_step_and_render(dev_mesh, fenv, settings, 24, 32)
+    fsh_states, fsh_fbs = step(pmesh.shard_instances(states, dev_mesh),
+                               pmesh.shard_instances(acts, dev_mesh))
+    np.testing.assert_array_equal(np.asarray(fsh_fbs.color),
+                                  np.asarray(fref_fbs.color))
+    assert len(fsh_fbs.color.sharding.device_set) == n_devices
+    print(f"dryrun_multichip OK: batched Pallas path (shard_map) over "
+          f"{n_devices} devices == unsharded baseline")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

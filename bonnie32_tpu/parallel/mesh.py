@@ -42,3 +42,32 @@ def replicate(tree, mesh: Mesh):
 
 def instance_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(INSTANCE_AXIS, *([None] * (ndim - 1))))
+
+
+def sharded_step_and_render(mesh: Mesh, env, settings, height, width,
+                            dt: float = 1.0 / 60.0):
+    """Multi-chip datagen step for the batched Pallas path.
+
+    XLA's automatic SPMD cannot partition a pallas_call, so the fused
+    step wraps in shard_map: each device runs the full kernel on its
+    instance shard; scene tables close over and replicate.  Returns a
+    jitted (states, actions) -> (states, framebuffers) whose inputs and
+    outputs are sharded along the instance axis.
+    """
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+
+    from .. import rollout
+
+    spec = P(INSTANCE_AXIS)
+
+    def local_step(states, actions):
+        return rollout.step_and_render(states, env, actions, settings,
+                                       height=height, width=width,
+                                       dt=dt, instance_chunk=None)
+
+    sharded = shard_map(local_step, mesh=mesh,
+                        in_specs=(spec, spec), out_specs=(spec, spec),
+                        check_rep=False)
+    return jax.jit(sharded)

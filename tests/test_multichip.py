@@ -77,3 +77,38 @@ def test_multistep_rollout_sharded(cave_env):
             instance_chunk=None)
     assert len(states.pos.sharding.device_set) == 8
     assert np.isfinite(np.asarray(states.pos)).all()
+
+
+def test_flat_kernel_path_shards_via_shard_map(cave_env):
+    """The batched Pallas path can't be auto-partitioned by XLA SPMD;
+    pmesh.sharded_step_and_render shard_maps it over the instance mesh
+    and must reproduce the unsharded result bit-for-bit."""
+    level, _, spawn = cave_env
+    from bonnie32_tpu.models import texture_pack as tp
+    textures = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+    resolve = tp.make_resolver(textures)
+    env = rollout.build_env(level, textures, resolve, flat=True)
+    assert env.flat is not None
+
+    n_dev = min(len(jax.devices()), 8)
+    n = n_dev * 2
+    states = rollout.initial_states(level, spawn, n)
+    acts = _actions(n)
+    settings = RasterSettings.game()
+    H, W = 24, 32
+
+    ref_states, ref_fbs = rollout.step_and_render(
+        states, env, acts, settings, height=H, width=W,
+        instance_chunk=None)
+
+    mesh = pmesh.instance_mesh(jax.devices()[:n_dev])
+    step = pmesh.sharded_step_and_render(mesh, env, settings, H, W)
+    sh_states, sh_fbs = step(pmesh.shard_instances(states, mesh),
+                             pmesh.shard_instances(acts, mesh))
+
+    assert len(sh_fbs.color.sharding.device_set) == n_dev
+    np.testing.assert_array_equal(np.asarray(sh_fbs.color),
+                                  np.asarray(ref_fbs.color))
+    np.testing.assert_array_equal(np.asarray(sh_states.pos),
+                                  np.asarray(ref_states.pos))
