@@ -272,6 +272,11 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
     # ---- static facts ----
     t = len(all_f)
     t_pad = max(-(-t // 128) * 128, 128)
+    from ..ops.raster_batch import SEG
+    if t_pad > SEG:
+        # big levels stream the face table through SMEM in SEG-row
+        # segments — pad to a whole segment count
+        t_pad = -(-t_pad // SEG) * SEG
     tex_blend = np.asarray(atlas.blend_mode)
     tid_np = np.array([-1 if f.get("tex_id") is None else f["tex_id"]
                        for f in all_f], np.int64)

@@ -53,6 +53,11 @@ _BF16 = jnp.bfloat16
 
 WB = 8            # framebuffer rows per phase-1 window
 CH = 24           # layout rows per phase-2 chunk
+SEG = 256         # phase-1 face-table segment (SMEM window cap: each
+                  # ctrl/fscal row costs a ~512-byte double-buffered SMEM
+                  # granule, so 2x256 rows fits the 1 MiB budget; levels
+                  # with more compacted faces stream segments via a
+                  # second grid dimension)
 
 # attrs column layout (f32). Columns 0-15 also live in SMEM for the
 # phase-1 face loop; the full table transposes into attrsT for resolve.
@@ -215,7 +220,12 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
 def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
                  debug: str = ""):
-    """Build the fused visibility+resolve kernel for static config."""
+    """Build the fused visibility+resolve kernel for static config.
+
+    When t_pad > SEG the face table streams through SMEM in SEG-row
+    segments over a second grid dimension (the framebuffer output blocks
+    revisit across segments, standard accumulator pattern); phase 2 runs
+    on the final segment only."""
     ng_total = -(-width // 128)
     gh = ng_total * height
     groups = t_pad // 128
@@ -223,13 +233,26 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     chunks_per_g = height // CH
     affine = settings.affine_textures
     shading = settings.shading
+    if t_pad <= SEG:
+        n_segs, seg_rows = 1, t_pad
+    else:
+        assert t_pad % SEG == 0, (t_pad, SEG)
+        n_segs, seg_rows = t_pad // SEG, SEG
 
     def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
                texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
                fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr):
         count = ctrl_ref[0, 0, K_COUNT]
-        depth_ref[0] = fbd_ref[0]
-        idx_scr[:] = jnp.full((gh, 128), -1, _I32)
+        if n_segs == 1:
+            seg_id = jnp.int32(0)
+        else:
+            seg_id = pl.program_id(1)
+        seg_base = seg_id * seg_rows
+
+        @pl.when(seg_id == 0)
+        def _():
+            depth_ref[0] = fbd_ref[0]
+            idx_scr[:] = jnp.full((gh, 128), -1, _I32)
 
         sub8 = jax.lax.broadcasted_iota(_I32, (WB, 128), 0)
         lane8 = jax.lax.broadcasted_iota(_I32, (WB, 128), 1)
@@ -279,12 +302,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 izi = (bcx * iza + bcy * izb) + bcz * izc
                 return row0, cov, izi, bcx, bcy, bcz
 
+            fg = seg_base + f   # global face id (idx_scr indexes attrsT)
+
             def merge(row0, cov, izi):
                 win = depth_ref[0, pl.ds(row0, WB), :]
                 better = cov & (izi > win)
                 depth_ref[0, pl.ds(row0, WB), :] = jnp.where(better, izi, win)
                 iw = idx_scr[pl.ds(row0, WB), :]
-                idx_scr[pl.ds(row0, WB), :] = jnp.where(better, f, iw)
+                idx_scr[pl.ds(row0, WB), :] = jnp.where(better, fg, iw)
 
             def blk_clean(q, carry):
                 g = g0 + jax.lax.div(q, nblk)
@@ -347,225 +372,233 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             return carry
 
         if "novis" not in debug:
-            jax.lax.fori_loop(0, count, face_body, jnp.int32(0))
+            n_here = jnp.clip(count - seg_base, jnp.int32(0),
+                              jnp.int32(seg_rows))
+            jax.lax.fori_loop(0, n_here, face_body, jnp.int32(0))
 
-        # ---- PHASE 2: resolve + pixel pipeline, chunked ----
+        # ---- PHASE 2: resolve + pixel pipeline, chunked; runs once the
+        # final face segment has merged (the output blocks revisit) ----
         if "nophase2" in debug:
             color_ref[0] = fbc_ref[0]
             return
-        ngroups = jnp.maximum((count + 127) >> 7, 1)
 
-        if shading == ShadingMode.GOURAUD:
-            sh_cols = list(range(C_SH, C_SH + 9))
-        elif shading == ShadingMode.FLAT:
-            sh_cols = [C_SH, C_SH + 1, C_SH + 2]
-        else:
-            sh_cols = []
-        cols = ([C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA]
-                + ([] if affine else [C_IZA, C_IZB, C_IZC])
-                + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2,
-                   C_VCP0, C_VCP1, C_VCP2]
-                + sh_cols + [C_TID, C_FLAGS])
+        def _run_phase2():
+            ngroups = jnp.maximum((count + 127) >> 7, 1)
 
-        lane_iota3 = jax.lax.broadcasted_iota(_I32, (CH, 128, 128), 2)
-        ra_iota = jax.lax.broadcasted_iota(_I32, (CH, 128, atlas_rows), 2)
+            if shading == ShadingMode.GOURAUD:
+                sh_cols = list(range(C_SH, C_SH + 9))
+            elif shading == ShadingMode.FLAT:
+                sh_cols = [C_SH, C_SH + 1, C_SH + 2]
+            else:
+                sh_cols = []
+            cols = ([C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA]
+                    + ([] if affine else [C_IZA, C_IZB, C_IZC])
+                    + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2,
+                       C_VCP0, C_VCP1, C_VCP2]
+                    + sh_cols + [C_TID, C_FLAGS])
 
-        for c in range(n_chunks):
-            g = c // chunks_per_g
-            ybase = (c % chunks_per_g) * CH
-            r0 = c * CH
-            idx = idx_scr[r0:r0 + CH, :]
-            has = idx >= 0
-            idxs = jnp.maximum(idx, 0)
-            lanei = idxs & 127
-            grp = idxs >> 7
+            lane_iota3 = jax.lax.broadcasted_iota(_I32, (CH, 128, 128), 2)
+            ra_iota = jax.lax.broadcasted_iota(_I32, (CH, 128, atlas_rows), 2)
 
-            # chunks with no winning face skip the whole pixel pipeline
-            # and just pass the background through (sparse scenes: most
-            # of the frame is skybox/clear)
-            any_winner = jnp.max(jnp.where(has, _I32(1), _I32(0))) > 0
+            for c in range(n_chunks):
+                g = c // chunks_per_g
+                ybase = (c % chunks_per_g) * CH
+                r0 = c * CH
+                idx = idx_scr[r0:r0 + CH, :]
+                has = idx >= 0
+                idxs = jnp.maximum(idx, 0)
+                lanei = idxs & 127
+                grp = idxs >> 7
 
-            @pl.when(jnp.logical_not(any_winner))
-            def _(r0=r0):
-                color_ref[0, pl.ds(r0, CH), :] = fbc_ref[0, pl.ds(r0, CH), :]
+                # chunks with no winning face skip the whole pixel pipeline
+                # and just pass the background through (sparse scenes: most
+                # of the frame is skybox/clear)
+                any_winner = jnp.max(jnp.where(has, _I32(1), _I32(0))) > 0
 
-            @pl.when(any_winner)
-            def _(idx=idx, has=has, idxs=idxs, lanei=lanei, grp=grp,
-                  g=g, ybase=ybase, r0=r0):
+                @pl.when(jnp.logical_not(any_winner))
+                def _(r0=r0):
+                    color_ref[0, pl.ds(r0, CH), :] = fbc_ref[0, pl.ds(r0, CH), :]
 
-                def gather_body(gg, carry, lanei=lanei, grp=grp):
-                    out = []
-                    for ci, cc in enumerate(cols):
-                        row = attrsT_ref[0, cc, gg, :]
-                        sel = _lane_take(
-                            jnp.broadcast_to(row[None, :], (CH, 128)), lanei)
-                        out.append(jnp.where(grp == gg, sel, carry[ci]))
-                    return tuple(out)
+                @pl.when(any_winner)
+                def _(idx=idx, has=has, idxs=idxs, lanei=lanei, grp=grp,
+                      g=g, ybase=ybase, r0=r0):
 
-                vals = jax.lax.fori_loop(
-                    0, ngroups, gather_body,
-                    tuple(jnp.zeros((CH, 128), _F32) for _ in cols))
-                a = dict(zip(cols, vals))
+                    def gather_body(gg, carry, lanei=lanei, grp=grp):
+                        out = []
+                        for ci, cc in enumerate(cols):
+                            row = attrsT_ref[0, cc, gg, :]
+                            sel = _lane_take(
+                                jnp.broadcast_to(row[None, :], (CH, 128)), lanei)
+                            out.append(jnp.where(grp == gg, sel, carry[ci]))
+                        return tuple(out)
 
-                xi = jax.lax.broadcasted_iota(_I32, (CH, 128), 1) + (g << 7)
-                yi = jax.lax.broadcasted_iota(_I32, (CH, 128), 0) + ybase
-                px = xi.astype(_F32)
-                py = yi.astype(_F32)
-                dx = px - a[C_V3X]
-                dy = py - a[C_V3Y]
-                w0 = a[C_A0] * dx + a[C_B0] * dy
-                w1 = a[C_A1] * dx + a[C_B1] * dy
-                bcx = w0 * a[C_IA]
-                bcy = w1 * a[C_IA]
-                bcz = (1.0 - bcx) - bcy
+                    vals = jax.lax.fori_loop(
+                        0, ngroups, gather_body,
+                        tuple(jnp.zeros((CH, 128), _F32) for _ in cols))
+                    a = dict(zip(cols, vals))
 
-                if affine:
-                    u = _interp3(bcx, bcy, bcz, a[C_U0], a[C_U1], a[C_U2])
-                    v = _interp3(bcx, bcy, bcz, a[C_VV0], a[C_VV1], a[C_VV2])
-                else:
-                    izi = depth_ref[0, pl.ds(r0, CH), :]
-                    u_oz = ((bcx * a[C_U0]) * a[C_IZA]
-                            + (bcy * a[C_U1]) * a[C_IZB]) \
-                        + (bcz * a[C_U2]) * a[C_IZC]
-                    v_oz = ((bcx * a[C_VV0]) * a[C_IZA]
-                            + (bcy * a[C_VV1]) * a[C_IZB]) \
-                        + (bcz * a[C_VV2]) * a[C_IZC]
-                    safe = jnp.where(izi == 0, _F32(1.0), izi)
-                    u = u_oz / safe
-                    v = v_oz / safe
+                    xi = jax.lax.broadcasted_iota(_I32, (CH, 128), 1) + (g << 7)
+                    yi = jax.lax.broadcasted_iota(_I32, (CH, 128), 0) + ybase
+                    px = xi.astype(_F32)
+                    py = yi.astype(_F32)
+                    dx = px - a[C_V3X]
+                    dy = py - a[C_V3Y]
+                    w0 = a[C_A0] * dx + a[C_B0] * dy
+                    w1 = a[C_A1] * dx + a[C_B1] * dy
+                    bcx = w0 * a[C_IA]
+                    bcy = w1 * a[C_IA]
+                    bcz = (1.0 - bcx) - bcy
 
-                tid = a[C_TID].astype(_I32)
-                textured = tid >= 0
-                tids = jnp.maximum(tid, 0)
-                tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
-                                                 (CH, 128)), tids)
-                th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
-                                                 (CH, 128)), tids)
-                toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
-                                                   (CH, 128)), tids)
-                vf = _F32(1.0) - v
-                tx = jnp.minimum(
-                    jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
-                ty = jnp.minimum(
-                    jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
-                flat = toff + ty * tw + tx
-                trow = flat >> 7
-                tlane = flat & 127
-                if "notex" in debug:      # perf diagnosis: no texel fetch
-                    lo = hiw = jnp.zeros((CH, 128, 1), _F32)
-                else:
-                    oh = (trow[..., None] == ra_iota).astype(_BF16)
-                    lo = jax.lax.dot_general(
-                        oh, texlo_ref[:],
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=_F32)
-                    hiw = jax.lax.dot_general(
-                        oh, texhi_ref[:],
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=_F32)
-                if "notex" in debug:
-                    texel = jnp.full((CH, 128), col.WHITE, _I32)
-                elif "pick0" in debug:    # perf diagnosis: skip the lane pick
-                    texel = (lo[..., 0] + hiw[..., 0] * 256.0).astype(_I32)
-                elif "sumones" in debug:
-                    # lane pick as per-plane bf16 ones-matmul (byte planes are
-                    # bf16-exact) instead of the VPU cross-lane reduction
-                    laneeq = lane_iota3 == tlane[..., None]
-                    ones16 = jnp.ones((128, 128), _BF16)
-                    mlo = jnp.where(laneeq, lo, 0.0).astype(_BF16)
-                    mhi = jnp.where(laneeq, hiw, 0.0).astype(_BF16)
-                    lo_sel = jax.lax.dot_general(
-                        mlo, ones16,
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=_F32)[..., 0]
-                    hi_sel = jax.lax.dot_general(
-                        mhi, ones16,
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=_F32)[..., 0]
-                    texel = (lo_sel + hi_sel).astype(_I32)
-                else:
-                    tv = lo + hiw   # hi table prescaled by 256
-                    texel = jnp.sum(
-                        jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
-                        axis=2).astype(_I32)
+                    if affine:
+                        u = _interp3(bcx, bcy, bcz, a[C_U0], a[C_U1], a[C_U2])
+                        v = _interp3(bcx, bcy, bcz, a[C_VV0], a[C_VV1], a[C_VV2])
+                    else:
+                        izi = depth_ref[0, pl.ds(r0, CH), :]
+                        u_oz = ((bcx * a[C_U0]) * a[C_IZA]
+                                + (bcy * a[C_U1]) * a[C_IZB]) \
+                            + (bcz * a[C_U2]) * a[C_IZC]
+                        v_oz = ((bcx * a[C_VV0]) * a[C_IZA]
+                                + (bcy * a[C_VV1]) * a[C_IZB]) \
+                            + (bcz * a[C_VV2]) * a[C_IZC]
+                        safe = jnp.where(izi == 0, _F32(1.0), izi)
+                        u = u_oz / safe
+                        v = v_oz / safe
 
-                flags = a[C_FLAGS].astype(_I32)
-                bt = (flags & FLAG_BT) != 0
-                ndith = (flags & FLAG_DITHER) != 0
+                    tid = a[C_TID].astype(_I32)
+                    textured = tid >= 0
+                    tids = jnp.maximum(tid, 0)
+                    tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
+                                                     (CH, 128)), tids)
+                    th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
+                                                     (CH, 128)), tids)
+                    toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
+                                                       (CH, 128)), tids)
+                    vf = _F32(1.0) - v
+                    tx = jnp.minimum(
+                        jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
+                    ty = jnp.minimum(
+                        jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
+                    flat = toff + ty * tw + tx
+                    trow = flat >> 7
+                    tlane = flat & 127
+                    if "notex" in debug:      # perf diagnosis: no texel fetch
+                        lo = hiw = jnp.zeros((CH, 128, 1), _F32)
+                    else:
+                        oh = (trow[..., None] == ra_iota).astype(_BF16)
+                        lo = jax.lax.dot_general(
+                            oh, texlo_ref[:],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=_F32)
+                        hiw = jax.lax.dot_general(
+                            oh, texhi_ref[:],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=_F32)
+                    if "notex" in debug:
+                        texel = jnp.full((CH, 128), col.WHITE, _I32)
+                    elif "pick0" in debug:    # perf diagnosis: skip the lane pick
+                        texel = (lo[..., 0] + hiw[..., 0] * 256.0).astype(_I32)
+                    elif "sumones" in debug:
+                        # lane pick as per-plane bf16 ones-matmul (byte planes are
+                        # bf16-exact) instead of the VPU cross-lane reduction
+                        laneeq = lane_iota3 == tlane[..., None]
+                        ones16 = jnp.ones((128, 128), _BF16)
+                        mlo = jnp.where(laneeq, lo, 0.0).astype(_BF16)
+                        mhi = jnp.where(laneeq, hiw, 0.0).astype(_BF16)
+                        lo_sel = jax.lax.dot_general(
+                            mlo, ones16,
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=_F32)[..., 0]
+                        hi_sel = jax.lax.dot_general(
+                            mhi, ones16,
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=_F32)[..., 0]
+                        texel = (lo_sel + hi_sel).astype(_I32)
+                    else:
+                        tv = lo + hiw   # hi table prescaled by 256
+                        texel = jnp.sum(
+                            jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
+                            axis=2).astype(_I32)
 
-                c15 = jnp.where(textured, texel, _I32(col.WHITE))
-                is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
-                    & (col.b5(c15) == 0)
-                is_transp = c15 == 0
-                keyed_out = is_black & bt & textured
-                c15 = jnp.where(is_transp & ~bt, _I32(col.BLACK_DRAWABLE), c15)
+                    flags = a[C_FLAGS].astype(_I32)
+                    bt = (flags & FLAG_BT) != 0
+                    ndith = (flags & FLAG_DITHER) != 0
 
-                tex_r8 = col.expand_5_to_8(col.r5(c15))
-                tex_g8 = col.expand_5_to_8(col.g5(c15))
-                tex_b8 = col.expand_5_to_8(col.b5(c15))
+                    c15 = jnp.where(textured, texel, _I32(col.WHITE))
+                    is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
+                        & (col.b5(c15) == 0)
+                    is_transp = c15 == 0
+                    keyed_out = is_black & bt & textured
+                    c15 = jnp.where(is_transp & ~bt, _I32(col.BLACK_DRAWABLE), c15)
 
-                def unpack_vc(packed):
-                    p = packed.astype(_I32)
-                    return (p & 255, (p >> 8) & 255, (p >> 16) & 255)
+                    tex_r8 = col.expand_5_to_8(col.r5(c15))
+                    tex_g8 = col.expand_5_to_8(col.g5(c15))
+                    tex_b8 = col.expand_5_to_8(col.b5(c15))
 
-                vc0 = unpack_vc(a[C_VCP0])
-                vc1 = unpack_vc(a[C_VCP1])
-                vc2 = unpack_vc(a[C_VCP2])
-                vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                            vc0[0].astype(_F32),
-                                            vc1[0].astype(_F32),
-                                            vc2[0].astype(_F32)))
-                vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                            vc0[1].astype(_F32),
-                                            vc1[1].astype(_F32),
-                                            vc2[1].astype(_F32)))
-                vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                            vc0[2].astype(_F32),
-                                            vc1[2].astype(_F32),
-                                            vc2[2].astype(_F32)))
+                    def unpack_vc(packed):
+                        p = packed.astype(_I32)
+                        return (p & 255, (p >> 8) & 255, (p >> 16) & 255)
 
-                # modulate8 ((tex*vc)//128, render.rs:1624): operands are
-                # nonnegative u8 so the floor-div is a shift (Mosaic's
-                # floor_divide lowering recurses — avoid // in-kernel).
-                mod_r8 = jnp.minimum((tex_r8 * vr) >> 7, 255)
-                mod_g8 = jnp.minimum((tex_g8 * vg) >> 7, 255)
-                mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
+                    vc0 = unpack_vc(a[C_VCP0])
+                    vc1 = unpack_vc(a[C_VCP1])
+                    vc2 = unpack_vc(a[C_VCP2])
+                    vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                vc0[0].astype(_F32),
+                                                vc1[0].astype(_F32),
+                                                vc2[0].astype(_F32)))
+                    vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                vc0[1].astype(_F32),
+                                                vc1[1].astype(_F32),
+                                                vc2[1].astype(_F32)))
+                    vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                vc0[2].astype(_F32),
+                                                vc1[2].astype(_F32),
+                                                vc2[2].astype(_F32)))
 
-                if shading == ShadingMode.NONE:
-                    sh_r = sh_g = sh_b = jnp.ones((CH, 128), _F32)
-                elif shading == ShadingMode.FLAT:
-                    sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
-                else:
-                    sh_r = _interp3(bcx, bcy, bcz, a[C_SH], a[C_SH + 3],
-                                    a[C_SH + 6])
-                    sh_g = _interp3(bcx, bcy, bcz, a[C_SH + 1], a[C_SH + 4],
-                                    a[C_SH + 7])
-                    sh_b = _interp3(bcx, bcy, bcz, a[C_SH + 2], a[C_SH + 5],
-                                    a[C_SH + 8])
+                    # modulate8 ((tex*vc)//128, render.rs:1624): operands are
+                    # nonnegative u8 so the floor-div is a shift (Mosaic's
+                    # floor_divide lowering recurses — avoid // in-kernel).
+                    mod_r8 = jnp.minimum((tex_r8 * vr) >> 7, 255)
+                    mod_g8 = jnp.minimum((tex_g8 * vg) >> 7, 255)
+                    mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
 
-                def apply_shade(m8, s):
-                    return _u8_trunc_sat(jnp.minimum(
-                        m8.astype(_F32) * jnp.clip(s, 0.0, 2.0), 255.0))
+                    if shading == ShadingMode.NONE:
+                        sh_r = sh_g = sh_b = jnp.ones((CH, 128), _F32)
+                    elif shading == ShadingMode.FLAT:
+                        sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
+                    else:
+                        sh_r = _interp3(bcx, bcy, bcz, a[C_SH], a[C_SH + 3],
+                                        a[C_SH + 6])
+                        sh_g = _interp3(bcx, bcy, bcz, a[C_SH + 1], a[C_SH + 4],
+                                        a[C_SH + 7])
+                        sh_b = _interp3(bcx, bcy, bcz, a[C_SH + 2], a[C_SH + 5],
+                                        a[C_SH + 8])
 
-                shaded_r8 = apply_shade(mod_r8, sh_r)
-                shaded_g8 = apply_shade(mod_g8, sh_g)
-                shaded_b8 = apply_shade(mod_b8, sh_b)
+                    def apply_shade(m8, s):
+                        return _u8_trunc_sat(jnp.minimum(
+                            m8.astype(_F32) * jnp.clip(s, 0.0, 2.0), 255.0))
 
-                offset = _dither_offsets(xi, yi)
-                r5v = jnp.where(ndith, col.dither_and_quantize8(shaded_r8, offset),
-                                shaded_r8 >> 3)
-                g5v = jnp.where(ndith, col.dither_and_quantize8(shaded_g8, offset),
-                                shaded_g8 >> 3)
-                b5v = jnp.where(ndith, col.dither_and_quantize8(shaded_b8, offset),
-                                shaded_b8 >> 3)
+                    shaded_r8 = apply_shade(mod_r8, sh_r)
+                    shaded_g8 = apply_shade(mod_g8, sh_g)
+                    shaded_b8 = apply_shade(mod_b8, sh_b)
 
-                word = col.pack_rgba8(col.expand_5_to_8(r5v),
-                                      col.expand_5_to_8(g5v),
-                                      col.expand_5_to_8(b5v),
-                                      jnp.full((CH, 128), 255, _I32))
-                drawn = has & ~keyed_out
-                bg = fbc_ref[0, pl.ds(r0, CH), :]
-                color_ref[0, pl.ds(r0, CH), :] = jnp.where(drawn, word, bg)
+                    offset = _dither_offsets(xi, yi)
+                    r5v = jnp.where(ndith, col.dither_and_quantize8(shaded_r8, offset),
+                                    shaded_r8 >> 3)
+                    g5v = jnp.where(ndith, col.dither_and_quantize8(shaded_g8, offset),
+                                    shaded_g8 >> 3)
+                    b5v = jnp.where(ndith, col.dither_and_quantize8(shaded_b8, offset),
+                                    shaded_b8 >> 3)
+
+                    word = col.pack_rgba8(col.expand_5_to_8(r5v),
+                                          col.expand_5_to_8(g5v),
+                                          col.expand_5_to_8(b5v),
+                                          jnp.full((CH, 128), 255, _I32))
+                    drawn = has & ~keyed_out
+                    bg = fbc_ref[0, pl.ds(r0, CH), :]
+                    color_ref[0, pl.ds(r0, CH), :] = jnp.where(drawn, word, bg)
+
+        if "nophase2" not in debug:
+            pl.when(seg_id == n_segs - 1)(_run_phase2)
 
     return kernel, gh, groups
 
@@ -587,36 +620,47 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     n_inst = fbc.shape[0]
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug)
-    grid = (n_inst,)
+    if t_pad <= SEG:
+        n_segs, seg_rows = 1, t_pad
+    else:
+        n_segs, seg_rows = t_pad // SEG, SEG
+
+    if n_segs == 1:
+        grid = (n_inst,)
+        pin = lambda *blk: (lambda i: tuple(b(i, None) for b in blk))
+    else:
+        grid = (n_inst, n_segs)
+        pin = lambda *blk: (lambda i, s: tuple(b(i, s) for b in blk))
+    I = lambda i, s: i            # instance axis
+    S = lambda i, s: (s if n_segs > 1 else i * 0)   # segment axis
+    Z = lambda i, s: i * 0        # pinned zero
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t_pad, N_CTRL), lambda i: (i, i * 0, i * 0),
+            pl.BlockSpec((1, seg_rows, N_CTRL), pin(I, S, Z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, t_pad, 16), lambda i: (i, i * 0, i * 0),
+            pl.BlockSpec((1, seg_rows, 16), pin(I, S, Z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N_COLS, groups, 128), lambda i: (i, i * 0, i * 0, i * 0),
+            pl.BlockSpec((1, N_COLS, groups, 128), pin(I, Z, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tex, key_wrows, 128), lambda i: (i * 0, i * 0, i * 0),
+            pl.BlockSpec((n_tex, key_wrows, 128), pin(Z, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 128), lambda i: (i * 0, i * 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, 128), lambda i: (i * 0, i * 0),
+            pl.BlockSpec((4, 128), pin(Z, Z), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 128), pin(Z, Z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((atlas_rows, 128), lambda i: (i * 0, i * 0),
+            pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((atlas_rows, 128), lambda i: (i * 0, i * 0),
+            pl.BlockSpec((1, gh, 128), pin(I, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0),
+            pl.BlockSpec((1, gh, 128), pin(I, Z, Z),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0)),
-            pl.BlockSpec((1, gh, 128), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, gh, 128), pin(I, Z, Z)),
+            pl.BlockSpec((1, gh, 128), pin(I, Z, Z)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_inst, gh, 128), jnp.int32),

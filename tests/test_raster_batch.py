@@ -139,3 +139,55 @@ def test_flat_cube_matches_render_mesh(cave):
         budget = _seam_budget(diff.size, 1)
         assert diff.sum() <= budget, \
             f"cube inst {i}: {diff.sum()} diffs (budget {budget})"
+
+
+def test_flat_multi_segment_face_table():
+    """Levels with more than SEG compacted faces stream the face table
+    through SMEM segments (Cathedral-scale); output must still equal the
+    sequential path."""
+    from bonnie32_tpu.models.level import Level, Room, TextureRef
+    from bonnie32_tpu.models import texture_pack as tp
+    from bonnie32_tpu.ops import raster_batch as rb
+
+    level = Level()
+    room = Room.new(0, (0.0, 0.0, 0.0), 18, 18)
+    texr = TextureRef("p", "A")
+    for x in range(18):
+        for z in range(18):
+            room.set_floor(x, z, (x + z) % 3 * 256.0, texr)
+    room.recalculate_bounds()
+    level.add_room(room)
+
+    import scenes as sc
+    textures = [sc.checker_texture15(16, 16, with_black=False)]
+
+    def resolve(ref):
+        return (0, 16)
+
+    flat, static = scene_flat.compile_level_flat(level, textures, resolve)
+    assert static.n_faces > rb.SEG          # multi-segment territory
+    assert static.t_pad % rb.SEG == 0
+    seq = scene_mod.compile_level(level, textures, resolve)
+
+    settings = RasterSettings.game()
+    H, W = 24, 32
+    cam = build.make_camera(
+        np.asarray([9 * 1024.0, 2600.0, 2000.0], np.float32),
+        build.camera_basis(0.55, 0.1))
+    cams = jax.tree_util.tree_map(lambda x: jnp.stack([x]), cam)
+    fb0 = raster_ref.new_framebuffer(H, W, depth_mode="inv")
+    fbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), fb0)
+
+    out = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                       height=H, width=W, interpret=True)
+    ref = scene_mod.render_level(fb0, seq, cam, settings,
+                                 depth_mode="fast")
+    c_new = np.asarray(out.color[0])
+    c_ref = np.asarray(ref.color)
+    drawn = (c_ref != c_ref.reshape(-1)[0]).mean()
+    assert drawn > 0.3, f"floor should be visible ({drawn:.0%})"
+    diff = (c_new != c_ref)
+    budget = _seam_budget(diff.size, 1)
+    assert diff.sum() <= budget, \
+        f"multi-seg: {diff.sum()} diffs (budget {budget})"
