@@ -455,3 +455,21 @@ def draw_text(fb: FrameBuffers, x: int, y: int, s: str, rgb,
                                          window.dtype), window)
     color = jax.lax.dynamic_update_slice(fb.color, painted, (sy0, sx0))
     return FrameBuffers(color=color, depth=fb.depth)
+
+
+def draw_image(fb: FrameBuffers, x: int, y: int, words) -> FrameBuffers:
+    """Blit a packed-RGBA8 word image (h, w) at (x, y), clipped — the
+    palette/browser thumbnail path (texture_palette.rs thumbnails)."""
+    import numpy as np
+
+    words = jnp.asarray(words, fb.color.dtype)
+    mh, mw = words.shape
+    height, width = fb.color.shape
+    x, y = int(x), int(y)
+    sx0, sy0 = max(x, 0), max(y, 0)
+    sx1, sy1 = min(x + mw, width), min(y + mh, height)
+    if sx0 >= sx1 or sy0 >= sy1:
+        return fb
+    sub = words[sy0 - y:sy1 - y, sx0 - x:sx1 - x]
+    color = jax.lax.dynamic_update_slice(fb.color, sub, (sy0, sx0))
+    return FrameBuffers(color=color, depth=fb.depth)

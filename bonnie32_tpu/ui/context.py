@@ -119,4 +119,7 @@ class UiContext:
                 _, (x, y), s, rgb, scale = cmd
                 fb = draw2d.draw_text(fb, int(x), int(y), s, rgb,
                                       scale=scale)
+            elif cmd[0] == "image":
+                _, (x, y), words = cmd
+                fb = draw2d.draw_image(fb, int(x), int(y), words)
         return fb
