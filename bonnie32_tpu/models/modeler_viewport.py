@@ -1,0 +1,174 @@
+"""Modeler 4-panel viewport: Top / Front / Side ortho + Perspective.
+
+Headless port of `/root/reference/src/modeler/viewport.rs` (view setup
+:660-790) and `rasterizer/camera.rs:27-74` (canned ortho bases): each
+pane renders the edited mesh part through the real pipeline —
+orthographic panes via `OrthoProjection` (zoom/pan state per pane),
+the perspective pane via an orbit camera — plus the 2x2 split layout
+and pan/zoom camera controls.
+"""
+
+import dataclasses
+import enum
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import OrthoProjection, RasterSettings
+from ..render import render_mesh_15
+from ..ops import raster_ref
+from ..types import CameraArrays, FrameBuffers, no_fog
+from ..ui import Rect, UiContext
+from . import build
+
+VIEW_DISTANCE = 50000.0   # viewport.rs:741
+
+
+class ViewportId(enum.Enum):
+    TOP = "top"
+    FRONT = "front"
+    SIDE = "side"
+    PERSPECTIVE = "perspective"
+
+
+# camera.rs:27-74 — rows are basis_x / basis_y / basis_z
+ORTHO_BASES = {
+    ViewportId.TOP: np.array([[-1.0, 0.0, 0.0],
+                              [0.0, 0.0, 1.0],
+                              [0.0, 1.0, 0.0]], np.float32),
+    ViewportId.FRONT: np.array([[1.0, 0.0, 0.0],
+                                [0.0, 1.0, 0.0],
+                                [0.0, 0.0, -1.0]], np.float32),
+    ViewportId.SIDE: np.array([[0.0, 0.0, 1.0],
+                               [0.0, 1.0, 0.0],
+                               [-1.0, 0.0, 0.0]], np.float32),
+}
+
+# camera positions along the view axis (viewport.rs:742-756)
+ORTHO_POSITIONS = {
+    ViewportId.TOP: np.array([0.0, VIEW_DISTANCE, 0.0], np.float32),
+    ViewportId.FRONT: np.array([0.0, 0.0, VIEW_DISTANCE], np.float32),
+    ViewportId.SIDE: np.array([VIEW_DISTANCE, 0.0, 0.0], np.float32),
+}
+
+
+@dataclasses.dataclass
+class OrthoCamera:
+    """Per-pane pan/zoom (state.rs get_ortho_camera)."""
+
+    zoom: float = 0.2
+    center: Tuple[float, float] = (0.0, 0.0)
+
+    def pan(self, dx_px: float, dy_px: float) -> None:
+        """Drag pans in world units (screen px / zoom); screen y is
+        flipped for the vertical axis like project_ortho."""
+        self.center = (self.center[0] - dx_px / self.zoom,
+                       self.center[1] + dy_px / self.zoom)
+
+    def zoom_by(self, factor: float) -> None:
+        self.zoom = min(max(self.zoom * factor, 1e-4), 100.0)
+
+
+@dataclasses.dataclass
+class PerspectiveCamera:
+    """Orbit camera for the perspective pane."""
+
+    azimuth: float = 0.8
+    elevation: float = 0.35
+    distance: float = 6.0
+    target: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def camera(self) -> CameraArrays:
+        basis = build.camera_basis(self.elevation, self.azimuth)
+        offset = -basis[2] * self.distance
+        pos = np.asarray(self.target, np.float32) + offset
+        return build.make_camera(pos.astype(np.float32), basis)
+
+
+@dataclasses.dataclass
+class ModelerViewports:
+    """The 2x2 pane grid + per-pane cameras."""
+
+    cameras: Dict[ViewportId, OrthoCamera] = dataclasses.field(
+        default_factory=lambda: {v: OrthoCamera()
+                                 for v in (ViewportId.TOP, ViewportId.FRONT,
+                                           ViewportId.SIDE)})
+    perspective: PerspectiveCamera = dataclasses.field(
+        default_factory=PerspectiveCamera)
+    single_pane: Optional[ViewportId] = None   # maximized pane, if any
+
+    def pane_rects(self, bounds: Rect) -> Dict[ViewportId, Rect]:
+        """2x2 quad layout: Top | Perspective / Front | Side."""
+        if self.single_pane is not None:
+            return {self.single_pane: bounds}
+        hw = bounds.w / 2
+        hh = bounds.h / 2
+        return {
+            ViewportId.TOP: Rect(bounds.x, bounds.y, hw, hh),
+            ViewportId.PERSPECTIVE: Rect(bounds.x + hw, bounds.y, hw, hh),
+            ViewportId.FRONT: Rect(bounds.x, bounds.y + hh, hw, hh),
+            ViewportId.SIDE: Rect(bounds.x + hw, bounds.y + hh, hw, hh),
+        }
+
+
+def view_settings(settings: RasterSettings, view: ViewportId,
+                  cam: Optional[OrthoCamera]) -> RasterSettings:
+    """Install the pane's OrthoProjection (viewport.rs:760-774)."""
+    if view == ViewportId.PERSPECTIVE:
+        return dataclasses.replace(settings, ortho_projection=None)
+    assert cam is not None
+    return dataclasses.replace(
+        settings, ortho_projection=OrthoProjection(
+            zoom=cam.zoom, center_x=cam.center[0],
+            center_y=cam.center[1]))
+
+
+def view_camera(viewports: ModelerViewports,
+                view: ViewportId) -> CameraArrays:
+    if view == ViewportId.PERSPECTIVE:
+        return viewports.perspective.camera()
+    return build.make_camera(ORTHO_POSITIONS[view], ORTHO_BASES[view])
+
+
+def render_view(viewports: ModelerViewports, view: ViewportId,
+                mesh, faces, atlas, lights, settings: RasterSettings,
+                height: int, width: int) -> FrameBuffers:
+    """One pane's frame through the real pipeline."""
+    cam = viewports.cameras.get(view)
+    s = view_settings(settings, view, cam)
+    camera = view_camera(viewports, view)
+    # harmonic depth (the literal reference semantics): ortho panes have
+    # arbitrary-sign camera-space z, which the inverse-z fast mode assumes
+    # positive
+    fb = raster_ref.new_framebuffer(height, width, depth_mode="harmonic")
+    return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
+                          no_fog(), s, depth_mode="harmonic")
+
+
+def render_all_views(viewports: ModelerViewports, mesh, faces, atlas,
+                     lights, settings: RasterSettings, bounds: Rect,
+                     pane_h: int = 120, pane_w: int = 160
+                     ) -> Dict[ViewportId, FrameBuffers]:
+    """All visible panes rendered at (pane_h, pane_w) each."""
+    out = {}
+    for view in viewports.pane_rects(bounds):
+        out[view] = render_view(viewports, view, mesh, faces, atlas,
+                                lights, settings, pane_h, pane_w)
+    return out
+
+
+def composite_views(ctx: UiContext, viewports: ModelerViewports,
+                    frames: Dict[ViewportId, FrameBuffers],
+                    bounds: Rect) -> None:
+    """Blit each pane's framebuffer into its rect + label + border."""
+    rects = viewports.pane_rects(bounds)
+    for view, rect in rects.items():
+        fb = frames.get(view)
+        if fb is not None:
+            ctx.commands.append(("image", (rect.x, rect.y),
+                                 np.asarray(fb.color)))
+        ctx.outline(rect, (70, 70, 80))
+        ctx.text(rect.x + 3, rect.y + 3, view.value.upper(),
+                 (160, 160, 170))
