@@ -356,6 +356,34 @@ class TrackerState:
                     else self.default_volume
                 self._emit("note_on", ch, (note.pitch, vol))
                 self._sustained[ch] = note.pitch
+        # effects apply after the row's notes (state.rs:946-948)
+        for ch in range(song.num_channels()):
+            note = pattern.get(ch, self.playback_row)
+            if note is not None and note.effect.kind != "None":
+                self._apply_effect(ch, note.effect)
+
+    def _apply_effect(self, ch: int, effect) -> None:
+        """state.rs:971-1027 — the MIDI-control effect subset the
+        reference implements (Arpeggio/Portamento/VolumeSlide need
+        per-tick processing and are unimplemented there too)."""
+        k = effect.kind
+        if k == "SetVolume":
+            self._emit("volume", ch, effect.x)
+        elif k == "SetPan":
+            self._emit("pan", ch, effect.x)
+        elif k == "SetExpression":
+            self._emit("expression", ch, effect.x)
+        elif k == "SetModulation":
+            self._emit("modulation", ch, effect.x)
+        elif k == "SlideUp":
+            self._emit("pitch_bend", ch, min(8192 + effect.x * 64, 16383))
+        elif k == "SlideDown":
+            self._emit("pitch_bend", ch, max(8192 - effect.x * 64, 0))
+        elif k == "Vibrato":
+            self._emit("modulation", ch, min(effect.y * 8, 127))
+        elif k == "SetSpeed":
+            if effect.x > 0:
+                self.song.bpm = effect.x
 
     def _advance_playback(self):
         """state.rs:1029 — wrap pattern, then arrangement (loop)."""

@@ -154,3 +154,39 @@ def test_tap_tempo():
     t3 = TrackerState()
     t3.tap_tempo(0.0)
     assert t3.tap_tempo(5.0) is None     # gap resets even the 2nd tap
+
+def test_playback_applies_effects():
+    """state.rs:946-1027 — the MIDI-control effect subset fires through
+    the sink after the row's notes; SetSpeed mutates the song bpm."""
+    from bonnie32_tpu.audio.song import Effect
+
+    st = _state() if "_state" in dir() else None
+    from bonnie32_tpu.audio.state import TrackerState
+    from bonnie32_tpu.audio.song import Note, Pattern, Song
+
+    pat = Pattern.new(8, 2)
+    pat.channels[0][0] = Note(pitch=60, volume=90,
+                              effect=Effect(kind="SetPan", x=32))
+    pat.channels[1][0] = Note(pitch=48,
+                              effect=Effect(kind="SlideUp", x=10))
+    pat.channels[0][1] = Note(effect=Effect(kind="Vibrato", x=3, y=5))
+    pat.channels[1][1] = Note(effect=Effect(kind="SetSpeed", x=150))
+    song = Song(patterns=[pat], arrangement=[0],
+                channel_instruments=[0, 0], bpm=120)
+
+    events = []
+    st = TrackerState(song=song, sink=lambda k, ch, p: events.append(
+        (k, ch, p)))
+    st.play_from_start()
+    st._play_current_row()
+    assert ("pan", 0, 32) in events
+    assert ("pitch_bend", 1, 8192 + 640) in events
+    # effects come after the notes
+    assert events.index(("note_on", 0, (60, 90))) < \
+        events.index(("pan", 0, 32))
+
+    st._advance_playback()
+    events.clear()
+    st._play_current_row()
+    assert ("modulation", 0, 40) in events
+    assert song.bpm == 150
