@@ -225,3 +225,56 @@ def test_collapsible_panel():
     clicked, content = draw_collapsible_panel(ctx, r, "INFO", True,
                                               (20, 20, 25))
     assert clicked and content is None
+
+
+def test_radial_menu_segments_and_submenu():
+    from bonnie32_tpu.ui.radial_menu import (RadialMenuConfig,
+                                             RadialMenuItem,
+                                             RadialMenuState, segment_at,
+                                             draw_radial_menu)
+    st = RadialMenuState()
+    cfg = RadialMenuConfig()
+    items = [RadialMenuItem("a", "A"),
+             RadialMenuItem("b", "B").with_children(
+                 [RadialMenuItem("b1", "B1")]),
+             RadialMenuItem("c", "C").disabled(),
+             RadialMenuItem("d", "D")]
+    st.open(100, 100, items)
+    assert st.is_open
+
+    # 4 segments of 90deg starting at top: straight up = segment 0,
+    # right = 1, down = 2, left = 3 (radial_menu.rs angle normalization)
+    assert segment_at(st, cfg, 100, 100 - 50) == 0
+    assert segment_at(st, cfg, 100 + 50, 100) == 1
+    assert segment_at(st, cfg, 100, 100 + 50) == 2
+    assert segment_at(st, cfg, 100 - 50, 100) == 3
+    # center = cancel zone
+    assert segment_at(st, cfg, 102, 101) is None
+
+    # select the highlighted item on close
+    ctx = UiContext()
+    ctx.begin_frame(100, 50, False)
+    draw_radial_menu(ctx, st, cfg, 100, 50)
+    assert st.highlighted == 0
+    assert st.close(select=True) == "a"
+    assert st.take_selected() == "a"
+    assert st.take_selected() is None
+
+    # disabled items can't be selected
+    st.open(100, 100, items)
+    st.highlighted = 2
+    assert st.close(select=True) is None
+
+    # submenu navigation
+    st.open(100, 100, items)
+    st.enter_submenu(1)
+    assert [i.id for i in st.items] == ["b1"]
+    assert st.back() and [i.id for i in st.items][1] == "b"
+    assert not st.back()
+
+    # drawing queues commands
+    st.open(100, 100, items)
+    ctx2 = UiContext()
+    ctx2.begin_frame(150, 100, False)
+    draw_radial_menu(ctx2, st, cfg, 150, 100)
+    assert len(ctx2.commands) > 16
