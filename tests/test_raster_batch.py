@@ -191,3 +191,56 @@ def test_flat_multi_segment_face_table():
     budget = _seam_budget(diff.size, 1)
     assert diff.sum() <= budget, \
         f"multi-seg: {diff.sum()} diffs (budget {budget})"
+
+
+def test_flat_placed_assets_match_sequential():
+    """The flat compile's placed-asset branch (scene.rs:226-259 order:
+    rooms then per-part draws with Y-rotation/translation + resolved
+    Texture15s) must match the sequential path on level_008's object."""
+    from bonnie32_tpu.models import level as L
+    from bonnie32_tpu.models import texture_pack as TP
+    from bonnie32_tpu.models import asset as A
+    from bonnie32_tpu.models import user_texture as UT
+    from bonnie32_tpu.models.scene import collect_scene_lights
+
+    SAMPLES = "/root/reference/assets/samples"
+    level = L.load_level(f"{SAMPLES}/levels/level_008.ron")
+    textures = TP.load_texture_packs(f"{SAMPLES}/texture-packs")
+    resolve = TP.make_resolver(textures)
+    lib = A.AssetLibrary([f"{SAMPLES}/assets"])
+    utex = UT.TextureLibrary([f"{SAMPLES}/textures"])
+    settings = RasterSettings.game()
+    light_specs = collect_scene_lights(level, lib)
+
+    flat, static = scene_flat.compile_level_flat(
+        level, textures, resolve, light_specs=light_specs,
+        asset_library=lib, user_textures=utex)
+    seq = scene_mod.compile_level(level, textures, resolve,
+                                  light_specs=light_specs,
+                                  asset_library=lib, user_textures=utex)
+    assert scene_flat.kernel_path_ok(static, settings)
+
+    room = next(r for r in level.rooms if r.objects)
+    obj = room.objects[0]
+    wp = obj.world_position(room)
+    campos = np.asarray(wp, np.float32) + np.asarray(
+        [-1500, 1200, -2200], np.float32)
+    cam = build.make_camera(campos, build.camera_basis(0.35, 0.65))
+    cams = jax.tree_util.tree_map(lambda x: jnp.stack([x]), cam)
+
+    H2, W2 = 120, 160
+    fb0 = raster_ref.new_framebuffer(H2, W2, depth_mode="inv")
+    fbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), fb0)
+    out = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                       height=H2, width=W2,
+                                       interpret=True)
+    ref = scene_mod.render_level(fb0, seq, cam, settings,
+                                 depth_mode="fast")
+    c_new = np.asarray(out.color[0])
+    c_ref = np.asarray(ref.color)
+    assert (c_ref != c_ref.reshape(-1)[0]).mean() > 0.1
+    diff = c_new != c_ref
+    budget = _seam_budget(diff.size, 1)
+    assert diff.sum() <= budget, \
+        f"asset flat vs seq: {diff.sum()} diffs (budget {budget})"
