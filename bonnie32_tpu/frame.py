@@ -1,0 +1,107 @@
+"""Per-frame tool dispatch: the main-loop body (main.rs:393-1597).
+
+One call composes the whole application frame headlessly: the live
+project sync (main.rs:405), the tab bar, and the active tool's screen —
+world editor layout, game view overlays, modeler quad viewport, tracker
+grid, or the input tester — all into the UiContext draw queue.  The
+caller renders 3D viewport contents into the returned rects (the
+framebuffer is the display surface, exactly like the reference's
+macroquad draw pass).
+"""
+
+from typing import Dict, Optional
+
+from .app import AppState, Tool
+from .audio import tracker_ui
+from .editor.layout import EditorLayout, draw_editor
+from .game import overlay as game_overlay
+from .input import InputState
+from .models import modeler_viewport as mv
+from .ui import Rect, UiContext, tab_bar
+
+TAB_H = 28.0
+
+
+def draw_frame(app: AppState, ctx: UiContext, bounds: Rect,
+               inp: Optional[InputState] = None,
+               dt: float = 1.0 / 60.0,
+               editor_layout: Optional[EditorLayout] = None,
+               game=None, game_fps: float = 60.0,
+               game_timings=None,
+               modeler_views: Optional[mv.ModelerViewports] = None,
+               modeler_frames=None) -> Dict[str, Rect]:
+    """Compose one application frame; returns named rects (always
+    includes "tabs" and "content"; tool screens contribute more)."""
+    # live-edit project sync (main.rs:405): edits in the world editor are
+    # immediately visible to every other tool
+    app.project.level = app.world_editor.level
+
+    tab_rect = bounds.slice_top(TAB_H)
+    content = bounds.remaining_after_top(TAB_H)
+    idx = tab_bar(ctx, "tabs", tab_rect, Tool.labels(),
+                  app.active_tool_index())
+    if idx != app.active_tool_index():
+        tool = Tool.from_index(idx)
+        if tool is not None:
+            app.set_active_tool(tool)
+
+    rects: Dict[str, Rect] = {"tabs": tab_rect, "content": content}
+    tool = app.active_tool
+
+    if tool == Tool.HOME:
+        ctx.fill(content, (16, 16, 20))
+        ctx.text(content.x + 10, content.y + 12, "BONNIE-32",
+                 (255, 220, 120), scale=2)
+        ctx.text(content.x + 10, content.y + 34,
+                 "PS1-era fantasy console  -  TPU build")
+        ctx.text(content.x + 10, content.y + 48,
+                 "Select a tool tab to begin")
+
+    elif tool == Tool.WORLD_EDITOR:
+        layout = editor_layout or EditorLayout()
+        rects.update(draw_editor(ctx, layout, app.world_editor, content,
+                                 dt=dt))
+
+    elif tool == Tool.TEST:
+        # the caller blits the rendered game frame into `content`; this
+        # pass draws the in-frame HUD layers (renderer.rs:735, :494)
+        rects["viewport"] = content
+        if game is not None and inp is not None:
+            if game.show_debug_overlay:
+                game_overlay.draw_debug_overlay(
+                    ctx, game, content, inp, fps=game_fps,
+                    timings=game_timings)
+            if game.options_menu_open:
+                game_overlay.draw_debug_menu(ctx, game, content, inp)
+
+    elif tool == Tool.MODELER:
+        views = modeler_views or mv.ModelerViewports()
+        if modeler_frames is not None:
+            mv.composite_views(ctx, views, modeler_frames, content)
+        else:
+            for view, rect in views.pane_rects(content).items():
+                ctx.fill(rect, (14, 14, 18))
+                ctx.outline(rect, (70, 70, 80))
+                ctx.text(rect.x + 3, rect.y + 3, view.value.upper(),
+                         (160, 160, 170))
+        rects.update({f"pane:{v.value}": r for v, r
+                      in views.pane_rects(content).items()})
+
+    elif tool == Tool.TRACKER:
+        rects.update(tracker_ui.draw_tracker(ctx, app.tracker, content))
+
+    elif tool == Tool.INPUT_TEST:
+        ctx.fill(content, (16, 16, 20))
+        if inp is not None:
+            lx, ly = inp.left_stick()
+            rx, ry = inp.right_stick()
+            ctx.text(content.x + 8, content.y + 10,
+                     f"L: {lx:+.2f} {ly:+.2f}   R: {rx:+.2f} {ry:+.2f}")
+            from .input import Action
+            y = content.y + 24
+            for action in Action:
+                if inp.action_down(action):
+                    ctx.text(content.x + 8, y, action.value, (120, 255, 120))
+                    y += 10
+
+    return rects
