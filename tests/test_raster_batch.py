@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from bonnie32_tpu.config import RasterSettings, WIDTH, HEIGHT
+from bonnie32_tpu.config import (RasterSettings, ShadingMode, WIDTH, HEIGHT)
 from bonnie32_tpu.models import level as L
 from bonnie32_tpu.models import scene as scene_mod
 from bonnie32_tpu.models import scene_flat
@@ -244,3 +244,39 @@ def test_flat_placed_assets_match_sequential():
     budget = _seam_budget(diff.size, 1)
     assert diff.sum() <= budget, \
         f"asset flat vs seq: {diff.sum()} diffs (budget {budget})"
+
+
+import dataclasses
+import pytest
+
+
+@pytest.mark.parametrize("variant", [
+    dict(affine_textures=False),                      # persp-correct UV
+    dict(shading=ShadingMode.FLAT),
+    dict(shading=ShadingMode.NONE, dithering=False),
+    dict(use_fixed_point=False),                      # float projection
+])
+def test_flat_kernel_settings_branches(cave, variant):
+    """The kernel specializes on affine/shading/dither statics — each
+    branch must match the sequential path too."""
+    level, flat, static, seq = cave
+    settings = dataclasses.replace(RasterSettings.game(), **variant)
+    assert scene_flat.kernel_path_ok(static, settings)
+
+    cams = _cams(level, 1)
+    H2, W2 = 120, 160
+    fb0 = raster_ref.new_framebuffer(H2, W2, depth_mode="inv")
+    fbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), fb0)
+    out = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                       height=H2, width=W2,
+                                       interpret=True)
+    ref = jax.vmap(lambda c: scene_mod.render_level(
+        fb0, seq, c, settings, depth_mode="fast"))(cams)
+    c_new = np.asarray(out.color)
+    c_ref = np.asarray(ref.color)
+    assert (c_ref != c_ref.reshape(1, -1)[:, :1, None]).any(-1).mean() > 0.1
+    diff = (c_new != c_ref).any(-1)
+    budget = _seam_budget(diff.size, 1)
+    assert diff.sum() <= budget, \
+        f"{variant}: {diff.sum()} diffs (budget {budget})"
