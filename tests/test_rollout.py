@@ -59,3 +59,39 @@ def test_rollout_sharded():
         instance_chunk=None)
     fbs.color.block_until_ready()
     assert fbs.color.shape == (n, 24, 32)
+
+
+def test_step_and_render_flat_path_matches_sequential():
+    """rollout.step_and_render routes to the batched Pallas kernel when
+    the env carries a flat scene; output must equal the vmap path."""
+    from bonnie32_tpu.models import texture_pack as tp
+
+    level, env, spawn = rollout.demo_env()
+    textures = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+    resolve = tp.make_resolver(textures)
+    fenv = rollout.build_env(level, textures, resolve, flat=True)
+    assert fenv.flat is not None and fenv.flat_static is not None
+
+    n = 2
+    states = rollout.initial_states(level, spawn, n)
+    ang = jnp.arange(n, dtype=jnp.float32)
+    acts = stp.Actions(move_x=jnp.sin(ang), move_y=jnp.cos(ang),
+                       cam_x=jnp.zeros(n), cam_y=jnp.zeros(n),
+                       sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
+    s1, fb_seq = rollout.step_and_render(states, env, acts,
+                                         RasterSettings.game(),
+                                         height=24, width=32,
+                                         instance_chunk=None)
+    s2, fb_flat = rollout.step_and_render(states, fenv, acts,
+                                          RasterSettings.game(),
+                                          height=24, width=32,
+                                          instance_chunk=None)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    a = np.asarray(fb_seq.color)
+    b = np.asarray(fb_flat.color)
+    # XLA:CPU FMA contraction can flip seam ties between the two
+    # separately-compiled paths; bit-exact on TPU
+    diff = (a != b).sum()
+    budget = 0 if jax.devices()[0].platform in ("tpu", "axon") else 40
+    assert diff <= budget, f"flat rollout path: {diff} diffs"
