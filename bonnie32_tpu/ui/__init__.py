@@ -17,10 +17,12 @@ from .widgets import (button, checkbox, drag_value, label_row, slider,
 from .drag_tracker import DragConfig, DragState
 from .panel import (SplitDir, SplitPanel, draw_panel, panel_content_rect,
                     draw_collapsible_panel, COLLAPSED_PANEL_HEIGHT)
+from .text_input import TextInputState, draw_text_input, x_to_char_index
 from . import font
 
 __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
            "button", "checkbox", "slider", "drag_value", "vlist",
            "label_row", "tab_bar", "toolbar", "DragState", "DragConfig",
            "SplitDir", "SplitPanel", "draw_panel", "panel_content_rect",
-           "draw_collapsible_panel", "COLLAPSED_PANEL_HEIGHT", "font"]
+           "draw_collapsible_panel", "COLLAPSED_PANEL_HEIGHT", "font",
+           "TextInputState", "draw_text_input", "x_to_char_index"]
