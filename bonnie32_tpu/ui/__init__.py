@@ -18,6 +18,8 @@ from .drag_tracker import DragConfig, DragState
 from .panel import (SplitDir, SplitPanel, draw_panel, panel_content_rect,
                     draw_collapsible_panel, COLLAPSED_PANEL_HEIGHT)
 from .text_input import TextInputState, draw_text_input, x_to_char_index
+from .tool import (DragAcceptResult, InputState, ModifierKeys, MouseButtons,
+                   Tool, ToolBox, ToolController, ToolRegistry)
 from . import font
 
 __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
@@ -25,4 +27,7 @@ __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
            "label_row", "tab_bar", "toolbar", "DragState", "DragConfig",
            "SplitDir", "SplitPanel", "draw_panel", "panel_content_rect",
            "draw_collapsible_panel", "COLLAPSED_PANEL_HEIGHT", "font",
-           "TextInputState", "draw_text_input", "x_to_char_index"]
+           "TextInputState", "draw_text_input", "x_to_char_index",
+           "Tool", "ToolRegistry", "ToolBox", "ToolController",
+           "InputState", "ModifierKeys", "MouseButtons",
+           "DragAcceptResult"]
