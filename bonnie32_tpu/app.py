@@ -144,6 +144,8 @@ class AppState:
         self.asset_library = asset_library
         self.auth = AuthState()
         self.pending_ops = PendingOps()
+        from .ui.landing import LandingState
+        self.landing = LandingState()
 
     def update_auth(self) -> bool:
         """app.rs:209 — returns True when the auth state flipped (and the

@@ -49,13 +49,9 @@ def draw_frame(app: AppState, ctx: UiContext, bounds: Rect,
     tool = app.active_tool
 
     if tool == Tool.HOME:
-        ctx.fill(content, (16, 16, 20))
-        ctx.text(content.x + 10, content.y + 12, "BONNIE-32",
-                 (255, 220, 120), scale=2)
-        ctx.text(content.x + 10, content.y + 34,
-                 "PS1-era fantasy console  -  TPU build")
-        ctx.text(content.x + 10, content.y + 48,
-                 "Select a tool tab to begin")
+        from .ui.landing import draw_landing_ctx
+
+        draw_landing_ctx(ctx, content, app.landing)
 
     elif tool == Tool.WORLD_EDITOR:
         layout = editor_layout or EditorLayout()
