@@ -180,3 +180,95 @@ class DragGesture:
         self.start_pos = None
         self.started = False
         return moved
+
+
+# ---------------------------------------------------------------------------
+# Box selection (modeler/drag/box_select.rs + viewport.rs:1624
+# apply_box_selection)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BoxSelectTracker:
+    """drag/box_select.rs:2 — a screen-space rubber-band rectangle."""
+
+    start_mouse: Tuple[float, float]
+    current_mouse: Tuple[float, float] = None
+
+    def __post_init__(self):
+        if self.current_mouse is None:
+            self.current_mouse = self.start_mouse
+
+    def bounds(self) -> Tuple[float, float, float, float]:
+        """(min_x, min_y, max_x, max_y)."""
+        sx, sy = self.start_mouse
+        cx, cy = self.current_mouse
+        return (min(sx, cx), min(sy, cy), max(sx, cx), max(sy, cy))
+
+    def contains(self, x: float, y: float) -> bool:
+        x0, y0, x1, y1 = self.bounds()
+        return x0 <= x <= x1 and y0 <= y <= y1
+
+    def width(self) -> float:
+        return abs(self.current_mouse[0] - self.start_mouse[0])
+
+    def height(self) -> float:
+        return abs(self.current_mouse[1] - self.start_mouse[1])
+
+
+def apply_box_selection(state: ModelerState, viewports: ModelerViewports,
+                        view: ViewportId, bounds, fb_w: int, fb_h: int,
+                        add_to_selection: bool = False) -> int:
+    """viewport.rs:1624 — select every vertex (Vertex mode) or face
+    (Face mode, by projected face center) whose screen position falls in
+    `bounds` = (x0, y0, x1, y1).  Shift adds to the existing selection;
+    an empty plain box clears it.  Returns the selected count."""
+    x0, y0, x1, y1 = bounds
+    xy = _screen_xy(state, viewports, view, fb_w, fb_h)
+
+    if state.select_mode == SelectMode.VERTEX:
+        inside = [i for i in range(len(xy))
+                  if not np.isnan(xy[i, 0])
+                  and x0 <= xy[i, 0] <= x1 and y0 <= xy[i, 1] <= y1]
+        selected = (set(state.selected_vertices) if add_to_selection
+                    else set())
+        selected.update(inside)
+        if selected:
+            state.selected_vertices = selected
+        elif not add_to_selection:
+            state.selected_vertices = set()
+        return len(selected)
+
+    if state.select_mode == SelectMode.FACE:
+        cam = view_camera(viewports, view)
+        centers = []
+        for face in state.mesh.faces:
+            pts = np.asarray([state.mesh.vertices[v].pos
+                              for v in face.vertices], np.float32)
+            centers.append(pts.mean(axis=0))
+        if not centers:
+            return 0
+        pos = np.asarray(centers, np.float32)
+        if view == ViewportId.PERSPECTIVE:
+            sx, sy, _, valid = picking.world_to_screen(
+                pos, np.asarray(cam.position), np.asarray(cam.basis),
+                fb_w, fb_h)
+            sx = np.where(np.asarray(valid), np.asarray(sx), np.nan)
+        else:
+            oc = viewports.cameras[view]
+            sx, sy, _, _ = picking.world_to_screen_ortho(
+                pos, np.asarray(cam.position), np.asarray(cam.basis),
+                fb_w, fb_h, oc.zoom, oc.center[0], oc.center[1])
+        sx, sy = np.asarray(sx), np.asarray(sy)
+        inside = [i for i in range(len(pos))
+                  if not np.isnan(sx[i])
+                  and x0 <= sx[i] <= x1 and y0 <= sy[i] <= y1]
+        selected = (set(state.selected_faces) if add_to_selection
+                    else set())
+        selected.update(inside)
+        if selected:
+            state.selected_faces = selected
+        elif not add_to_selection:
+            state.selected_faces = set()
+        return len(selected)
+
+    return 0

@@ -119,3 +119,62 @@ def test_ortho_drag_constrained_to_view_plane():
     # TOP view: drags move in the XZ plane, never in Y
     assert abs(after[1] - before[1]) < 1e-3
     assert np.linalg.norm(after - before) > 1.0
+
+
+def test_box_select_tracker_bounds_and_contains():
+    # drag/box_select.rs tests
+    t = me.BoxSelectTracker((100.0, 100.0), (50.0, 150.0))
+    assert t.bounds() == (50.0, 100.0, 100.0, 150.0)
+    assert t.width() == 50.0 and t.height() == 50.0
+    t2 = me.BoxSelectTracker((0.0, 0.0), (100.0, 100.0))
+    assert t2.contains(50, 50) and t2.contains(0, 0) \
+        and t2.contains(100, 100)
+    assert not t2.contains(-1, 50) and not t2.contains(101, 50)
+
+
+def test_box_select_vertices_and_shift_add():
+    st, vp = _setup()
+    st.select_mode = SelectMode.VERTEX
+    view = ViewportId.PERSPECTIVE
+    xy = me._screen_xy(st, vp, view, FBW, FBH)
+
+    def expect_in(bounds):
+        x0, y0, x1, y1 = bounds
+        return {i for i in range(len(xy))
+                if x0 <= xy[i, 0] <= x1 and y0 <= xy[i, 1] <= y1}
+
+    # a small box around vertex 0
+    x, y = float(xy[0, 0]), float(xy[0, 1])
+    box0 = (x - 2, y - 2, x + 2, y + 2)
+    want0 = expect_in(box0)
+    n = me.apply_box_selection(st, vp, view, box0, FBW, FBH)
+    assert 0 in st.selected_vertices and st.selected_vertices == want0
+    assert n == len(want0)
+
+    # shift-add a box around vertex 3 keeps the originals
+    x2, y2 = float(xy[3, 0]), float(xy[3, 1])
+    box3 = (x2 - 2, y2 - 2, x2 + 2, y2 + 2)
+    n = me.apply_box_selection(st, vp, view, box3, FBW, FBH,
+                               add_to_selection=True)
+    assert st.selected_vertices == want0 | expect_in(box3)
+    assert 3 in st.selected_vertices
+
+    # a whole-screen box selects every vertex
+    me.apply_box_selection(st, vp, view, (0, 0, FBW, FBH), FBW, FBH)
+    assert len(st.selected_vertices) == len(st.mesh.vertices)
+
+    # an empty plain box clears; an empty shift box keeps
+    me.apply_box_selection(st, vp, view, (0, 0, 1, 1), FBW, FBH,
+                           add_to_selection=True)
+    assert len(st.selected_vertices) == len(st.mesh.vertices)
+    me.apply_box_selection(st, vp, view, (0, 0, 1, 1), FBW, FBH)
+    assert st.selected_vertices == set()
+
+
+def test_box_select_faces_by_center():
+    st, vp = _setup()
+    st.select_mode = SelectMode.FACE
+    view = ViewportId.PERSPECTIVE
+    n = me.apply_box_selection(st, vp, view, (0, 0, FBW, FBH), FBW, FBH)
+    assert n == len(st.mesh.faces)
+    assert st.selected_faces == set(range(len(st.mesh.faces)))
