@@ -87,17 +87,11 @@ def draw_frame(app: AppState, ctx: UiContext, bounds: Rect,
         rects.update(tracker_ui.draw_tracker(ctx, app.tracker, content))
 
     elif tool == Tool.INPUT_TEST:
-        ctx.fill(content, (16, 16, 20))
         if inp is not None:
-            lx, ly = inp.left_stick()
-            rx, ry = inp.right_stick()
-            ctx.text(content.x + 8, content.y + 10,
-                     f"L: {lx:+.2f} {ly:+.2f}   R: {rx:+.2f} {ry:+.2f}")
-            from .input import Action
-            y = content.y + 24
-            for action in Action:
-                if inp.action_down(action):
-                    ctx.text(content.x + 8, y, action.value, (120, 255, 120))
-                    y += 10
+            from .input.debug import draw_controller_debug
+
+            draw_controller_debug(ctx, content, inp)
+        else:
+            ctx.fill(content, (16, 16, 20))
 
     return rects

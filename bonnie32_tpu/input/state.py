@@ -177,6 +177,14 @@ class InputState:
         btn = GAMEPAD_BINDINGS.get(action)
         return btn is not None and self.gamepad.is_button_pressed(btn)
 
+    # --- deadzone (input/debug.rs slider) ---
+
+    def deadzone(self) -> float:
+        return self.gamepad.deadzone
+
+    def set_deadzone(self, value: float) -> None:
+        self.gamepad.deadzone = min(max(float(value), 0.0), 0.5)
+
     # --- metadata ---
 
     def has_gamepad(self) -> bool:

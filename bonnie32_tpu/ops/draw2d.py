@@ -111,6 +111,20 @@ def draw_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
     return FrameBuffers(color=color, depth=fb.depth)
 
 
+def draw_circle_outline(fb: FrameBuffers, cx, cy, radius, rgb,
+                        thickness: int = 1) -> FrameBuffers:
+    """draw_circle_lines — a ring: r-thickness < dist <= r."""
+    xs, ys = _grid(fb)
+    dx = xs - jnp.asarray(cx, _I32)
+    dy = ys - jnp.asarray(cy, _I32)
+    d2 = dx * dx + dy * dy
+    r = jnp.asarray(radius, _I32)
+    inner = jnp.maximum(r - jnp.asarray(thickness, _I32), 0)
+    on_ring = (d2 <= r * r) & (d2 > inner * inner)
+    color = jnp.where(on_ring, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
 def draw_circle(fb: FrameBuffers, cx, cy, radius, rgb,
                 alpha=None) -> FrameBuffers:
     """render.rs:631 / draw_circle_alpha :670 — dx^2+dy^2 <= r^2 fill."""

@@ -87,6 +87,14 @@ class UiContext:
     def line(self, x0, y0, x1, y1, rgb) -> None:
         self.commands.append(("line", (x0, y0, x1, y1), tuple(rgb)))
 
+    def circle(self, cx, cy, radius, rgb) -> None:
+        self.commands.append(("circle", (cx, cy, radius), tuple(rgb)))
+
+    def circle_lines(self, cx, cy, radius, rgb) -> None:
+        """Ring: filled circle minus its interior at paint time."""
+        self.commands.append(("circle_lines", (cx, cy, radius),
+                              tuple(rgb)))
+
     def text(self, x, y, s: str, rgb=None, scale: int = 1) -> None:
         """Queue a text draw; paint() rasterizes it with the 5x7 bitmap
         font (ui/font.py) like the reference draws its ttf text into the
@@ -115,6 +123,14 @@ class UiContext:
                 fb = draw2d.draw_lines(
                     fb, jnp.asarray([[int(x0), int(x1)]], jnp.int32),
                     jnp.asarray([[int(y0), int(y1)]], jnp.int32), rgb)
+            elif cmd[0] == "circle":
+                _, (cx, cy, radius), rgb = cmd
+                fb = draw2d.draw_circle(fb, int(cx), int(cy),
+                                        int(radius), rgb)
+            elif cmd[0] == "circle_lines":
+                _, (cx, cy, radius), rgb = cmd
+                fb = draw2d.draw_circle_outline(fb, int(cx), int(cy),
+                                                int(radius), rgb)
             elif cmd[0] == "text":
                 _, (x, y), s, rgb, scale = cmd
                 fb = draw2d.draw_text(fb, int(x), int(y), s, rgb,

@@ -99,3 +99,51 @@ def test_to_actions_bridge():
                            level.player_settings)
     s2 = gstep.tick(s, grid, params, acts, 1.0 / 60.0)
     assert float(s2.time) > 0
+
+# ---------------------------------------------------------------------------
+# Controller debug screen (input/debug.rs)
+# ---------------------------------------------------------------------------
+
+def test_debug_action_labels_use_platform_buttons():
+    from bonnie32_tpu.input.debug import build_action_labels
+    from bonnie32_tpu.input.state import ButtonLabels, ControllerType
+
+    ps = build_action_labels(ButtonLabels.for_type(
+        ControllerType.PLAYSTATION))
+    assert ps[0][1] == "Jump (Cross)"
+    xb = build_action_labels(ButtonLabels.for_type(ControllerType.XBOX))
+    assert xb[0][1] == "Jump (A)" and len(xb) == 16
+
+
+def test_debug_screen_draws_and_slider_sets_deadzone():
+    import numpy as np
+    from bonnie32_tpu.input.debug import draw_controller_debug
+    from bonnie32_tpu.input.state import InputState
+    from bonnie32_tpu.ops import raster_ref
+    from bonnie32_tpu.ui import Rect, UiContext
+
+    inp = InputState()
+    inp.gamepad.connected = True
+    inp.gamepad.update(axes={"lx": 0.7, "ly": 0.2})
+
+    ctx = UiContext()
+    ctx.begin_frame(0, 0, down=False)
+    draw_controller_debug(ctx, Rect(0, 0, 320, 240), inp)
+    fb = ctx.paint(raster_ref.new_framebuffer(240, 320))
+    img = np.asarray(fb.color)
+    assert (img != img[0, 0]).any()
+
+    # drag on the slider track sets the deadzone from the mouse x
+    ctx.begin_frame(16 + 50, 38, down=True)   # mid-track
+    draw_controller_debug(ctx, Rect(0, 0, 320, 240), inp)
+    assert abs(inp.deadzone() - 0.25) < 0.05
+
+
+def test_deadzone_accessor_clamped():
+    from bonnie32_tpu.input.state import InputState
+
+    inp = InputState()
+    inp.set_deadzone(0.9)
+    assert inp.deadzone() == 0.5
+    inp.set_deadzone(-1.0)
+    assert inp.deadzone() == 0.0
