@@ -71,6 +71,12 @@ class ActionContext:
     ctrl: bool = False
     shift: bool = False
     alt: bool = False
+    # typed predicates (ui/actions.rs:223-231)
+    can_undo: bool = False
+    can_redo: bool = False
+    has_selection: bool = False
+    has_clipboard: bool = False
+    mode: str = ""
 
     def with_flag(self, flag: str) -> "ActionContext":
         self.flags.add(flag)
@@ -259,4 +265,157 @@ def create_modeler_actions() -> ActionRegistry:
     r.register(Action("select.all").with_label("Select All")
                .with_shortcut(Shortcut.with_ctrl("a"))
                .with_category("Select"))
+    return r
+
+
+# Editor flags (editor/actions.rs:5-13) as ActionContext flag strings
+EDITOR_FLAGS = ("room_selected", "sector_selected", "object_selected",
+                "portal_selected", "geometry_mode", "texture_mode",
+                "object_mode", "has_level")
+
+
+def _flag(name: str) -> Callable[[ActionContext], bool]:
+    return lambda ctx: ctx.has_flag(name)
+
+
+def create_editor_actions() -> ActionRegistry:
+    """editor/actions.rs:15 — the world editor's registry with its real
+    shortcuts and enabling predicates."""
+    r = ActionRegistry()
+    r.register(Action("file.new").with_label("New Level")
+               .with_shortcut(Shortcut.with_ctrl("n"))
+               .with_tip("Create a new level").with_category("File"))
+    r.register(Action("file.open").with_label("Open Level")
+               .with_shortcut(Shortcut.with_ctrl("o"))
+               .with_tip("Open an existing level").with_category("File"))
+    r.register(Action("file.save").with_label("Save")
+               .with_shortcut(Shortcut.with_ctrl("s"))
+               .with_tip("Save the current level").with_category("File"))
+    r.register(Action("file.save_as").with_label("Save As...")
+               .with_shortcut(Shortcut.ctrl_shift("s"))
+               .with_tip("Save to a new file").with_category("File"))
+    r.register(Action("edit.undo").with_label("Undo")
+               .with_shortcut(Shortcut.with_ctrl("z"))
+               .with_category("Edit")
+               .enabled_when(lambda ctx: ctx.can_undo))
+    r.register(Action("edit.redo").with_label("Redo")
+               .with_shortcut(Shortcut.ctrl_shift("z"))
+               .with_category("Edit")
+               .enabled_when(lambda ctx: ctx.can_redo))
+    r.register(Action("edit.copy").with_label("Copy")
+               .with_shortcut(Shortcut.with_ctrl("c"))
+               .with_category("Edit")
+               .enabled_when(lambda ctx:
+                             ctx.has_flag("object_selected")
+                             or ctx.has_flag("sector_selected")))
+    r.register(Action("edit.paste").with_label("Paste")
+               .with_shortcut(Shortcut.with_ctrl("v"))
+               .with_category("Edit")
+               .enabled_when(lambda ctx: ctx.has_clipboard))
+    r.register(Action("edit.delete").with_label("Delete")
+               .with_shortcut(Shortcut.key("delete"))
+               .with_category("Edit")
+               .enabled_when(lambda ctx: ctx.has_selection))
+    r.register(Action("room.add").with_label("Add Room")
+               .with_category("Room"))
+    r.register(Action("room.delete").with_label("Delete Room")
+               .with_category("Room")
+               .enabled_when(_flag("room_selected")))
+    r.register(Action("room.duplicate").with_label("Duplicate Room")
+               .with_category("Room")
+               .enabled_when(_flag("room_selected")))
+    for aid, label in (("sector.raise_floor", "Raise Floor"),
+                       ("sector.lower_floor", "Lower Floor"),
+                       ("sector.raise_ceiling", "Raise Ceiling"),
+                       ("sector.lower_ceiling", "Lower Ceiling")):
+        r.register(Action(aid).with_label(label).with_category("Sector")
+                   .enabled_when(_flag("sector_selected")))
+    r.register(Action("portal.create").with_label("Create Portal")
+               .with_category("Portal")
+               .enabled_when(_flag("sector_selected")))
+    r.register(Action("portal.delete").with_label("Delete Portal")
+               .with_category("Portal")
+               .enabled_when(_flag("portal_selected")))
+    r.register(Action("object.add").with_label("Add Object")
+               .with_category("Object"))
+    r.register(Action("object.delete").with_label("Delete Object")
+               .with_category("Object")
+               .enabled_when(_flag("object_selected")))
+    r.register(Action("view.toggle_grid").with_label("Toggle Grid")
+               .with_category("View"))
+    r.register(Action("view.zoom_in").with_label("Zoom In")
+               .with_shortcut(Shortcut.key("="))
+               .with_category("View"))
+    r.register(Action("view.zoom_out").with_label("Zoom Out")
+               .with_shortcut(Shortcut.key("-"))
+               .with_category("View"))
+    return r
+
+
+def create_tracker_actions() -> ActionRegistry:
+    """tracker/actions.rs — playback/navigation/edit/note/pattern set
+    with the tracker's real shortcuts."""
+    r = ActionRegistry()
+    r.register(Action("playback.toggle").with_label("Play/Pause")
+               .with_shortcut(Shortcut.key("space"))
+               .with_category("Playback"))
+    r.register(Action("playback.stop").with_label("Stop")
+               .with_shortcut(Shortcut.key("escape"))
+               .with_category("Playback"))
+    r.register(Action("playback.rewind").with_label("Rewind")
+               .with_category("Playback"))
+    for aid, label, key in (("nav.up", "Move Up", "up"),
+                            ("nav.down", "Move Down", "down"),
+                            ("nav.left", "Move Left", "left"),
+                            ("nav.right", "Move Right", "right"),
+                            ("nav.next_channel", "Next Channel", "tab"),
+                            ("nav.page_up", "Page Up", "pageup"),
+                            ("nav.page_down", "Page Down", "pagedown"),
+                            ("nav.home", "Go to Start", "home"),
+                            ("nav.end", "Go to End", "end")):
+        r.register(Action(aid).with_label(label)
+                   .with_shortcut(Shortcut.key(key))
+                   .with_category("Navigation"))
+    r.register(Action("nav.prev_channel").with_label("Previous Channel")
+               .with_shortcut(Shortcut.with_shift("tab"))
+               .with_category("Navigation"))
+    r.register(Action("octave.up").with_label("Octave Up")
+               .with_shortcut(Shortcut.key("kp_add"))
+               .with_category("Octave"))
+    r.register(Action("octave.down").with_label("Octave Down")
+               .with_shortcut(Shortcut.key("kp_subtract"))
+               .with_category("Octave"))
+    r.register(Action("edit.copy").with_label("Copy")
+               .with_shortcut(Shortcut.with_ctrl("c"))
+               .with_category("Edit"))
+    r.register(Action("edit.paste").with_label("Paste")
+               .with_shortcut(Shortcut.with_ctrl("v"))
+               .with_category("Edit")
+               .enabled_when(lambda ctx: ctx.has_clipboard))
+    r.register(Action("edit.cut").with_label("Cut")
+               .with_shortcut(Shortcut.with_ctrl("x"))
+               .with_category("Edit"))
+    r.register(Action("edit.select_all").with_label("Select All")
+               .with_shortcut(Shortcut.with_ctrl("a"))
+               .with_category("Edit"))
+    r.register(Action("note.delete").with_label("Delete Note")
+               .with_shortcut(Shortcut.key("delete"))
+               .with_category("Note Entry")
+               .enabled_when(_flag("note_column")))
+    r.register(Action("note.off").with_label("Note Off")
+               .with_shortcut(Shortcut.key("'"))
+               .with_category("Note Entry")
+               .enabled_when(_flag("note_column")))
+    r.register(Action("pattern.new").with_label("New Pattern")
+               .with_category("Pattern"))
+    r.register(Action("pattern.duplicate").with_label("Duplicate Pattern")
+               .with_category("Pattern")
+               .enabled_when(_flag("has_pattern")))
+    r.register(Action("pattern.clear").with_label("Clear Pattern")
+               .with_category("Pattern")
+               .enabled_when(_flag("has_pattern")))
+    r.register(Action("instrument.prev").with_label("Previous Instrument")
+               .with_category("Instrument"))
+    r.register(Action("instrument.next").with_label("Next Instrument")
+               .with_category("Instrument"))
     return r

@@ -65,3 +65,56 @@ def test_triggered_ids_and_categories():
     cats = r.by_category()
     assert "File" in cats and "Transform" in cats
     assert any(a.id == "mesh.extrude" for a in cats["Mesh"])
+
+
+def test_editor_actions_flags_and_predicates():
+    from bonnie32_tpu.ui.actions import (ActionContext,
+                                         create_editor_actions)
+
+    r = create_editor_actions()
+    assert len(r.actions) == 23
+    ctx = ActionContext()
+    # predicates gate correctly
+    assert not r.is_enabled("edit.undo", ctx)
+    ctx.can_undo = True
+    assert r.is_enabled("edit.undo", ctx)
+    assert not r.is_enabled("room.delete", ctx)
+    ctx.with_flag("room_selected")
+    assert r.is_enabled("room.delete", ctx)
+    assert r.is_enabled("room.duplicate", ctx)
+    # copy needs an object or sector selection
+    assert not r.is_enabled("edit.copy", ctx)
+    ctx.with_flag("sector_selected")
+    assert r.is_enabled("edit.copy", ctx)
+    assert r.is_enabled("sector.raise_floor", ctx)
+    # shortcut dispatch
+    ctx.pressed_keys = {"s"}
+    ctx.ctrl = True
+    assert r.triggered("file.save", ctx)
+    ctx.shift = True
+    assert not r.triggered("file.save", ctx)
+    assert r.triggered("file.save_as", ctx)
+
+
+def test_tracker_actions_navigation_and_notes():
+    from bonnie32_tpu.ui.actions import (ActionContext,
+                                         create_tracker_actions)
+
+    r = create_tracker_actions()
+    ctx = ActionContext(pressed_keys={"space"})
+    assert r.triggered("playback.toggle", ctx)
+    # shift+tab is prev channel, tab alone is next
+    ctx = ActionContext(pressed_keys={"tab"})
+    assert r.triggered("nav.next_channel", ctx)
+    assert not r.triggered("nav.prev_channel", ctx)
+    ctx.shift = True
+    assert r.triggered("nav.prev_channel", ctx)
+    assert not r.triggered("nav.next_channel", ctx)
+    # note entry actions need the note column
+    ctx = ActionContext(pressed_keys={"delete"})
+    assert not r.triggered("note.delete", ctx)
+    ctx.with_flag("note_column")
+    assert r.triggered("note.delete", ctx)
+    # text editing suppresses everything (ui/actions.rs:336)
+    ctx.text_editing = True
+    assert not r.triggered("note.delete", ctx)
