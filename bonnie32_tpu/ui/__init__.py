@@ -21,6 +21,7 @@ from .text_input import TextInputState, draw_text_input, x_to_char_index
 from .tool import (DragAcceptResult, InputState, ModifierKeys, MouseButtons,
                    Tool, ToolBox, ToolController, ToolRegistry)
 from . import font
+from . import icons
 
 __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
            "button", "checkbox", "slider", "drag_value", "vlist",
@@ -30,4 +31,4 @@ __all__ = ["Rect", "Theme", "DEFAULT_THEME", "UiContext", "MouseState",
            "TextInputState", "draw_text_input", "x_to_char_index",
            "Tool", "ToolRegistry", "ToolBox", "ToolController",
            "InputState", "ModifierKeys", "MouseButtons",
-           "DragAcceptResult"]
+           "DragAcceptResult", "icons"]

@@ -278,3 +278,28 @@ def test_radial_menu_segments_and_submenu():
     ctx2.begin_frame(150, 100, False)
     draw_radial_menu(ctx2, st, cfg, 150, 100)
     assert len(ctx2.commands) > 16
+
+
+def test_icons_compile_and_draw_centered():
+    import numpy as np
+    from bonnie32_tpu.ops import raster_ref
+    from bonnie32_tpu.ui import Rect
+    from bonnie32_tpu.ui import icons
+
+    # every icon is a 7x7 non-empty mask
+    for name, g in icons.ICONS.items():
+        assert g.shape == (7, 7) and g.any(), name
+    assert icons.icon_mask("no_such_icon").any()      # fallback box
+    assert icons.icon_mask("play", scale=2).shape == (14, 14)
+
+    fb = raster_ref.new_framebuffer(24, 24)
+    before = np.asarray(fb.color).copy()
+    fb = icons.draw_icon_centered(fb, "save", Rect(0, 0, 24, 24),
+                                  (255, 255, 255))
+    img = np.asarray(fb.color)
+    changed = img != before
+    assert changed.any()
+    ys, xs = np.nonzero(changed)
+    # centered: the 7x7 glyph lands in the middle of the 24x24 rect
+    assert 8 <= ys.min() and ys.max() <= 15
+    assert 8 <= xs.min() and xs.max() <= 15
