@@ -82,7 +82,8 @@ class FlatSceneStatic:
     t_pad: int              # compacted-face capacity (multiple of 128)
     groups: int             # t_pad // 128
     n_textures: int         # NT (<= 128)
-    atlas_rows: int         # Ra
+    atlas_rows: int         # Ra (16-aligned for bf16 sublane tiling)
+    atlas_rows_data: int    # rows actually holding texels (loop bound)
     key_wrows: int          # WR: key words per texture / 128
     transparent_idx: Tuple[int, ...]   # static transparent-face list
     # True when every transparent face lives in the final room/draw, so
@@ -244,8 +245,8 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
 
     # ---- kernel tables ----
     data = np.asarray(atlas.data)
-    ra = max(-(-data.size // 128), 1)
-    ra = -(-ra // 16) * 16  # bf16 sublane alignment
+    ra_data = max(-(-data.size // 128), 1)
+    ra = -(-ra_data // 16) * 16  # bf16 sublane alignment
     padded = np.zeros(ra * 128, np.int32)
     padded[:data.size] = data
     padded = padded.reshape(ra, 128)
@@ -300,7 +301,8 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
                       texmeta=jnp.asarray(texmeta))
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
-        atlas_rows=ra, key_wrows=wr, transparent_idx=tr_idx,
+        atlas_rows=ra, atlas_rows_data=ra_data,
+        key_wrows=wr, transparent_idx=tr_idx,
         transparent_last=tr_last)
     return scene, static
 
@@ -482,12 +484,14 @@ def _transparent_pass(fb, surf, idx_tuple, atlas, settings, width, height):
 
 
 @functools.partial(jax.jit, static_argnames=("static", "settings", "height",
-                                             "width", "interpret"))
+                                             "width", "interpret",
+                                             "debug"))
 def render_level_flat(fb: FrameBuffers, scene: FlatScene,
                       static: FlatSceneStatic, cams: CameraArrays,
                       settings: RasterSettings,
                       height: int, width: int,
-                      interpret: bool = False) -> FrameBuffers:
+                      interpret: bool = False,
+                      debug: str = "") -> FrameBuffers:
     """Batched level render: (I, H, W) framebuffers + (I,) cameras through
     the fused Pallas kernel.  render_scene (scene.rs:180-261) semantics:
     identical output to scene.render_level per instance (tested), one
@@ -505,7 +509,8 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
         fbc, fbd, prep, scene.keyrows, scene.texmeta, scene.tex_lo,
         scene.tex_hi, settings, width, height, static.t_pad,
         static.n_textures, static.atlas_rows, static.key_wrows,
-        interpret=interpret)
+        atlas_rows_data=static.atlas_rows_data,
+        interpret=interpret, debug=debug)
     out = FrameBuffers(color=rb.from_layout(color, width, height),
                        depth=rb.from_layout(depth, width, height))
     if static.transparent_idx:

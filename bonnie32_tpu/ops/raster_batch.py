@@ -54,6 +54,11 @@ _BF16 = jnp.bfloat16
 WB = 8            # framebuffer rows per phase-1 window
 CH = 24           # layout rows per phase-2 chunk
 SEG = 256         # phase-1 face-table segment (SMEM window cap: each
+SMALL_RA = 256  # atlas rows at/below which the direct gather loop wins
+# (measured v5e: direct wins at every sample-level size - cube 16 rows
+# 60.6->23.7 us/inst, Cave 160 rows 182.6->94.7, Cathedral 192 rows
+# 323->254; all bit-exact. The one-hot-matmul path remains for atlases
+# past 256 rows and as the 'matfetch' debug reference.)
                   # ctrl/fscal row costs a ~512-byte double-buffered SMEM
                   # granule, so 2x256 rows fits the 1 MiB budget; levels
                   # with more compacted faces stream segments via a
@@ -219,7 +224,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
 
 def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
-                 debug: str = ""):
+                 debug: str = "", atlas_rows_data: int = 0):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
@@ -238,6 +243,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     else:
         assert t_pad % SEG == 0, (t_pad, SEG)
         n_segs, seg_rows = t_pad // SEG, SEG
+    # Small atlases skip the one-hot-matmul + lane-pick pipeline (both
+    # proportional to the 128-lane atlas width) for a per-row gather loop
+    # proportional to atlas_rows instead (see PLAN_PERF.md round-3).
+    direct_fetch = ((atlas_rows <= SMALL_RA and "matfetch" not in debug)
+                    or "dirfetch" in debug)
+    # the gather loop only visits rows that hold real texels (the table
+    # is 16-row aligned for bf16 tiling; pad rows can never match trow)
+    ra_loop = atlas_rows_data if atlas_rows_data else atlas_rows
 
     def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
                texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
@@ -397,8 +410,16 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                        C_VCP0, C_VCP1, C_VCP2]
                     + sh_cols + [C_TID, C_FLAGS])
 
-            lane_iota3 = jax.lax.broadcasted_iota(_I32, (CH, 128, 128), 2)
-            ra_iota = jax.lax.broadcasted_iota(_I32, (CH, 128, atlas_rows), 2)
+            if direct_fetch:
+                # full Color15 words, exact: bf16 planes -> f32 add -> i32
+                texw = (texlo_ref[:].astype(_F32)
+                        + texhi_ref[:].astype(_F32)).astype(_I32)
+                lane_iota3 = ra_iota = None
+            else:
+                lane_iota3 = jax.lax.broadcasted_iota(
+                    _I32, (CH, 128, 128), 2)
+                ra_iota = jax.lax.broadcasted_iota(
+                    _I32, (CH, 128, atlas_rows), 2)
 
             for c in range(n_chunks):
                 g = c // chunks_per_g
@@ -483,6 +504,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     tlane = flat & 127
                     if "notex" in debug:      # perf diagnosis: no texel fetch
                         lo = hiw = jnp.zeros((CH, 128, 1), _F32)
+                    elif direct_fetch:
+                        lo = hiw = None
                     else:
                         oh = (trow[..., None] == ra_iota).astype(_BF16)
                         lo = jax.lax.dot_general(
@@ -495,6 +518,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                             preferred_element_type=_F32)
                     if "notex" in debug:
                         texel = jnp.full((CH, 128), col.WHITE, _I32)
+                    elif direct_fetch:
+                        # group-select gather: for each atlas row, lane-pick
+                        # its texels and keep where the pixel's row matches
+                        texel = jnp.zeros((CH, 128), _I32)
+                        for rr in range(ra_loop):
+                            rowv = jnp.broadcast_to(texw[rr, :][None, :],
+                                                    (CH, 128))
+                            vals = _lane_take(rowv, tlane)
+                            texel = jnp.where(trow == rr, vals, texel)
                     elif "pick0" in debug:    # perf diagnosis: skip the lane pick
                         texel = (lo[..., 0] + hiw[..., 0] * 256.0).astype(_I32)
                     elif "sumones" in debug:
@@ -606,12 +638,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
-                     "atlas_rows", "key_wrows", "interpret", "debug"))
+                     "atlas_rows", "key_wrows", "interpret", "debug",
+                     "atlas_rows_data"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     tex_lo, tex_hi, settings: RasterSettings,
                     width: int, height: int, t_pad: int, n_tex: int,
                     atlas_rows: int, key_wrows: int,
-                    interpret: bool = False, debug: str = ""):
+                    interpret: bool = False, debug: str = "",
+                    atlas_rows_data: int = 0):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
@@ -619,7 +653,8 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     """
     n_inst = fbc.shape[0]
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
-                                      n_tex, atlas_rows, key_wrows, debug)
+                                      n_tex, atlas_rows, key_wrows, debug,
+                                      atlas_rows_data)
     if t_pad <= SEG:
         n_segs, seg_rows = 1, t_pad
     else:
