@@ -32,6 +32,28 @@ PLAY_BG = (50, 70, 50)
 BEAT_BG = (28, 28, 34)
 
 
+# ---------------------------------------------------------------------------
+# Piano keyboard (tracker/state.rs:1068 key_to_note)
+# ---------------------------------------------------------------------------
+
+_BOTTOM_ROW = ["z", "s", "x", "d", "c", "v", "g", "b", "h", "n", "j", "m",
+               ",", "l", ".", ";", "/"]                    # semitones 0-16
+_TOP_ROW = ["q", "2", "w", "3", "e", "4", "r", "t", "6", "y", "7", "u",
+            "i", "9", "o", "0", "p", "-", "[", "]"]        # semitones 17-36
+
+KEY_SEMITONES = {k: i for i, k in enumerate(_BOTTOM_ROW)}
+KEY_SEMITONES.update({k: 17 + i for i, k in enumerate(_TOP_ROW)})
+
+
+def key_to_note(key: str, octave: int) -> Optional[int]:
+    """tracker/state.rs:1068 — 37-key two-row piano layout; returns the
+    MIDI pitch (clamped to 127) or None."""
+    off = KEY_SEMITONES.get(key.lower())
+    if off is None:
+        return None
+    return min(octave * 12 + off, 127)
+
+
 def note_text(note: Optional[Note]) -> str:
     """layout.rs note cell formatting: 'C-4 01 64' / '...' padding."""
     if note is None or note.is_empty:

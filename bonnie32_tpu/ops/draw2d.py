@@ -98,6 +98,35 @@ def draw_filled_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
     return FrameBuffers(color=color, depth=fb.depth)
 
 
+def draw_filled_triangle(fb: FrameBuffers, x0, y0, x1, y1, x2, y2, rgb,
+                         alpha: int = 255, clip=None) -> FrameBuffers:
+    """2D UI triangle fill (macroquad draw_triangle as used by
+    grid_view.rs sector fills).  Winding-agnostic edge-function test at
+    pixel centers; optional (x0, y0, x1, y1) scissor rect."""
+    xs, ys = _grid(fb)
+    px = xs.astype(_F32) + 0.5
+    py = ys.astype(_F32) + 0.5
+    ax, ay, bx, by, cx, cy = [jnp.asarray(v, _F32)
+                              for v in (x0, y0, x1, y1, x2, y2)]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    sgn = jnp.where(area < 0.0, _F32(-1.0), _F32(1.0))
+    e0 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * sgn
+    e1 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * sgn
+    e2 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * sgn
+    inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+    inside &= jnp.abs(area) > 1e-6
+    if clip is not None:
+        cl, ct, cr, cb = clip
+        inside &= ((xs >= int(cl)) & (xs < int(cr))
+                   & (ys >= int(ct)) & (ys < int(cb)))
+    if alpha >= 255:
+        color = jnp.where(inside, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    else:
+        color = jnp.where(inside, _alpha_blend_words(fb.color, rgb, alpha),
+                          fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
 def draw_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
               rgb) -> FrameBuffers:
     """render.rs:941 — outline (four axis-aligned 1px edges)."""
@@ -111,8 +140,15 @@ def draw_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
     return FrameBuffers(color=color, depth=fb.depth)
 
 
+def _clip_mask(xs, ys, clip):
+    """AND-mask for an optional (x0, y0, x1, y1) scissor rect."""
+    cl, ct, cr, cb = clip
+    return ((xs >= int(cl)) & (xs < int(cr))
+            & (ys >= int(ct)) & (ys < int(cb)))
+
+
 def draw_circle_outline(fb: FrameBuffers, cx, cy, radius, rgb,
-                        thickness: int = 1) -> FrameBuffers:
+                        thickness: int = 1, clip=None) -> FrameBuffers:
     """draw_circle_lines — a ring: r-thickness < dist <= r."""
     xs, ys = _grid(fb)
     dx = xs - jnp.asarray(cx, _I32)
@@ -121,17 +157,21 @@ def draw_circle_outline(fb: FrameBuffers, cx, cy, radius, rgb,
     r = jnp.asarray(radius, _I32)
     inner = jnp.maximum(r - jnp.asarray(thickness, _I32), 0)
     on_ring = (d2 <= r * r) & (d2 > inner * inner)
+    if clip is not None:
+        on_ring &= _clip_mask(xs, ys, clip)
     color = jnp.where(on_ring, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
     return FrameBuffers(color=color, depth=fb.depth)
 
 
 def draw_circle(fb: FrameBuffers, cx, cy, radius, rgb,
-                alpha=None) -> FrameBuffers:
+                alpha=None, clip=None) -> FrameBuffers:
     """render.rs:631 / draw_circle_alpha :670 — dx^2+dy^2 <= r^2 fill."""
     xs, ys = _grid(fb)
     dx = xs - jnp.asarray(cx, _I32)
     dy = ys - jnp.asarray(cy, _I32)
     inside = dx * dx + dy * dy <= jnp.asarray(radius, _I32) ** 2
+    if clip is not None:
+        inside &= _clip_mask(xs, ys, clip)
     if alpha is None:
         color = jnp.where(inside, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
     else:
@@ -446,7 +486,7 @@ def draw_wireframe_cylinder(fb: FrameBuffers, camera: CameraArrays,
 
 
 def draw_text(fb: FrameBuffers, x: int, y: int, s: str, rgb,
-              scale: int = 1) -> FrameBuffers:
+              scale: int = 1, clip=None) -> FrameBuffers:
     """Blit a single-line string with the 5x7 bitmap font (ui/font.py)
     at (x, y) top-left.  The coverage mask is host data (text content is
     host state, like the reference's ttf draw calls); the write is one
@@ -458,8 +498,11 @@ def draw_text(fb: FrameBuffers, x: int, y: int, s: str, rgb,
     height, width = fb.color.shape
     x, y = int(x), int(y)
     # host-side clip (text layout is host data, so static is fine)
-    sx0, sy0 = max(x, 0), max(y, 0)
-    sx1, sy1 = min(x + mw, width), min(y + mh, height)
+    cl, ct = (0, 0) if clip is None else (int(clip[0]), int(clip[1]))
+    cr, cb = ((width, height) if clip is None
+              else (int(clip[2]), int(clip[3])))
+    sx0, sy0 = max(x, cl, 0), max(y, ct, 0)
+    sx1, sy1 = min(x + mw, cr, width), min(y + mh, cb, height)
     if sx0 >= sx1 or sy0 >= sy1:
         return fb
     sub = jnp.asarray(mask[sy0 - y:sy1 - y, sx0 - x:sx1 - x])

@@ -13,7 +13,16 @@ from .rect import Rect
 from .theme import Theme, DEFAULT_THEME
 from .context import MouseState, UiContext
 from .widgets import (button, checkbox, drag_value, label_row, slider,
-                      tab_bar, toolbar, vlist)
+                      tab_bar, toolbar, vlist,
+                      DropdownState, begin_dropdown, dropdown,
+                      dropdown_block_clicks, dropdown_item,
+                      dropdown_menu_rect, dropdown_trigger,
+                      ps1_color_picker, ps1_color_picker_height,
+                      ps1_color_picker_with_alpha,
+                      ps1_color_picker_with_alpha_height,
+                      ps1_color_picker_with_blend_mode,
+                      ps1_color_picker_with_blend_mode_height,
+                      three_way_toggle, PS1_PRESETS)
 from .drag_tracker import DragConfig, DragState
 from .panel import (SplitDir, SplitPanel, draw_panel, panel_content_rect,
                     draw_collapsible_panel, COLLAPSED_PANEL_HEIGHT)

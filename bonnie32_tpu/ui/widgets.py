@@ -160,3 +160,315 @@ def vlist(ctx: UiContext, wid: str, rect: Rect, items: Sequence[str],
         ctx.text(row.x + 4, row.center_y, items[i])
     ctx.outline(rect, ctx.theme.panel_border)
     return selected, scroll
+
+
+# =============================================================================
+# Dropdown menu system (widgets.rs:2084-2290)
+# =============================================================================
+
+class DropdownState:
+    """widgets.rs:2084 — one instance per screen; at most one open menu."""
+
+    def __init__(self):
+        self.active: Optional[str] = None
+        self.trigger_rect: Optional[Rect] = None
+
+    def is_open(self, wid: str) -> bool:
+        return self.active == wid
+
+    def is_any_open(self) -> bool:
+        return self.active is not None
+
+    def open(self, wid: str, trigger_rect: Rect) -> None:
+        self.active = wid
+        self.trigger_rect = trigger_rect
+
+    def close(self) -> None:
+        self.active = None
+        self.trigger_rect = None
+
+    def toggle(self, wid: str, trigger_rect: Rect) -> None:
+        if self.is_open(wid):
+            self.close()
+        else:
+            self.open(wid, trigger_rect)
+
+
+def dropdown_block_clicks(ctx: UiContext, dropdown: DropdownState) -> None:
+    """widgets.rs:2133 — while a menu is open, swallow presses everywhere
+    except its trigger so underlying widgets don't react."""
+    if dropdown.is_any_open():
+        on_trigger = (dropdown.trigger_rect is not None
+                      and dropdown.trigger_rect.contains(ctx.mouse.x,
+                                                         ctx.mouse.y))
+        if not on_trigger:
+            ctx.mouse.pressed = False
+
+
+def dropdown_trigger(ctx: UiContext, rect: Rect, current_value: str) -> bool:
+    """widgets.rs:2153 — value + chevron button; True on press."""
+    hovered = rect.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.fill(rect, ctx.theme.widget_hover if hovered else ctx.theme.widget)
+    ctx.outline(rect, ctx.theme.panel_border)
+    ctx.text(rect.x + 4, rect.center_y, current_value)
+    ctx.text(rect.right - 12, rect.center_y, "v", ctx.theme.text_dim)
+    return hovered and ctx.mouse.pressed
+
+
+def begin_dropdown(ctx: UiContext, dropdown: DropdownState, wid: str,
+                   menu_rect: Rect) -> bool:
+    """widgets.rs:2183 — draw the open menu background; close on outside
+    click.  Returns True when the menu body should be drawn."""
+    if not dropdown.is_open(wid):
+        return False
+    ctx.fill(menu_rect, ctx.theme.panel)
+    ctx.outline(menu_rect, ctx.theme.panel_border)
+    click_outside = (ctx.mouse.pressed
+                     and not menu_rect.contains(ctx.mouse.x, ctx.mouse.y)
+                     and not (dropdown.trigger_rect is not None
+                              and dropdown.trigger_rect.contains(
+                                  ctx.mouse.x, ctx.mouse.y)))
+    if click_outside:
+        dropdown.close()
+        return False
+    return True
+
+
+def dropdown_item(ctx: UiContext, item_rect: Rect, label: str,
+                  icon: Optional[str] = None,
+                  is_selected: bool = False) -> bool:
+    """widgets.rs:2220 — one menu row; True on press."""
+    hovered = item_rect.contains(ctx.mouse.x, ctx.mouse.y)
+    if hovered:
+        ctx.fill(item_rect, ctx.theme.widget_hover)
+    text_x = item_rect.x + 4
+    if icon:
+        ctx.text(item_rect.x + 4, item_rect.center_y, icon)
+        text_x = item_rect.x + 22
+    rgb = ctx.theme.accent if is_selected else ctx.theme.text
+    ctx.text(text_x, item_rect.center_y, label, rgb)
+    if is_selected:
+        ctx.text(item_rect.right - 14, item_rect.center_y, "*",
+                 ctx.theme.accent)
+    return hovered and ctx.mouse.pressed
+
+
+def dropdown_menu_rect(trigger_rect: Rect, item_count: int,
+                       item_height: float = 20.0,
+                       menu_width: Optional[float] = None) -> Rect:
+    """widgets.rs:2273 — menu box below the trigger."""
+    width = menu_width if menu_width is not None else trigger_rect.w
+    return Rect(trigger_rect.x, trigger_rect.bottom + 2.0, width,
+                item_count * item_height + 4.0)
+
+
+def dropdown(ctx: UiContext, dropdown_state: DropdownState, wid: str,
+             rect: Rect, items: Sequence[str], selected: int,
+             item_height: float = 20.0) -> Optional[int]:
+    """Composed trigger+menu convenience: returns the newly-picked index
+    or None.  (The reference composes the primitives per call site; this
+    wrapper covers the common pattern.)"""
+    label = items[selected] if 0 <= selected < len(items) else ""
+    if dropdown_trigger(ctx, rect, label):
+        dropdown_state.toggle(wid, rect)
+    menu = dropdown_menu_rect(rect, len(items), item_height)
+    picked = None
+    if begin_dropdown(ctx, dropdown_state, wid, menu):
+        for i, item in enumerate(items):
+            ir = Rect(menu.x + 2, menu.y + 2 + i * item_height,
+                      menu.w - 4, item_height)
+            if dropdown_item(ctx, ir, item, is_selected=(i == selected)):
+                picked = i
+                dropdown_state.close()
+    return picked
+
+
+# =============================================================================
+# PS1 color pickers (widgets.rs:1252-1975)
+# =============================================================================
+
+PS1_PRESETS = [(31, 31, 31), (0, 0, 0), (31, 0, 0), (0, 31, 0),
+               (0, 0, 31), (31, 31, 0), (0, 31, 31), (31, 0, 31)]
+BLEND_MODE_LABELS = ["AVG", "ADD", "SUB", "+25%"]  # types.rs blend modes
+
+
+def _expand5(v: int) -> int:
+    return (v << 3) | (v >> 2)
+
+
+def _from_ps1(r5: int, g5: int, b5: int) -> Tuple[int, int, int]:
+    return (_expand5(r5), _expand5(g5), _expand5(b5))
+
+
+def ps1_color_picker(ctx: UiContext, wid: str, x: float, y: float,
+                     width: float, current: Tuple[int, int, int],
+                     default: Tuple[int, int, int], label: str,
+                     state: dict) -> Tuple[Optional[Tuple[int, int, int]],
+                                           bool]:
+    """widgets.rs:1280 draw_ps1_color_picker — swatch + three 5-bit RGB
+    sliders + preset row.  `state` persists the active-slider index across
+    frames (the reference's `active_slider: &mut Option<usize>`).
+    Returns (new color or None, dragging)."""
+    changed: Optional[Tuple[int, int, int]] = None
+    active = False
+    swatch = 32.0
+    slider_h, gap = 10.0, 1.0
+    label_w, value_w = 16.0, 20.0
+    slider_x = x + swatch + 8.0 + label_w
+    slider_w = width - swatch - 8.0 - label_w - value_w - 4.0
+
+    if label:
+        ctx.text(x, y - 10, label, ctx.theme.text_dim)
+    ctx.fill(Rect(x, y, swatch, swatch), (60, 60, 65))
+    ctx.fill(Rect(x + 1, y + 1, swatch - 2, swatch - 2), current)
+
+    vals = [current[0] >> 3, current[1] >> 3, current[2] >> 3]
+    tints = [(204, 51, 51), (51, 204, 51), (51, 102, 230)]
+    start_y = y + (swatch - (3 * slider_h + 2 * gap)) / 2.0
+    for i, name in enumerate("RGB"):
+        sy = start_y + i * (slider_h + gap)
+        ctx.text(x + swatch + 8, sy + 2, name)
+        track = Rect(slider_x, sy, slider_w, slider_h)
+        ctx.fill(track, (38, 38, 46))
+        fill_w = vals[i] / 31.0 * slider_w
+        ctx.fill(Rect(track.x, track.y, fill_w, track.h), tints[i])
+        ctx.fill(Rect(track.x + fill_w - 1, track.y, 3, track.h),
+                 (255, 255, 255))
+        ctx.text(slider_x + slider_w + 4, sy + 2, f"{vals[i]:2d}")
+
+        hovered = track.contains(ctx.mouse.x, ctx.mouse.y)
+        if hovered and ctx.mouse.double_clicked:
+            # double-click resets the channel to the default color
+            vals[i] = default[i] >> 3
+            changed = _from_ps1(*vals)
+            state.pop(wid, None)
+        else:
+            if hovered and ctx.mouse.pressed:
+                state[wid] = i
+            if state.get(wid) == i and ctx.mouse.down:
+                active = True
+                rel = min(max(ctx.mouse.x - track.x, 0.0), slider_w)
+                vals[i] = int(round(rel / slider_w * 31.0))
+                changed = _from_ps1(*vals)
+        if state.get(wid) == i and not ctx.mouse.down:
+            state.pop(wid, None)
+
+    # preset row (widgets.rs:1408-1446)
+    py = y + swatch + 6.0
+    psz, psp, plabel_w = 14.0, 2.0, 42.0
+    ctx.text(x, py + 4, "Presets", ctx.theme.text_dim)
+    for i, p5 in enumerate(PS1_PRESETS):
+        pr = Rect(x + plabel_w + i * (psz + psp), py, psz, psz)
+        ctx.fill(pr, (60, 60, 65))
+        ctx.fill(pr.pad(1), _from_ps1(*p5))
+        if pr.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed:
+            changed = _from_ps1(*p5)
+    return changed, active
+
+
+def ps1_color_picker_height() -> float:
+    """widgets.rs:1448."""
+    return 52.0
+
+
+def ps1_color_picker_with_alpha(ctx: UiContext, wid: str, x: float,
+                                y: float, width: float,
+                                current: Tuple[int, int, int], alpha: int,
+                                default: Tuple[int, int, int], label: str,
+                                state: dict):
+    """widgets.rs:1464 — RGB picker + a 0-255 alpha slider below.
+    Returns ((color or None, alpha or None), dragging)."""
+    color, active = ps1_color_picker(ctx, wid, x, y, width, current,
+                                     default, label, state)
+    new_alpha: Optional[int] = None
+    ay = y + ps1_color_picker_height() + 4.0
+    slider_h = 10.0
+    label_w, value_w = 16.0, 26.0
+    slider_x = x + label_w
+    slider_w = width - label_w - value_w - 4.0
+    ctx.text(x, ay + 2, "A")
+    track = Rect(slider_x, ay, slider_w, slider_h)
+    ctx.fill(track, (38, 38, 46))
+    fill_w = alpha / 255.0 * slider_w
+    ctx.fill(Rect(track.x, track.y, fill_w, track.h), (180, 180, 190))
+    ctx.fill(Rect(track.x + fill_w - 1, track.y, 3, track.h),
+             (255, 255, 255))
+    ctx.text(slider_x + slider_w + 4, ay + 2, f"{alpha:3d}")
+    akey = wid + ".a"
+    hovered = track.contains(ctx.mouse.x, ctx.mouse.y)
+    if hovered and ctx.mouse.pressed:
+        state[akey] = True
+    if state.get(akey) and ctx.mouse.down:
+        active = True
+        rel = min(max(ctx.mouse.x - track.x, 0.0), slider_w)
+        new_alpha = int(round(rel / slider_w * 255.0))
+    if state.get(akey) and not ctx.mouse.down:
+        state.pop(akey, None)
+    return (color, new_alpha), active
+
+
+def ps1_color_picker_with_alpha_height() -> float:
+    """widgets.rs:1705."""
+    return ps1_color_picker_height() + 18.0
+
+
+def ps1_color_picker_with_blend_mode(ctx: UiContext, wid: str, x: float,
+                                     y: float, width: float,
+                                     current: Tuple[int, int, int],
+                                     blend_mode: int,
+                                     default: Tuple[int, int, int],
+                                     label: str, state: dict):
+    """widgets.rs:1732 — RGB picker + the four PS1 semi-transparency
+    blend-mode buttons (types.rs BlendMode).  Returns
+    ((color or None, blend or None), dragging)."""
+    color, active = ps1_color_picker(ctx, wid, x, y, width, current,
+                                     default, label, state)
+    new_blend: Optional[int] = None
+    by = y + ps1_color_picker_height() + 4.0
+    bw = (width - 3 * 2.0) / 4.0
+    for i, name in enumerate(BLEND_MODE_LABELS):
+        br = Rect(x + i * (bw + 2.0), by, bw, 16.0)
+        sel = i == blend_mode
+        ctx.fill(br, ctx.theme.accent if sel else ctx.theme.widget)
+        ctx.outline(br, ctx.theme.panel_border)
+        ctx.text(br.x + 3, br.center_y, name)
+        if br.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed \
+                and not sel:
+            new_blend = i
+    return (color, new_blend), active
+
+
+def ps1_color_picker_with_blend_mode_height() -> float:
+    """widgets.rs:1964."""
+    return ps1_color_picker_height() + 22.0
+
+
+# =============================================================================
+# Three-way toggle (widgets.rs:1977)
+# =============================================================================
+
+def three_way_toggle(ctx: UiContext, rect: Rect, options: Sequence[str],
+                     selected: int) -> Optional[int]:
+    """widgets.rs:1977 — pill toggle with a light pill over the selected
+    option (square corners here; the reference rounds them).  Returns the
+    newly-clicked index or None."""
+    ctx.fill(rect, (30, 32, 38))
+    ctx.outline(rect, (60, 62, 68))
+    n = max(len(options), 1)
+    ow = rect.w / n
+    clicked = None
+    for i, label in enumerate(options):
+        orect = Rect(rect.x + i * ow, rect.y, ow, rect.h)
+        sel = i == selected
+        hovered = orect.contains(ctx.mouse.x, ctx.mouse.y)
+        if sel:
+            ctx.fill(orect.pad(3), (240, 240, 245))
+            rgb = (30, 32, 38)
+        elif hovered:
+            rgb = (200, 200, 205)
+        else:
+            rgb = (140, 142, 148)
+        ctx.text(orect.x + 4, orect.center_y, label, rgb)
+        if hovered and ctx.mouse.pressed and not sel:
+            clicked = i
+    return clicked
