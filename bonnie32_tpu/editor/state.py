@@ -221,6 +221,31 @@ class EditorState:
         # status toast (state.rs:922 set_status): message + remaining secs
         self.status_message: str = ""
         self.status_time: float = 0.0
+        # --- 2D grid view state (state.rs:401-487, :613, :696) ---
+        self.grid_offset_x = 0.0
+        self.grid_offset_y = 0.0
+        self.grid_zoom = 0.1          # px per world unit (state.rs:755)
+        self.grid_size = 1024.0       # SECTOR_SIZE grid step
+        self.show_grid = True
+        self.grid_last_mouse: Tuple[float, float] = (0.0, 0.0)
+        self.grid_panning = False
+        self.grid_dragging_sectors: List[Tuple[int, int, int]] = []
+        self.grid_sector_drag_offset: Tuple[float, float] = (0.0, 0.0)
+        self.grid_sector_drag_start: Optional[Tuple[float, float]] = None
+        self.grid_dragging_room_origin = False
+        self.grid_dragging_object: Optional[Tuple[int, int]] = None
+        self.selection_rect_start: Optional[Tuple[float, float]] = None
+        self.selection_rect_end: Optional[Tuple[float, float]] = None
+        self.hidden_rooms: set = set()
+        self.selected_texture: Any = None     # TextureRef
+        self.selected_asset: Optional[str] = None
+        self.asset_library: Any = None        # AssetLibrary when wired
+        self.wall_direction: int = 0          # NORTH; state.rs wall tool
+        self.portals_dirty = True             # state.rs:616
+
+    def mark_portals_dirty(self) -> None:
+        """state.rs:1251 — portal recompute is deferred to the frame."""
+        self.portals_dirty = True
 
     def set_status(self, message: str, seconds: float = 2.0) -> None:
         """state.rs:922 — transient status-bar toast (the reference's only

@@ -85,6 +85,23 @@ class Asset:
                     return True
         return False
 
+    def has_component(self, kind: str) -> bool:
+        return any(c.kind == kind for c in self.components)
+
+    # Component predicates (asset.rs:266-300) — used by the editors to
+    # pick marker colors/icons per placed object.
+    def has_light(self) -> bool:
+        return self.has_component("Light")
+
+    def has_enemy(self) -> bool:
+        return self.has_component("Enemy")
+
+    def has_mesh(self) -> bool:
+        return self.has_component("Mesh")
+
+    def has_trigger(self) -> bool:
+        return self.has_component("Trigger")
+
     def collision_component(self) -> Optional[dict]:
         for c in self.components:
             if c.kind == "Collision":
@@ -190,6 +207,13 @@ class AssetLibrary:
 
     def get_by_id(self, asset_id: int) -> Optional[Asset]:
         return self.assets.get(asset_id)
+
+    def get(self, name: str) -> Optional[Asset]:
+        """library.rs name lookup (used by object placement)."""
+        for a in self.assets.values():
+            if a.name == name:
+                return a
+        return None
 
     def __len__(self):
         return len(self.assets)

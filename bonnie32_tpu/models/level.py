@@ -164,6 +164,28 @@ class HorizontalFace:
             WEST: (h[0], h[3]), NWSE: (h[0], h[2]), NESW: (h[1], h[3]),
         }[direction]
 
+    def avg_height(self) -> float:
+        """geometry.rs:1262."""
+        h = self.heights
+        return (h[0] + h[1] + h[2] + h[3]) / 4.0
+
+    def is_flat(self) -> bool:
+        """geometry.rs:1267."""
+        h0 = self.heights[0]
+        return all(abs(h - h0) < 0.001 for h in self.heights)
+
+    def is_uniform_slope(self) -> bool:
+        """geometry.rs:1243 — flat, E-W ramp, or N-S ramp ([NW,NE,SE,SW])."""
+        h = self.heights
+        return ((h[0] == h[1] == h[2] == h[3])
+                or (h[0] == h[1] and h[3] == h[2])
+                or (h[0] == h[3] and h[1] == h[2]))
+
+    def diagonal_matters(self) -> bool:
+        """geometry.rs:1232 — the split diagonal is visually meaningful."""
+        return (self.texture_2 is not None or self.heights_2 is not None
+                or not self.is_uniform_slope())
+
     def interpolate_height(self, u: float, v: float) -> float:
         """geometry.rs:1283 — height at normalized (u, v), f32 order."""
         u = F32(min(max(u, 0.0), 1.0))
@@ -498,6 +520,73 @@ class Room:
                 s = self.sectors[x][z]
                 if s is not None:
                     yield x, z, s
+
+    def cleanup_empty_sectors(self):
+        """geometry.rs:2675 — drop sectors whose geometry is all gone."""
+        for x in range(self.width):
+            for z in range(self.depth):
+                s = self.sectors[x][z]
+                if s is not None and not s.has_geometry():
+                    self.sectors[x][z] = None
+
+    def trim_empty_edges(self) -> Tuple[int, int]:
+        """geometry.rs:2700 — trim empty border rows/columns, shifting the
+        room position (and object cells) to keep world positions fixed.
+        Returns (trim_x, trim_z) removed from the start."""
+        if not self.sectors or self.width == 0 or self.depth == 0:
+            return (0, 0)
+        first_col = 0
+        while first_col < self.width and not any(
+                self.sectors[first_col][z] is not None
+                for z in range(self.depth)):
+            first_col += 1
+        last_col = self.width
+        while last_col > first_col and not any(
+                self.sectors[last_col - 1][z] is not None
+                for z in range(self.depth)):
+            last_col -= 1
+        first_row = 0
+        while first_row < self.depth and not any(
+                self.sectors[x][first_row] is not None
+                for x in range(first_col, last_col)):
+            first_row += 1
+        last_row = self.depth
+        while last_row > first_row and not any(
+                self.sectors[x][last_row - 1] is not None
+                for x in range(first_col, last_col)):
+            last_row -= 1
+        if first_col >= last_col or first_row >= last_row:
+            self.width = 1
+            self.depth = 1
+            self.sectors = [[None]]
+            return (0, 0)
+        if (first_col, first_row) == (0, 0) and last_col == self.width \
+                and last_row == self.depth:
+            return (0, 0)
+        self.position = self.position.copy()
+        self.position[0] += F32(first_col) * SECTOR_SIZE
+        self.position[2] += F32(first_row) * SECTOR_SIZE
+        kept = []
+        for obj in self.objects:
+            if (first_col <= obj.sector_x < last_col
+                    and first_row <= obj.sector_z < last_row):
+                obj.sector_x -= first_col
+                obj.sector_z -= first_row
+                kept.append(obj)
+        self.objects = kept
+        self.sectors = [[self.sectors[x][z]
+                         for z in range(first_row, last_row)]
+                        for x in range(first_col, last_col)]
+        self.width = last_col - first_col
+        self.depth = last_row - first_row
+        return (first_col, first_row)
+
+    def compact(self) -> Tuple[int, int]:
+        """geometry.rs:2690 — cleanup + trim + bounds after edits."""
+        self.cleanup_empty_sectors()
+        off = self.trim_empty_edges()
+        self.recalculate_bounds()
+        return off
 
     def recalculate_bounds(self):
         """geometry.rs:2594 — room-relative AABB over all face corners."""
@@ -897,6 +986,36 @@ class Level:
     def add_room(self, room: Room) -> int:
         self.rooms.append(room)
         return len(self.rooms) - 1
+
+    # ------------------------------------------------------------------
+    # Placed-object CRUD (geometry.rs:3489-3556)
+    # ------------------------------------------------------------------
+
+    def add_object(self, room_idx: int, obj: "AssetInstance"
+                   ) -> Optional[int]:
+        """geometry.rs:3489 — append; returns the new object index."""
+        if not 0 <= room_idx < len(self.rooms):
+            return None
+        self.rooms[room_idx].objects.append(obj)
+        return len(self.rooms[room_idx].objects) - 1
+
+    def get_object(self, room_idx: int, index: int
+                   ) -> Optional["AssetInstance"]:
+        """geometry.rs:3512."""
+        if 0 <= room_idx < len(self.rooms):
+            objs = self.rooms[room_idx].objects
+            if 0 <= index < len(objs):
+                return objs[index]
+        return None
+
+    def remove_object(self, room_idx: int, index: int
+                      ) -> Optional["AssetInstance"]:
+        """geometry.rs:3532 — remove and return, or None."""
+        if 0 <= room_idx < len(self.rooms):
+            objs = self.rooms[room_idx].objects
+            if 0 <= index < len(objs):
+                return objs.pop(index)
+        return None
 
     def find_room_at(self, point, hint: Optional[int] = None) -> Optional[int]:
         """geometry.rs:3566-3588."""

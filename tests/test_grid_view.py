@@ -1,6 +1,7 @@
 """2D grid views + tracker piano key mapping."""
 
-from bonnie32_tpu.editor.grid_view import (GridView, key_to_note,
+from bonnie32_tpu.audio.tracker_ui import key_to_note
+from bonnie32_tpu.editor.grid_view import (GridView,
                                            plane_to_world_offset,
                                            world_to_plane)
 from bonnie32_tpu.editor.state import GridViewMode
