@@ -30,7 +30,25 @@ G_STARTLOOP_COARSE = 45
 G_ENDLOOP_COARSE = 50
 G_INITIAL_FILTER_FC = 8
 G_INITIAL_FILTER_Q = 9
+G_MOD_LFO_TO_PITCH = 5
+G_VIB_LFO_TO_PITCH = 6
+G_MOD_ENV_TO_PITCH = 7
+G_MOD_LFO_TO_FILTER_FC = 10
+G_MOD_ENV_TO_FILTER_FC = 11
+G_MOD_LFO_TO_VOLUME = 13
 G_PAN = 17
+G_DELAY_MOD_LFO = 21
+G_FREQ_MOD_LFO = 22
+G_DELAY_VIB_LFO = 23
+G_FREQ_VIB_LFO = 24
+G_DELAY_MOD_ENV = 25
+G_ATTACK_MOD_ENV = 26
+G_HOLD_MOD_ENV = 27
+G_DECAY_MOD_ENV = 28
+G_SUSTAIN_MOD_ENV = 29
+G_RELEASE_MOD_ENV = 30
+G_KEYNUM_TO_MOD_HOLD = 31
+G_KEYNUM_TO_MOD_DECAY = 32
 G_DELAY_VOL_ENV = 33
 G_ATTACK_VOL_ENV = 34
 G_HOLD_VOL_ENV = 35
@@ -55,6 +73,24 @@ G_OVERRIDE_ROOT_KEY = 58
 _DEFAULTS = {
     G_INITIAL_FILTER_FC: 13500,
     G_INITIAL_FILTER_Q: 0,
+    G_MOD_LFO_TO_PITCH: 0,
+    G_VIB_LFO_TO_PITCH: 0,
+    G_MOD_ENV_TO_PITCH: 0,
+    G_MOD_LFO_TO_FILTER_FC: 0,
+    G_MOD_ENV_TO_FILTER_FC: 0,
+    G_MOD_LFO_TO_VOLUME: 0,
+    G_DELAY_MOD_LFO: -12000,
+    G_FREQ_MOD_LFO: 0,
+    G_DELAY_VIB_LFO: -12000,
+    G_FREQ_VIB_LFO: 0,
+    G_DELAY_MOD_ENV: -12000,
+    G_ATTACK_MOD_ENV: -12000,
+    G_HOLD_MOD_ENV: -12000,
+    G_DECAY_MOD_ENV: -12000,
+    G_SUSTAIN_MOD_ENV: 0,
+    G_RELEASE_MOD_ENV: -12000,
+    G_KEYNUM_TO_MOD_HOLD: 0,
+    G_KEYNUM_TO_MOD_DECAY: 0,
     G_PAN: 0,
     G_DELAY_VOL_ENV: -12000,
     G_ATTACK_VOL_ENV: -12000,
@@ -86,6 +122,12 @@ _PRESET_ADDITIVE = {
     G_SUSTAIN_VOL_ENV, G_RELEASE_VOL_ENV, G_KEYNUM_TO_HOLD,
     G_KEYNUM_TO_DECAY, G_INITIAL_ATTENUATION, G_COARSE_TUNE, G_FINE_TUNE,
     G_SCALE_TUNING,
+    G_MOD_LFO_TO_PITCH, G_VIB_LFO_TO_PITCH, G_MOD_ENV_TO_PITCH,
+    G_MOD_LFO_TO_FILTER_FC, G_MOD_ENV_TO_FILTER_FC, G_MOD_LFO_TO_VOLUME,
+    G_DELAY_MOD_LFO, G_FREQ_MOD_LFO, G_DELAY_VIB_LFO, G_FREQ_VIB_LFO,
+    G_DELAY_MOD_ENV, G_ATTACK_MOD_ENV, G_HOLD_MOD_ENV, G_DECAY_MOD_ENV,
+    G_SUSTAIN_MOD_ENV, G_RELEASE_MOD_ENV, G_KEYNUM_TO_MOD_HOLD,
+    G_KEYNUM_TO_MOD_DECAY,
 }
 
 
@@ -130,6 +172,28 @@ class Region(NamedTuple):
     end: int
     start_loop: int
     end_loop: int
+    # modulator generators (rustysynth voice model; audio.rs:516-700).
+    # Defaults are the SF2 spec 8.1.3 defaults = modulation disabled.
+    keynum_to_vol_hold: int = 0      # timecents/keynum
+    keynum_to_vol_decay: int = 0
+    mod_lfo_to_pitch: int = 0        # cents
+    vib_lfo_to_pitch: int = 0        # cents
+    mod_env_to_pitch: int = 0        # cents
+    mod_lfo_to_filter_fc: int = 0    # cents
+    mod_env_to_filter_fc: int = 0    # cents
+    mod_lfo_to_volume: int = 0       # centibels
+    delay_mod_lfo: int = -12000      # timecents
+    freq_mod_lfo: int = 0            # abs cents (8.176 Hz at 0)
+    delay_vib_lfo: int = -12000
+    freq_vib_lfo: int = 0
+    delay_mod_env: int = -12000
+    attack_mod_env: int = -12000
+    hold_mod_env: int = -12000
+    decay_mod_env: int = -12000
+    sustain_mod_env: int = 0         # -0.1% units
+    release_mod_env: int = -12000
+    keynum_to_mod_hold: int = 0
+    keynum_to_mod_decay: int = 0
 
 
 class Preset(NamedTuple):
@@ -358,6 +422,26 @@ def load(path_or_bytes) -> SoundFont:
                     initial_filter_q=val(G_INITIAL_FILTER_Q),
                     exclusive_class=imap.get(G_EXCLUSIVE_CLASS, 0),
                     start=start, end=end, start_loop=sloop, end_loop=eloop,
+                    keynum_to_vol_hold=val(G_KEYNUM_TO_HOLD),
+                    keynum_to_vol_decay=val(G_KEYNUM_TO_DECAY),
+                    mod_lfo_to_pitch=val(G_MOD_LFO_TO_PITCH),
+                    vib_lfo_to_pitch=val(G_VIB_LFO_TO_PITCH),
+                    mod_env_to_pitch=val(G_MOD_ENV_TO_PITCH),
+                    mod_lfo_to_filter_fc=val(G_MOD_LFO_TO_FILTER_FC),
+                    mod_env_to_filter_fc=val(G_MOD_ENV_TO_FILTER_FC),
+                    mod_lfo_to_volume=val(G_MOD_LFO_TO_VOLUME),
+                    delay_mod_lfo=val(G_DELAY_MOD_LFO),
+                    freq_mod_lfo=val(G_FREQ_MOD_LFO),
+                    delay_vib_lfo=val(G_DELAY_VIB_LFO),
+                    freq_vib_lfo=val(G_FREQ_VIB_LFO),
+                    delay_mod_env=val(G_DELAY_MOD_ENV),
+                    attack_mod_env=val(G_ATTACK_MOD_ENV),
+                    hold_mod_env=val(G_HOLD_MOD_ENV),
+                    decay_mod_env=val(G_DECAY_MOD_ENV),
+                    sustain_mod_env=val(G_SUSTAIN_MOD_ENV),
+                    release_mod_env=val(G_RELEASE_MOD_ENV),
+                    keynum_to_mod_hold=val(G_KEYNUM_TO_MOD_HOLD),
+                    keynum_to_mod_decay=val(G_KEYNUM_TO_MOD_DECAY),
                 ))
         presets.append(Preset(name, bank, patch, tuple(regions)))
 
