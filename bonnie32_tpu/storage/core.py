@@ -44,6 +44,11 @@ class StorageError(Exception):
         return cls("AuthRequired")
 
     @classmethod
+    def rate_limited(cls):
+        """mod.rs:77 — HTTP 429 from the cloud API."""
+        return cls("RateLimited", "rate limited, try again later")
+
+    @classmethod
     def quota_exceeded(cls, used, limit):
         return cls("QuotaExceeded", f"{used} / {limit} bytes",
                    used=used, limit=limit)
