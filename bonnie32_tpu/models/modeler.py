@@ -258,6 +258,32 @@ class ModelerState:
         self.undo_stack: List[EditableMesh] = []
         self.redo_stack: List[EditableMesh] = []
         self.dirty = False
+        # the configured tool box lives on the state like state.rs:959's
+        # `tools` field (constructed in tools/mod.rs:112)
+        from .modeler_tools import ModelerToolBox
+        self.toolbox = ModelerToolBox()
+
+    @property
+    def selection(self) -> List:
+        """The active select-mode's selection as a sorted list — the
+        state.rs selection accessor the screen layer reads."""
+        if self.select_mode == SelectMode.VERTEX:
+            return sorted(self.selected_vertices)
+        if self.select_mode == SelectMode.EDGE:
+            return sorted(self.selected_edges)
+        return sorted(self.selected_faces)
+
+    @selection.setter
+    def selection(self, items) -> None:
+        self.selected_vertices.clear()
+        self.selected_edges.clear()
+        self.selected_faces.clear()
+        if self.select_mode == SelectMode.VERTEX:
+            self.selected_vertices.update(items)
+        elif self.select_mode == SelectMode.EDGE:
+            self.selected_edges.update(items)
+        else:
+            self.selected_faces.update(items)
 
     # --- selection -----------------------------------------------------
 

@@ -1,0 +1,395 @@
+"""Modeler screen composition + UV editor pane.
+
+Reference behavior: `/root/reference/src/modeler/layout.rs` —
+draw_modeler (:97): toolbar / status bar / main+right splits, left panel
+(overview + parts/components), PicoCAD-style 4-pane viewport center,
+right panel with the paint/UV section; the UV modal transforms
+(:3732-3900 apply_uv_modal_transform: pixel-snapped Grab, Scale =
+1 + dx*0.01 about a snapped center, Rotate = dx*0.01 rad) and the direct
+UV vertex drag (:3851).  Screen routing + actions, not pixel chrome —
+the rects returned let the caller render the real 4-pane views
+(modeler_viewport.render_all_views) into the frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Dict, List, Optional, Tuple
+
+from ..ui import (Rect, SplitPanel, UiContext, button, draw_panel, toolbar,
+                  vlist)
+from .mesh import EditableMesh
+from .modeler import ModalTransform, ModelerState, SelectMode
+
+TOOLBAR_HEIGHT = 36.0   # layout.rs:118
+STATUS_HEIGHT = 22.0    # layout.rs:123
+PANEL_BG = (35, 35, 40)
+
+TOOL_IDS = ["select", "move", "rotate", "scale", "extrude"]
+TOOL_LABELS = ["Sel", "Mov", "Rot", "Scl", "Ext"]
+MODE_LABELS = {SelectMode.VERTEX: "Vtx", SelectMode.EDGE: "Edg",
+               SelectMode.FACE: "Fac"}
+
+
+def poly_count_color(face_count: int) -> Tuple[int, int, int]:
+    """layout.rs:42 — green under budget, yellow near, red over."""
+    if face_count <= 64:
+        return (100, 220, 100)
+    if face_count <= 128:
+        return (230, 210, 90)
+    return (230, 100, 90)
+
+
+# ---------------------------------------------------------------------------
+# UV editor (layout.rs:3517-4070 draw_paint_texture_editor UV mode)
+# ---------------------------------------------------------------------------
+
+class UvModalTransform(enum.Enum):
+    """texture editor UvModalTransform states."""
+
+    NONE = "none"
+    GRAB = "grab"
+    SCALE_PENDING = "scale_pending"
+    SCALE = "scale"
+    ROTATE = "rotate"
+
+
+@dataclasses.dataclass
+class UvEditorState:
+    """UV pane state: zoom/pan + selection + modal transform bookkeeping
+    (texture_editor.rs uv_* fields driven by layout.rs:3732)."""
+
+    zoom: float = 2.0
+    pan_x: float = 0.0
+    pan_y: float = 0.0
+    selected: List[int] = dataclasses.field(default_factory=list)
+    modal: UvModalTransform = UvModalTransform.NONE
+    modal_start_mouse: Tuple[float, float] = (0.0, 0.0)
+    modal_center: Tuple[float, float] = (0.0, 0.0)
+    modal_start_uvs: List[Tuple[int, Tuple[float, float]]] = \
+        dataclasses.field(default_factory=list)
+    drag_vertex: Optional[int] = None
+
+    # -- canvas mapping (texture centered + panned/zoomed) ----------------
+
+    def tex_origin(self, canvas: Rect, tw: float, th: float
+                   ) -> Tuple[float, float]:
+        cx = canvas.x + canvas.w / 2.0
+        cy = canvas.y + canvas.h / 2.0
+        return (cx - tw * self.zoom / 2.0 + self.pan_x,
+                cy - th * self.zoom / 2.0 + self.pan_y)
+
+    def uv_to_screen(self, uv, canvas: Rect, tw: float, th: float
+                     ) -> Tuple[float, float]:
+        ox, oy = self.tex_origin(canvas, tw, th)
+        return (ox + uv[0] * tw * self.zoom, oy + uv[1] * th * self.zoom)
+
+    def screen_to_uv(self, sx: float, sy: float, canvas: Rect, tw: float,
+                     th: float) -> Tuple[float, float]:
+        ox, oy = self.tex_origin(canvas, tw, th)
+        return ((sx - ox) / (tw * self.zoom), (sy - oy) / (th * self.zoom))
+
+    # -- selection --------------------------------------------------------
+
+    def selection_uvs(self, mesh: EditableMesh
+                      ) -> List[Tuple[int, Tuple[float, float]]]:
+        out = []
+        for vi in self.selected:
+            if 0 <= vi < len(mesh.vertices):
+                u, v = mesh.vertices[vi].uv
+                out.append((vi, (float(u), float(v))))
+        return out
+
+    def select_all_faces_uvs(self, mesh: EditableMesh) -> None:
+        """actions.rs select-all when the UV editor is focused."""
+        seen = []
+        for f in mesh.faces:
+            for vi in f.vertices:
+                if vi not in seen:
+                    seen.append(vi)
+        self.selected = seen
+
+    def pick_vertex(self, mouse, canvas: Rect, mesh: EditableMesh,
+                    tw: float, th: float, radius: float = 6.0
+                    ) -> Optional[int]:
+        best, best_d = None, radius
+        for vi, v in enumerate(mesh.vertices):
+            sx, sy = self.uv_to_screen(v.uv, canvas, tw, th)
+            d = math.hypot(mouse[0] - sx, mouse[1] - sy)
+            if d < best_d:
+                best, best_d = vi, d
+        return best
+
+    # -- modal transforms (layout.rs:3732 apply_uv_modal_transform) -------
+
+    def begin_modal(self, mode: UvModalTransform, mouse,
+                    mesh: EditableMesh) -> None:
+        uvs = self.selection_uvs(mesh)
+        if not uvs:
+            return
+        self.modal = mode
+        self.modal_start_mouse = (float(mouse[0]), float(mouse[1]))
+        self.modal_start_uvs = uvs
+        cu = sum(u for _, (u, _) in uvs) / len(uvs)
+        cv = sum(v for _, (_, v) in uvs) / len(uvs)
+        self.modal_center = (cu, cv)
+
+    def apply_modal(self, mouse, canvas: Rect, tw: float, th: float,
+                    mesh: EditableMesh) -> None:
+        if self.modal in (UvModalTransform.NONE,
+                          UvModalTransform.SCALE_PENDING):
+            return
+        dx = mouse[0] - self.modal_start_mouse[0]
+        dy = mouse[1] - self.modal_start_mouse[1]
+        du = dx / (tw * self.zoom)
+        dv = -dy / (th * self.zoom)    # layout.rs:3766 inverted Y
+
+        def snap(u, v):
+            return (round(u * tw) / tw, round(v * th) / th)
+
+        if self.modal == UvModalTransform.GRAB:
+            for vi, (u0, v0) in self.modal_start_uvs:
+                mesh.vertices[vi].uv = snap(u0 + du, v0 + dv)
+        elif self.modal == UvModalTransform.SCALE:
+            cx, cy = snap(*self.modal_center)
+            scale = max(1.0 + dx * 0.01, 0.01)
+            for vi, (u0, v0) in self.modal_start_uvs:
+                su, sv = snap(u0, v0)
+                mesh.vertices[vi].uv = snap(cx + (su - cx) * scale,
+                                            cy + (sv - cy) * scale)
+        elif self.modal == UvModalTransform.ROTATE:
+            cx, cy = self.modal_center
+            ang = dx * 0.01
+            ca, sa = math.cos(ang), math.sin(ang)
+            for vi, (u0, v0) in self.modal_start_uvs:
+                ox, oy = u0 - cx, v0 - cy
+                mesh.vertices[vi].uv = snap(cx + ox * ca - oy * sa,
+                                            cy + ox * sa + oy * ca)
+
+    def end_modal(self) -> None:
+        self.modal = UvModalTransform.NONE
+        self.modal_start_uvs = []
+
+    def cancel_modal(self, mesh: EditableMesh) -> None:
+        for vi, uv in self.modal_start_uvs:
+            mesh.vertices[vi].uv = uv
+        self.end_modal()
+
+    # -- direct vertex drag (layout.rs:3851 apply_uv_direct_drag) ---------
+
+    def press(self, mouse, canvas: Rect, mesh: EditableMesh, tw: float,
+              th: float, shift: bool = False) -> bool:
+        """Click: pick a UV vertex (shift extends); start a direct drag
+        when the pick lands on a selected vertex."""
+        vi = self.pick_vertex(mouse, canvas, mesh, tw, th)
+        if vi is None:
+            if not shift:
+                self.selected = []
+            return False
+        if shift:
+            if vi in self.selected:
+                self.selected.remove(vi)
+            else:
+                self.selected.append(vi)
+        elif vi not in self.selected:
+            self.selected = [vi]
+        self.drag_vertex = vi
+        self.modal_start_mouse = (float(mouse[0]), float(mouse[1]))
+        self.modal_start_uvs = self.selection_uvs(mesh)
+        return True
+
+    def drag(self, mouse, canvas: Rect, mesh: EditableMesh, tw: float,
+             th: float) -> None:
+        if self.drag_vertex is None:
+            return
+        du = (mouse[0] - self.modal_start_mouse[0]) / (tw * self.zoom)
+        dv = (mouse[1] - self.modal_start_mouse[1]) / (th * self.zoom)
+        for vi, (u0, v0) in self.modal_start_uvs:
+            mesh.vertices[vi].uv = (round((u0 + du) * tw) / tw,
+                                    round((v0 + dv) * th) / th)
+
+    def release(self) -> None:
+        self.drag_vertex = None
+        self.modal_start_uvs = []
+
+
+# ---------------------------------------------------------------------------
+# Screen composition (layout.rs:97 draw_modeler)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ModelerLayout:
+    """Persistent layout state (ModelerLayout::new, layout.rs:80)."""
+
+    main_split: SplitPanel = dataclasses.field(
+        default_factory=lambda: SplitPanel.horizontal("m.main")
+        .with_ratio(0.20).with_min_size(120))
+    right_split: SplitPanel = dataclasses.field(
+        default_factory=lambda: SplitPanel.horizontal("m.right")
+        .with_ratio(0.70).with_min_size(170))
+    uv: UvEditorState = dataclasses.field(default_factory=UvEditorState)
+    parts_scroll: float = 0.0
+    clut_scroll: float = 0.0
+
+
+def draw_modeler(ctx: UiContext, layout: ModelerLayout,
+                 state: ModelerState, bounds: Rect,
+                 tex_size: Tuple[int, int] = (64, 64),
+                 clut_pool=None) -> Dict[str, Rect]:
+    """One modeler frame's chrome; returns named rects (the caller renders
+    the 4-pane views into `viewport` via modeler_viewport and paints the
+    UV texture into `uv_canvas`).  Mutates state/layout from ctx input."""
+    screen = bounds
+    toolbar_rect = screen.slice_top(TOOLBAR_HEIGHT)
+    main_rect = screen.remaining_after_top(TOOLBAR_HEIGHT)
+    status_rect = main_rect.slice_bottom(STATUS_HEIGHT)
+    panels_rect = main_rect.remaining_after_bottom(STATUS_HEIGHT)
+
+    # --- toolbar (layout.rs:188 draw_toolbar) ---
+    ctx.fill(toolbar_rect, (28, 28, 33))
+    ctx.outline(toolbar_rect, (60, 60, 70))
+    active_tool = layout_tool_index(state)
+    strip = Rect(toolbar_rect.x + 4, toolbar_rect.y + 4,
+                 len(TOOL_IDS) * 30.0, toolbar_rect.h - 8)
+    new_tool = toolbar(ctx, "m.tools", strip, TOOL_LABELS, active_tool,
+                       button_w=30.0)
+    if new_tool != active_tool:
+        state.toolbox.deactivate_all()
+        if TOOL_IDS[new_tool] != "select":
+            state.toolbox.activate(TOOL_IDS[new_tool])
+    mx = strip.right + 10
+    modes = list(MODE_LABELS)
+    midx = modes.index(state.select_mode)
+    mstrip = Rect(mx, strip.y, 3 * 30.0, strip.h)
+    new_mode = toolbar(ctx, "m.mode", mstrip, list(MODE_LABELS.values()),
+                       midx, button_w=30.0)
+    if new_mode != midx:
+        state.select_mode = modes[new_mode]
+        state.selection = []
+    ux = mstrip.right + 10
+    if button(ctx, "m.undo", Rect(ux, strip.y, 40, strip.h), "Undo"):
+        state.undo()
+    if button(ctx, "m.redo", Rect(ux + 44, strip.y, 40, strip.h), "Redo"):
+        state.redo()
+
+    # --- splits (layout.rs:135-138) ---
+    left_rect, rest_rect = layout.main_split.update(ctx, panels_rect)
+    center_rect, right_rect = layout.right_split.update(ctx, rest_rect)
+
+    # --- left panel: overview + parts (layout.rs:464-705) ---
+    draw_panel(ctx, left_rect, None, PANEL_BG)
+    y = left_rect.y + 6
+    mesh = state.mesh
+    ctx.text(left_rect.x + 6, y, "Overview")
+    y += 14
+    tris = sum(max(len(f.vertices) - 2, 0) for f in mesh.faces)
+    ctx.text(left_rect.x + 6, y, f"V {len(mesh.vertices)}  F "
+             f"{len(mesh.faces)}  T {tris}",
+             poly_count_color(len(mesh.faces)))
+    y += 16
+    ctx.text(left_rect.x + 6, y, f"Mode: {state.select_mode.value}",
+             (150, 150, 160))
+    y += 16
+    parts_rect = Rect(left_rect.x + 4, y, left_rect.w - 8,
+                      max(left_rect.bottom - y - 6, 20))
+    labels = [f"Face {i} ({len(f.vertices)}v)"
+              for i, f in enumerate(mesh.faces)]
+    sel_face = (state.selection[0] if state.select_mode == SelectMode.FACE
+                and state.selection else None)
+    picked, layout.parts_scroll = vlist(
+        ctx, "m.parts", parts_rect, labels, sel_face,
+        scroll=layout.parts_scroll)
+    if picked is not None and picked != sel_face:
+        state.select_mode = SelectMode.FACE
+        state.selection = [picked]
+
+    # --- center: the 4-pane viewport region (draw_4panel_viewport) ---
+    draw_panel(ctx, center_rect, None, (12, 12, 16))
+
+    # --- right panel: UV editor + CLUT palette (layout.rs:2575, :3517) ---
+    draw_panel(ctx, right_rect, None, PANEL_BG)
+    ry = right_rect.y + 6
+    ctx.text(right_rect.x + 6, ry, "UV Editor")
+    ry += 14
+    canvas = Rect(right_rect.x + 4, ry, right_rect.w - 8,
+                  min(right_rect.w - 8, right_rect.h * 0.5))
+    ctx.fill(canvas, (18, 18, 22))
+    ctx.outline(canvas, (60, 60, 70))
+    tw, th = float(tex_size[0]), float(tex_size[1])
+    uv = layout.uv
+    # texture frame + UV overlay (wireframe of face UVs + vertex handles)
+    ox, oy = uv.tex_origin(canvas, tw, th)
+    ctx.set_clip(canvas)
+    ctx.outline(Rect(ox, oy, tw * uv.zoom, th * uv.zoom), (90, 90, 100))
+    for f in mesh.faces:
+        n = len(f.vertices)
+        for i in range(n):
+            a = mesh.vertices[f.vertices[i]].uv
+            b = mesh.vertices[f.vertices[(i + 1) % n]].uv
+            ax, ay = uv.uv_to_screen(a, canvas, tw, th)
+            bx, by = uv.uv_to_screen(b, canvas, tw, th)
+            ctx.line(ax, ay, bx, by, (120, 200, 220))
+    for vi, v in enumerate(mesh.vertices):
+        sx, sy = uv.uv_to_screen(v.uv, canvas, tw, th)
+        rgb = (255, 220, 100) if vi in uv.selected else (200, 200, 210)
+        ctx.fill(Rect(sx - 2, sy - 2, 4, 4), rgb)
+    ctx.set_clip(None)
+
+    # UV pane interaction: wheel zoom, direct drag, modal follow
+    mouse = (ctx.mouse.x, ctx.mouse.y)
+    inside = canvas.contains(*mouse)
+    if inside and ctx.mouse.wheel != 0.0:
+        uv.zoom = min(max(uv.zoom * (1.0 + ctx.mouse.wheel * 0.1), 0.25),
+                      32.0)
+    if uv.modal != UvModalTransform.NONE:
+        uv.apply_modal(mouse, canvas, tw, th, mesh)
+        if ctx.mouse.pressed:        # click commits the modal
+            uv.end_modal()
+    elif inside and ctx.mouse.pressed:
+        if uv.press(mouse, canvas, mesh, tw, th,
+                    shift=ctx.key_down("shift")):
+            state.save_undo()
+    elif ctx.mouse.down and uv.drag_vertex is not None:
+        uv.drag(mouse, canvas, mesh, tw, th)
+    elif ctx.mouse.released:
+        uv.release()
+
+    # CLUT palette swatches (draw_paint_section palette row)
+    py = canvas.bottom + 8
+    ctx.text(right_rect.x + 6, py, "Palette")
+    py += 12
+    if clut_pool is not None and clut_pool.cluts:
+        clut = clut_pool.cluts[0]
+        sw = 10.0
+        per_row = max(int((right_rect.w - 12) // sw), 1)
+        for i, c15 in enumerate(clut.colors):
+            px = right_rect.x + 6 + (i % per_row) * sw
+            yy = py + (i // per_row) * sw
+            r = ((c15 & 31) << 3) | ((c15 & 31) >> 2)
+            g = (((c15 >> 5) & 31) << 3) | (((c15 >> 5) & 31) >> 2)
+            b = (((c15 >> 10) & 31) << 3) | (((c15 >> 10) & 31) >> 2)
+            ctx.fill(Rect(px, yy, sw - 1, sw - 1), (r, g, b))
+
+    # --- status bar (draw_status_bar) ---
+    ctx.fill(status_rect, (24, 24, 28))
+    ctx.outline(status_rect, (60, 60, 70))
+    sel = state.selection
+    ctx.text(status_rect.x + 6, status_rect.y + 7,
+             f"{state.select_mode.value}: {len(sel)} selected  "
+             f"uv:{uv.modal.value}", (120, 120, 130))
+
+    return {"toolbar": toolbar_rect, "status": status_rect,
+            "left": left_rect, "viewport": center_rect,
+            "right": right_rect, "uv_canvas": canvas,
+            "parts": parts_rect}
+
+
+def layout_tool_index(state: ModelerState) -> int:
+    active = state.toolbox.active_transform_tool()
+    if active in TOOL_IDS:
+        return TOOL_IDS.index(active)
+    if state.toolbox.is_active("extrude"):
+        return TOOL_IDS.index("extrude")
+    return 0

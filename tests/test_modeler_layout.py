@@ -1,0 +1,173 @@
+"""Composed modeler screen + UV editor (modeler/layout.rs): panel
+arithmetic, toolbar routing, parts-list selection, and the UV pane's
+modal transforms / direct drags driven end-to-end through UiContext.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bonnie32_tpu.models.mesh import ClutPool, EditableMesh
+from bonnie32_tpu.models.modeler import ModelerState, SelectMode
+from bonnie32_tpu.models.modeler_layout import (
+    ModelerLayout, STATUS_HEIGHT, TOOLBAR_HEIGHT, UvEditorState,
+    UvModalTransform, draw_modeler, poly_count_color)
+from bonnie32_tpu.types import FrameBuffers
+from bonnie32_tpu.ui import Rect, UiContext
+
+
+BOUNDS = Rect(0, 0, 640, 480)
+
+
+def _draw(ctx, layout, state, x=0.0, y=0.0, down=False, **kw):
+    ctx.begin_frame(x, y, down, **kw)
+    return draw_modeler(ctx, layout, state, BOUNDS)
+
+
+def test_modeler_layout_rects():
+    state = ModelerState()
+    layout = ModelerLayout()
+    ctx = UiContext()
+    rects = _draw(ctx, layout, state)
+    assert rects["toolbar"].h == TOOLBAR_HEIGHT
+    assert rects["status"].h == STATUS_HEIGHT
+    assert rects["left"].right <= rects["viewport"].x + 6
+    assert rects["viewport"].right <= rects["right"].x + 6
+    assert rects["uv_canvas"].x >= rects["right"].x
+    assert rects["parts"].w > 0
+
+
+def test_toolbar_switches_tool_and_mode():
+    state = ModelerState()
+    layout = ModelerLayout()
+    ctx = UiContext()
+    # Move starts active (tools/mod.rs:125); click "Rot" (3rd button)
+    bx, by = 4 + 2 * 30 + 15, TOOLBAR_HEIGHT / 2
+    _draw(ctx, layout, state, bx, by, True)
+    _draw(ctx, layout, state, bx, by, False)
+    assert state.toolbox.active_transform_tool() == "rotate"
+    # click the select-mode strip's "Vtx" button
+    mx = 4 + 5 * 30 + 10 + 15
+    _draw(ctx, layout, state, mx, by, True)
+    _draw(ctx, layout, state, mx, by, False)
+    assert state.select_mode == SelectMode.VERTEX
+    assert state.selection == []
+
+
+def test_parts_list_selects_face():
+    state = ModelerState()
+    layout = ModelerLayout()
+    ctx = UiContext()
+    rects = _draw(ctx, layout, state)
+    pr = rects["parts"]
+    # second row of the parts vlist
+    cy = pr.y + 18 + 9
+    _draw(ctx, layout, state, pr.x + 10, cy, True)
+    _draw(ctx, layout, state, pr.x + 10, cy, False)
+    assert state.select_mode == SelectMode.FACE
+    assert state.selection == [1]
+
+
+def test_uv_direct_drag_and_undo():
+    state = ModelerState()
+    layout = ModelerLayout()
+    ctx = UiContext()
+    rects = _draw(ctx, layout, state)
+    canvas = rects["uv_canvas"]
+    uv = layout.uv
+    mesh = state.mesh
+    v0 = mesh.vertices[0].uv
+    sx, sy = uv.uv_to_screen(v0, canvas, 64.0, 64.0)
+    assert canvas.contains(sx, sy)
+    # press on the vertex: selects it, saves undo, starts the drag
+    _draw(ctx, layout, state, sx, sy, True)
+    assert uv.selected == [0]
+    assert uv.drag_vertex == 0
+    n_undo = len(state.undo_stack)
+    assert n_undo >= 1
+    # drag right by 8 px = 4 texels (zoom=2 px/texel, 64px texture)
+    _draw(ctx, layout, state, sx + 8, sy, True)
+    moved = mesh.vertices[0].uv
+    assert abs(moved[0] - (v0[0] + 4.0 / 64.0)) < 1e-9   # pixel-snapped
+    assert moved[1] == v0[1]
+    # release ends the drag
+    _draw(ctx, layout, state, sx + 8, sy, False)
+    assert uv.drag_vertex is None
+    # undo restores the original UV
+    assert state.undo()
+    assert state.mesh.vertices[0].uv == v0
+
+
+def test_uv_modal_grab_scale_rotate():
+    state = ModelerState()
+    layout = ModelerLayout()
+    ctx = UiContext()
+    rects = _draw(ctx, layout, state)
+    canvas = rects["uv_canvas"]
+    uv = layout.uv
+    mesh = state.mesh
+    uv.select_all_faces_uvs(mesh)
+    before = [tuple(v.uv) for v in mesh.vertices]
+
+    # G: move mouse +8px => +4 texels in u (zoom=2 px/texel)
+    uv.begin_modal(UvModalTransform.GRAB, (200.0, 200.0), mesh)
+    _draw(ctx, layout, state, 208.0, 200.0, False)
+    assert uv.modal == UvModalTransform.GRAB
+    for (u0, v0), v in zip(before, mesh.vertices):
+        assert abs(v.uv[0] - round((u0 + 4 / 64) * 64) / 64) < 1e-9
+    # click commits the modal
+    _draw(ctx, layout, state, 208.0, 200.0, True)
+    assert uv.modal == UvModalTransform.NONE
+    grabbed = [tuple(v.uv) for v in mesh.vertices]
+
+    # S: +100px => scale 2.0 about the snapped selection center
+    _draw(ctx, layout, state, 208.0, 200.0, False)  # release click
+    uv.begin_modal(UvModalTransform.SCALE, (200.0, 200.0), mesh)
+    _draw(ctx, layout, state, 300.0, 200.0, False)
+    cu = sum(u for u, _ in grabbed) / len(grabbed)
+    cv = sum(v for _, v in grabbed) / len(grabbed)
+    cx, cy = round(cu * 64) / 64, round(cv * 64) / 64
+    u0, v0 = grabbed[0]
+    su, sv = round(u0 * 64) / 64, round(v0 * 64) / 64
+    want_u = round((cx + (su - cx) * 2.0) * 64) / 64
+    assert abs(mesh.vertices[0].uv[0] - want_u) < 1e-9
+    # Escape-equivalent: cancel restores the pre-modal UVs
+    uv.cancel_modal(mesh)
+    assert [tuple(v.uv) for v in mesh.vertices] == grabbed
+
+    # R: dx=157 => ~1.57 rad; rotation keeps the selection's center
+    uv.begin_modal(UvModalTransform.ROTATE, (200.0, 200.0), mesh)
+    _draw(ctx, layout, state, 200.0 + 157.0799, 200.0, False)
+    uvs = [tuple(v.uv) for v in mesh.vertices]
+    assert uvs != grabbed
+    uv.end_modal()
+
+
+def test_modeler_screen_rasterizes():
+    state = ModelerState()
+    state.selection = [0]
+    layout = ModelerLayout()
+    ctx = UiContext()
+    pool = ClutPool.new()
+    ctx.begin_frame(0, 0, False)
+    draw_modeler(ctx, layout, state, Rect(0, 0, 320, 240),
+                 clut_pool=pool)
+    fb = FrameBuffers(color=jnp.zeros((240, 320), jnp.int32),
+                      depth=jnp.zeros((240, 320), jnp.float32))
+    out = ctx.paint(fb)
+    w = np.asarray(out.color)
+    assert (w != 0).mean() > 0.5
+
+
+def test_poly_count_color_thresholds():
+    assert poly_count_color(10) == (100, 220, 100)
+    assert poly_count_color(100) == (230, 210, 90)
+    assert poly_count_color(200) == (230, 100, 90)
+
+
+def test_uv_screen_mapping_roundtrip():
+    uv = UvEditorState(zoom=4.0, pan_x=3.0, pan_y=-2.0)
+    canvas = Rect(10, 20, 200, 160)
+    for p in [(0.0, 0.0), (0.5, 0.25), (1.0, 1.0)]:
+        s = uv.uv_to_screen(p, canvas, 64, 64)
+        back = uv.screen_to_uv(*s, canvas, 64, 64)
+        assert abs(back[0] - p[0]) < 1e-9 and abs(back[1] - p[1]) < 1e-9
