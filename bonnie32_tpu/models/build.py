@@ -237,6 +237,72 @@ def build_atlas(textures: Sequence[Tuple[np.ndarray, int]],
     )
 
 
+def encode_atlas_packed(atlas: TextureAtlas):
+    """Per-texture packed texel planes for the texture-major kernel fetch.
+
+    The batched kernel's texel gather loops over table rows (~0.5 us/row/
+    instance, PLAN_PERF.md round-2); packing shrinks the row count per
+    texture and lets the kernel skip whole textures absent from a screen
+    chunk.  Three encodings, chosen per texture by distinct-color count
+    (PS1 art is CLUT-authored, so most textures palette-compress):
+
+      * pal16 (<=16 colors):  4-bit palette indices, 8 per i32 word
+      * pal4  (<=256 colors): 8-bit palette indices, 4 per i32 word
+      * pack2 (otherwise):    16-bit Color15 texels, 2 per i32 word
+
+    Returns (texpack (Rp,128) i32, texpal (Pp,128) i32, enc) where enc is
+    a static tuple per texture: ("pack2", row0, nrows) or
+    (mode, row0, nrows, pal_row0, pal_rows).  Decoding a texel is exact
+    integer unpacking, so the kernel output is bit-identical to the
+    unpacked atlas fetch.
+    """
+    data = np.asarray(atlas.data)
+    offs = np.asarray(atlas.offset)
+    ws = np.asarray(atlas.width)
+    hs = np.asarray(atlas.height)
+    enc = []
+    pack_chunks, pal_chunks = [], []
+    wrow = prow = 0
+    for i in range(offs.shape[0]):
+        o, w, h = int(offs[i]), int(ws[i]), int(hs[i])
+        tex = data[o:o + w * h].astype(np.int64) & 0xFFFF
+        uniq = np.unique(tex)
+        if uniq.size <= 16:
+            per, bits, mode = 8, 4, "pal16"
+        elif uniq.size <= 256:
+            per, bits, mode = 4, 8, "pal4"
+        else:
+            per, bits, mode = 2, 16, "pack2"
+        vals = tex if mode == "pack2" else np.searchsorted(uniq, tex)
+        n = vals.size
+        nw = max(-(-n // per), 1)
+        padded = np.zeros(nw * per, np.int64)
+        padded[:n] = vals
+        words = (padded.reshape(nw, per)
+                 << (np.arange(per, dtype=np.int64)[None, :] * bits)).sum(
+                     axis=1) & 0xFFFFFFFF
+        words = np.where(words >= 2**31, words - 2**32, words)
+        nrows = -(-nw // 128)
+        rows = np.zeros((nrows, 128), np.int32)
+        rows.reshape(-1)[:nw] = words.astype(np.int32)
+        pack_chunks.append(rows)
+        if mode == "pack2":
+            enc.append((mode, wrow, nrows))
+        else:
+            pal_rows = 1 if uniq.size <= 128 else 2
+            pal = np.zeros((pal_rows, 128), np.int32)
+            pal.reshape(-1)[:uniq.size] = uniq.astype(np.int32)
+            pal_chunks.append(pal)
+            enc.append((mode, wrow, nrows, prow, pal_rows))
+            prow += pal_rows
+        wrow += nrows
+    texpack = (np.concatenate(pack_chunks, axis=0) if pack_chunks
+               else np.zeros((1, 128), np.int32))
+    texpal = (np.concatenate(pal_chunks, axis=0) if pal_chunks
+              else np.zeros((1, 128), np.int32))
+    return texpack, texpal, tuple(enc)
+
+
 def build_atlas8(textures, pad_data_to=None, pad_count_to=None
                  ) -> "TextureAtlas8":
     """Pack 8-bit textures for the non-RGB555 path.

@@ -72,6 +72,8 @@ class FlatScene(NamedTuple):
     tex_hi: jnp.ndarray     # (Ra, 128) bf16 — texel high byte << 8
     keyrows: jnp.ndarray    # (NT, WR, 128) i32 — per-texture key-bit words
     texmeta: jnp.ndarray    # (4, 128) i32 rows: width, height, offset, 0
+    tex_pack: jnp.ndarray   # (Rp, 128) i32 — per-texture packed planes
+    tex_pal: jnp.ndarray    # (Pp, 128) i32 — per-texture palettes
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,6 +87,9 @@ class FlatSceneStatic:
     atlas_rows: int         # Ra (16-aligned for bf16 sublane tiling)
     atlas_rows_data: int    # rows actually holding texels (loop bound)
     key_wrows: int          # WR: key words per texture / 128
+    # Per-texture packed-fetch encodings (build.encode_atlas_packed):
+    # ("pack2", row0, nrows) | ("pal4"|"pal16", row0, nrows, pal0, prows)
+    tex_enc: Tuple[tuple, ...]
     transparent_idx: Tuple[int, ...]   # static transparent-face list
     # True when every transparent face lives in the final room/draw, so
     # opaque-then-transparent matches the reference's per-room interleave.
@@ -270,6 +275,8 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
     texmeta[0, nt:] = 1
     texmeta[1, nt:] = 1
 
+    texpack, texpal, tex_enc = build.encode_atlas_packed(atlas)
+
     # ---- static facts ----
     t = len(all_f)
     t_pad = max(-(-t // 128) * 128, 128)
@@ -298,11 +305,13 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
                       lights=lights, atlas=atlas,
                       tex_lo=tex_lo, tex_hi=tex_hi,
                       keyrows=jnp.asarray(keyrows),
-                      texmeta=jnp.asarray(texmeta))
+                      texmeta=jnp.asarray(texmeta),
+                      tex_pack=jnp.asarray(texpack),
+                      tex_pal=jnp.asarray(texpal))
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
         atlas_rows=ra, atlas_rows_data=ra_data,
-        key_wrows=wr, transparent_idx=tr_idx,
+        key_wrows=wr, tex_enc=tex_enc, transparent_idx=tr_idx,
         transparent_last=tr_last)
     return scene, static
 
@@ -507,9 +516,10 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     fbd = rb.to_layout(fb.depth, width)
     color, depth = rb.rasterize_batch(
         fbc, fbd, prep, scene.keyrows, scene.texmeta, scene.tex_lo,
-        scene.tex_hi, settings, width, height, static.t_pad,
+        scene.tex_hi, scene.tex_pack, scene.tex_pal,
+        settings, width, height, static.t_pad,
         static.n_textures, static.atlas_rows, static.key_wrows,
-        atlas_rows_data=static.atlas_rows_data,
+        atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
         interpret=interpret, debug=debug)
     out = FrameBuffers(color=rb.from_layout(color, width, height),
                        depth=rb.from_layout(depth, width, height))

@@ -83,6 +83,19 @@ FLAG_DITHER = 1
 FLAG_BT = 2
 
 
+def _tile_sizes(debug: str):
+    """Phase-2 chunk rows / phase-1 window rows, overridable from the
+    static debug string ("ch48", "wb16") for on-hardware tile sweeps."""
+    ch, wb = CH, WB
+    for tok in debug.split():
+        if tok.startswith("ch") and tok[2:].isdigit():
+            ch = int(tok[2:])
+        elif tok.startswith("wb") and tok[2:].isdigit():
+            wb = int(tok[2:])
+    assert ch % 8 == 0 and wb % 8 == 0 and (wb & (wb - 1)) == 0, (ch, wb)
+    return ch, wb
+
+
 def _lane_take(operand, lane_idx):
     """take_along_axis(operand, idx, axis=1) with i32 indices (Mosaic's
     fast dynamic-gather unit; see ops/gather_pallas.py)."""
@@ -224,7 +237,8 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
 
 def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
-                 debug: str = "", atlas_rows_data: int = 0):
+                 debug: str = "", atlas_rows_data: int = 0,
+                 tex_enc: tuple = ()):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
@@ -234,8 +248,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     ng_total = -(-width // 128)
     gh = ng_total * height
     groups = t_pad // 128
-    n_chunks = gh // CH
-    chunks_per_g = height // CH
+    ch, wb = _tile_sizes(debug)
+    assert gh % ch == 0 and height % ch == 0, (gh, height, ch)
+    assert height % wb == 0, (height, wb)
+    n_chunks = gh // ch
+    chunks_per_g = height // ch
+    # "cdepth": the caller guarantees the incoming depth plane is cleared
+    # (0.0 inverse-z — new_framebuffer/"inv" and render_skybox both leave
+    # it so), so the kernel skips the fbd DMA and fills the clear value.
+    const_depth = "cdepth" in debug
     affine = settings.affine_textures
     shading = settings.shading
     if t_pad <= SEG:
@@ -243,18 +264,26 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     else:
         assert t_pad % SEG == 0, (t_pad, SEG)
         n_segs, seg_rows = t_pad // SEG, SEG
+    # Texture-major packed fetch (round 3, PLAN_PERF.md): per-texture
+    # pal16/pal4/pack2 planes, whole textures skipped per chunk when no
+    # pixel samples them.  Falls back to the round-2 paths under debug
+    # flags or when no encodings were compiled.
+    tex_major = (bool(tex_enc) and "matfetch" not in debug
+                 and "dirfetch" not in debug)
     # Small atlases skip the one-hot-matmul + lane-pick pipeline (both
     # proportional to the 128-lane atlas width) for a per-row gather loop
     # proportional to atlas_rows instead (see PLAN_PERF.md round-3).
-    direct_fetch = ((atlas_rows <= SMALL_RA and "matfetch" not in debug)
-                    or "dirfetch" in debug)
+    direct_fetch = (not tex_major
+                    and ((atlas_rows <= SMALL_RA and "matfetch" not in debug)
+                         or "dirfetch" in debug))
     # the gather loop only visits rows that hold real texels (the table
     # is 16-row aligned for bf16 tiling; pad rows can never match trow)
     ra_loop = atlas_rows_data if atlas_rows_data else atlas_rows
 
     def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
                texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
-               fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr):
+               texpack_ref, texpal_ref,
+               fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr, tex_scr):
         count = ctrl_ref[0, 0, K_COUNT]
         if n_segs == 1:
             seg_id = jnp.int32(0)
@@ -264,11 +293,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
         @pl.when(seg_id == 0)
         def _():
-            depth_ref[0] = fbd_ref[0]
+            if const_depth:
+                depth_ref[0] = jnp.zeros((gh, 128), _F32)
+            else:
+                depth_ref[0] = fbd_ref[0]
             idx_scr[:] = jnp.full((gh, 128), -1, _I32)
 
-        sub8 = jax.lax.broadcasted_iota(_I32, (WB, 128), 0)
-        lane8 = jax.lax.broadcasted_iota(_I32, (WB, 128), 1)
+        sub8 = jax.lax.broadcasted_iota(_I32, (wb, 128), 0)
+        lane8 = jax.lax.broadcasted_iota(_I32, (wb, 128), 1)
+        wsh = wb.bit_length() - 1     # wb is a power of two
 
         # ---- PHASE 1: visibility over compacted faces ----
         def face_body(f, carry):
@@ -276,8 +309,13 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             x_hi = ctrl_ref[0, f, K_XHI]
             y_lo = ctrl_ref[0, f, K_YLO]
             y_hi = ctrl_ref[0, f, K_YHI]
-            yb0 = ctrl_ref[0, f, K_YB0]
-            nblk = ctrl_ref[0, f, K_NBLK]
+            # window base/count derived in-kernel so the wb tile size is
+            # free to change without touching the prepass ctrl table
+            wsh_c = jnp.int32(wsh)
+            yb0 = jax.lax.shift_left(
+                jax.lax.shift_right_arithmetic(y_lo, wsh_c), wsh_c)
+            nblk = jax.lax.shift_right_arithmetic(
+                y_hi - yb0 + jnp.int32(wb - 1), wsh_c)
             g0 = ctrl_ref[0, f, K_G0]
             ngr = ctrl_ref[0, f, K_NG]
             tid = ctrl_ref[0, f, K_TID]
@@ -295,8 +333,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             izc = fscal_ref[0, f, C_IZC]
 
             def block(g, k):
-                yb = yb0 + k * WB
-                row0 = pl.multiple_of(g * height + yb, WB)
+                yb = yb0 + k * wb
+                row0 = pl.multiple_of(g * height + yb, wb)
                 xi = lane8 + (g << 7)
                 yi = sub8 + yb
                 px = xi.astype(_F32)
@@ -318,11 +356,11 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             fg = seg_base + f   # global face id (idx_scr indexes attrsT)
 
             def merge(row0, cov, izi):
-                win = depth_ref[0, pl.ds(row0, WB), :]
+                win = depth_ref[0, pl.ds(row0, wb), :]
                 better = cov & (izi > win)
-                depth_ref[0, pl.ds(row0, WB), :] = jnp.where(better, izi, win)
-                iw = idx_scr[pl.ds(row0, WB), :]
-                idx_scr[pl.ds(row0, WB), :] = jnp.where(better, fg, iw)
+                depth_ref[0, pl.ds(row0, wb), :] = jnp.where(better, izi, win)
+                iw = idx_scr[pl.ds(row0, wb), :]
+                idx_scr[pl.ds(row0, wb), :] = jnp.where(better, fg, iw)
 
             def blk_clean(q, carry):
                 g = g0 + jax.lax.div(q, nblk)
@@ -364,11 +402,11 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     th - 1)
                 rel = ty * tw + tx
                 widx = rel >> 5
-                word = jnp.zeros((WB, 128), _I32)
+                word = jnp.zeros((wb, 128), _I32)
                 for rr in range(key_wrows):
                     krow = keyrows_ref[tid, rr, :]
                     sel = _lane_take(
-                        jnp.broadcast_to(krow[None, :], (WB, 128)),
+                        jnp.broadcast_to(krow[None, :], (wb, 128)),
                         widx & 127)
                     word = jnp.where((widx >> 7) == rr, sel, word)
                 keyed = ((word >> (rel & 31)) & 1) != 0
@@ -410,22 +448,24 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                        C_VCP0, C_VCP1, C_VCP2]
                     + sh_cols + [C_TID, C_FLAGS])
 
-            if direct_fetch:
+            if tex_major:
+                texw = lane_iota3 = ra_iota = None
+            elif direct_fetch:
                 # full Color15 words, exact: bf16 planes -> f32 add -> i32
                 texw = (texlo_ref[:].astype(_F32)
                         + texhi_ref[:].astype(_F32)).astype(_I32)
                 lane_iota3 = ra_iota = None
             else:
                 lane_iota3 = jax.lax.broadcasted_iota(
-                    _I32, (CH, 128, 128), 2)
+                    _I32, (ch, 128, 128), 2)
                 ra_iota = jax.lax.broadcasted_iota(
-                    _I32, (CH, 128, atlas_rows), 2)
+                    _I32, (ch, 128, atlas_rows), 2)
 
             for c in range(n_chunks):
                 g = c // chunks_per_g
-                ybase = (c % chunks_per_g) * CH
-                r0 = c * CH
-                idx = idx_scr[r0:r0 + CH, :]
+                ybase = (c % chunks_per_g) * ch
+                r0 = c * ch
+                idx = idx_scr[r0:r0 + ch, :]
                 has = idx >= 0
                 idxs = jnp.maximum(idx, 0)
                 lanei = idxs & 127
@@ -438,7 +478,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
                 @pl.when(jnp.logical_not(any_winner))
                 def _(r0=r0):
-                    color_ref[0, pl.ds(r0, CH), :] = fbc_ref[0, pl.ds(r0, CH), :]
+                    color_ref[0, pl.ds(r0, ch), :] = fbc_ref[0, pl.ds(r0, ch), :]
 
                 @pl.when(any_winner)
                 def _(idx=idx, has=has, idxs=idxs, lanei=lanei, grp=grp,
@@ -449,17 +489,17 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         for ci, cc in enumerate(cols):
                             row = attrsT_ref[0, cc, gg, :]
                             sel = _lane_take(
-                                jnp.broadcast_to(row[None, :], (CH, 128)), lanei)
+                                jnp.broadcast_to(row[None, :], (ch, 128)), lanei)
                             out.append(jnp.where(grp == gg, sel, carry[ci]))
                         return tuple(out)
 
                     vals = jax.lax.fori_loop(
                         0, ngroups, gather_body,
-                        tuple(jnp.zeros((CH, 128), _F32) for _ in cols))
+                        tuple(jnp.zeros((ch, 128), _F32) for _ in cols))
                     a = dict(zip(cols, vals))
 
-                    xi = jax.lax.broadcasted_iota(_I32, (CH, 128), 1) + (g << 7)
-                    yi = jax.lax.broadcasted_iota(_I32, (CH, 128), 0) + ybase
+                    xi = jax.lax.broadcasted_iota(_I32, (ch, 128), 1) + (g << 7)
+                    yi = jax.lax.broadcasted_iota(_I32, (ch, 128), 0) + ybase
                     px = xi.astype(_F32)
                     py = yi.astype(_F32)
                     dx = px - a[C_V3X]
@@ -474,7 +514,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         u = _interp3(bcx, bcy, bcz, a[C_U0], a[C_U1], a[C_U2])
                         v = _interp3(bcx, bcy, bcz, a[C_VV0], a[C_VV1], a[C_VV2])
                     else:
-                        izi = depth_ref[0, pl.ds(r0, CH), :]
+                        izi = depth_ref[0, pl.ds(r0, ch), :]
                         u_oz = ((bcx * a[C_U0]) * a[C_IZA]
                                 + (bcy * a[C_U1]) * a[C_IZB]) \
                             + (bcz * a[C_U2]) * a[C_IZC]
@@ -489,22 +529,23 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     textured = tid >= 0
                     tids = jnp.maximum(tid, 0)
                     tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
-                                                     (CH, 128)), tids)
+                                                     (ch, 128)), tids)
                     th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
-                                                     (CH, 128)), tids)
+                                                     (ch, 128)), tids)
                     toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
-                                                       (CH, 128)), tids)
+                                                       (ch, 128)), tids)
                     vf = _F32(1.0) - v
                     tx = jnp.minimum(
                         jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
                     ty = jnp.minimum(
                         jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
-                    flat = toff + ty * tw + tx
+                    rel = ty * tw + tx
+                    flat = toff + rel
                     trow = flat >> 7
                     tlane = flat & 127
                     if "notex" in debug:      # perf diagnosis: no texel fetch
-                        lo = hiw = jnp.zeros((CH, 128, 1), _F32)
-                    elif direct_fetch:
+                        lo = hiw = jnp.zeros((ch, 128, 1), _F32)
+                    elif tex_major or direct_fetch:
                         lo = hiw = None
                     else:
                         oh = (trow[..., None] == ra_iota).astype(_BF16)
@@ -517,14 +558,79 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                             dimension_numbers=(((2,), (0,)), ((), ())),
                             preferred_element_type=_F32)
                     if "notex" in debug:
-                        texel = jnp.full((CH, 128), col.WHITE, _I32)
+                        texel = jnp.full((ch, 128), col.WHITE, _I32)
+                    elif tex_major:
+                        # Texture-major packed fetch.  Default: value-
+                        # carried accumulator over every texture's packed
+                        # rows (pal16 8 texels/word, pal4 4, pack2 2) —
+                        # far fewer rows than the flat-atlas loop.  "gate"
+                        # debug opts into per-chunk texture skipping via a
+                        # pl.when presence reduction (measured v5e N=128:
+                        # gating wins nothing — cube 38.7 vs 31.2 us/inst,
+                        # CaveIn 30.8 vs 27.5, Cathedral 148 vs 145, Cave
+                        # tie 43.5/44.4 — the scalar reductions cost more
+                        # than the skipped rows).  Unpacking is exact
+                        # integer bit surgery, so the result is
+                        # bit-identical to atlas.data[flat].
+                        tid_v = a[C_TID].astype(_I32)
+                        gate = "gate" in debug
+
+                        def fetch_tex(e):
+                            mode, row0, nrows = e[0], e[1], e[2]
+                            lg = {"pal16": 3, "pal4": 2, "pack2": 1}[mode]
+                            widx = rel >> lg
+                            wrow = widx >> 7
+                            wlane = widx & 127
+                            word = jnp.zeros((ch, 128), _I32)
+                            for rr in range(nrows):
+                                rowv = jnp.broadcast_to(
+                                    texpack_ref[row0 + rr, :][None, :],
+                                    (ch, 128))
+                                vals = _lane_take(rowv, wlane)
+                                word = jnp.where(wrow == rr, vals, word)
+                            sub = rel & ((1 << lg) - 1)
+                            shift = sub << (5 - lg)
+                            mask = _I32((1 << (32 >> lg)) - 1)
+                            piece = jax.lax.shift_right_logical(
+                                word, shift) & mask
+                            if mode == "pack2":
+                                return piece
+                            p0, prows = e[3], e[4]
+                            plane = piece & 127
+                            prow_v = piece >> 7
+                            val = jnp.zeros((ch, 128), _I32)
+                            for pp in range(prows):
+                                rowv = jnp.broadcast_to(
+                                    texpal_ref[p0 + pp, :][None, :],
+                                    (ch, 128))
+                                pv = _lane_take(rowv, plane)
+                                val = jnp.where(prow_v == pp, pv, val)
+                            return val
+
+                        if gate:
+                            tex_scr[:] = jnp.zeros((ch, 128), _I32)
+                            for t, e in enumerate(tex_enc):
+                                want = has & (tid_v == t)
+                                present = jnp.max(
+                                    jnp.where(want, _I32(1), _I32(0))) > 0
+
+                                @pl.when(present)
+                                def _(e=e, want=want):
+                                    tex_scr[:] = jnp.where(
+                                        want, fetch_tex(e), tex_scr[:])
+                            texel = tex_scr[:]
+                        else:
+                            texel = jnp.zeros((ch, 128), _I32)
+                            for t, e in enumerate(tex_enc):
+                                texel = jnp.where(tid_v == t, fetch_tex(e),
+                                                  texel)
                     elif direct_fetch:
                         # group-select gather: for each atlas row, lane-pick
                         # its texels and keep where the pixel's row matches
-                        texel = jnp.zeros((CH, 128), _I32)
+                        texel = jnp.zeros((ch, 128), _I32)
                         for rr in range(ra_loop):
                             rowv = jnp.broadcast_to(texw[rr, :][None, :],
-                                                    (CH, 128))
+                                                    (ch, 128))
                             vals = _lane_take(rowv, tlane)
                             texel = jnp.where(trow == rr, vals, texel)
                     elif "pick0" in debug:    # perf diagnosis: skip the lane pick
@@ -594,7 +700,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
 
                     if shading == ShadingMode.NONE:
-                        sh_r = sh_g = sh_b = jnp.ones((CH, 128), _F32)
+                        sh_r = sh_g = sh_b = jnp.ones((ch, 128), _F32)
                     elif shading == ShadingMode.FLAT:
                         sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
                     else:
@@ -624,10 +730,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     word = col.pack_rgba8(col.expand_5_to_8(r5v),
                                           col.expand_5_to_8(g5v),
                                           col.expand_5_to_8(b5v),
-                                          jnp.full((CH, 128), 255, _I32))
+                                          jnp.full((ch, 128), 255, _I32))
                     drawn = has & ~keyed_out
-                    bg = fbc_ref[0, pl.ds(r0, CH), :]
-                    color_ref[0, pl.ds(r0, CH), :] = jnp.where(drawn, word, bg)
+                    bg = fbc_ref[0, pl.ds(r0, ch), :]
+                    color_ref[0, pl.ds(r0, ch), :] = jnp.where(drawn, word, bg)
 
         if "nophase2" not in debug:
             pl.when(seg_id == n_segs - 1)(_run_phase2)
@@ -639,22 +745,25 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     jax.jit,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
                      "atlas_rows", "key_wrows", "interpret", "debug",
-                     "atlas_rows_data"))
+                     "atlas_rows_data", "tex_enc"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
-                    tex_lo, tex_hi, settings: RasterSettings,
+                    tex_lo, tex_hi, tex_pack, tex_pal,
+                    settings: RasterSettings,
                     width: int, height: int, t_pad: int, n_tex: int,
                     atlas_rows: int, key_wrows: int,
                     interpret: bool = False, debug: str = "",
-                    atlas_rows_data: int = 0):
+                    atlas_rows_data: int = 0, tex_enc: tuple = ()):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
     carry a leading instance axis.  Returns (color, depth) in layout form.
     """
     n_inst = fbc.shape[0]
+    ch, _ = _tile_sizes(debug)
+    const_depth = "cdepth" in debug
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,
-                                      atlas_rows_data)
+                                      atlas_rows_data, tex_enc)
     if t_pad <= SEG:
         n_segs, seg_rows = 1, t_pad
     else:
@@ -688,10 +797,14 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gh, 128), pin(I, Z, Z),
+            pl.BlockSpec((tex_pack.shape[0], 128), pin(Z, Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tex_pal.shape[0], 128), pin(Z, Z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gh, 128), pin(I, Z, Z),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128) if const_depth else (1, gh, 128),
+                         pin(I, Z, Z), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, gh, 128), pin(I, Z, Z)),
@@ -701,10 +814,12 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
             jax.ShapeDtypeStruct((n_inst, gh, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_inst, gh, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((gh, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((gh, 128), jnp.int32),
+                        pltpu.VMEM((ch, 128), jnp.int32)],
+        # (cdepth: fbd still passed, but only an 8-row block is DMA'd)
         interpret=interpret,
     )(prep.ctrl, prep.fscal, prep.attrsT, keyrows, texmeta,
-      texmeta, tex_lo, tex_hi, fbc, fbd)
+      texmeta, tex_lo, tex_hi, tex_pack, tex_pal, fbc, fbd)
     return out[0], out[1]
 
 
