@@ -53,16 +53,18 @@ _BF16 = jnp.bfloat16
 
 WB = 8            # framebuffer rows per phase-1 window
 CH = 24           # layout rows per phase-2 chunk
-SEG = 256         # phase-1 face-table segment (SMEM window cap: each
+SEG = 2560        # phase-1 face-table segment (SMEM window cap: each
 SMALL_RA = 256  # atlas rows at/below which the direct gather loop wins
 # (measured v5e: direct wins at every sample-level size - cube 16 rows
 # 60.6->23.7 us/inst, Cave 160 rows 182.6->94.7, Cathedral 192 rows
 # 323->254; all bit-exact. The one-hot-matmul path remains for atlases
 # past 256 rows and as the 'matfetch' debug reference.)
-                  # ctrl/fscal row costs a ~512-byte double-buffered SMEM
-                  # granule, so 2x256 rows fits the 1 MiB budget; levels
-                  # with more compacted faces stream segments via a
-                  # second grid dimension)
+# SEG: the ctrl/fscal tables are stored COLUMN-MAJOR ((cols, t_pad)) so
+# their SMEM windows cost cols x seg x 4 B, not the 512 B/row granule of
+# (rows, cols<=16) windows — (16+16) x 2560 x 4 x 2(double-buffer)
+# = 655 KB fits the 1 MiB budget, so every sample level (Cathedral
+# included, t_pad 2304) runs single-segment; larger levels stream
+# SEG-face segments via a second grid dimension.
 
 # attrs column layout (f32). Columns 0-15 also live in SMEM for the
 # phase-1 face loop; the full table transposes into attrsT for resolve.
@@ -141,8 +143,8 @@ class BatchPrep(NamedTuple):
     """Per-instance XLA prepass products."""
 
     count: jnp.ndarray    # (1,) i32 — number of compacted opaque faces
-    ctrl: jnp.ndarray     # (Tp, N_CTRL) i32
-    fscal: jnp.ndarray    # (Tp, 16) f32 — phase-1 scalar columns
+    ctrl: jnp.ndarray     # (N_CTRL, Tp) i32 — column-major for cheap SMEM
+    fscal: jnp.ndarray    # (16, Tp) f32 — phase-1 scalar columns
     attrsT: jnp.ndarray   # (N_COLS, G, 128) f32 — resolve table
 
 
@@ -231,7 +233,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
 
     g = t_pad // 128
     attrs_t = attrs_c.T.reshape(N_COLS, g, 128)
-    return BatchPrep(count=count, ctrl=ctrl_c, fscal=attrs_c[:, :16],
+    return BatchPrep(count=count, ctrl=ctrl_c.T, fscal=attrs_c[:, :16].T,
                      attrsT=attrs_t)
 
 
@@ -284,7 +286,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
                texpack_ref, texpal_ref,
                fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr, tex_scr):
-        count = ctrl_ref[0, 0, K_COUNT]
+        count = ctrl_ref[0, K_COUNT, 0]
         if n_segs == 1:
             seg_id = jnp.int32(0)
         else:
@@ -305,10 +307,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
         # ---- PHASE 1: visibility over compacted faces ----
         def face_body(f, carry):
-            x_lo = ctrl_ref[0, f, K_XLO]
-            x_hi = ctrl_ref[0, f, K_XHI]
-            y_lo = ctrl_ref[0, f, K_YLO]
-            y_hi = ctrl_ref[0, f, K_YHI]
+            x_lo = ctrl_ref[0, K_XLO, f]
+            x_hi = ctrl_ref[0, K_XHI, f]
+            y_lo = ctrl_ref[0, K_YLO, f]
+            y_hi = ctrl_ref[0, K_YHI, f]
             # window base/count derived in-kernel so the wb tile size is
             # free to change without touching the prepass ctrl table
             wsh_c = jnp.int32(wsh)
@@ -316,21 +318,21 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 jax.lax.shift_right_arithmetic(y_lo, wsh_c), wsh_c)
             nblk = jax.lax.shift_right_arithmetic(
                 y_hi - yb0 + jnp.int32(wb - 1), wsh_c)
-            g0 = ctrl_ref[0, f, K_G0]
-            ngr = ctrl_ref[0, f, K_NG]
-            tid = ctrl_ref[0, f, K_TID]
-            keyable = ctrl_ref[0, f, K_KEY]
+            g0 = ctrl_ref[0, K_G0, f]
+            ngr = ctrl_ref[0, K_NG, f]
+            tid = ctrl_ref[0, K_TID, f]
+            keyable = ctrl_ref[0, K_KEY, f]
 
-            v3x = fscal_ref[0, f, C_V3X]
-            v3y = fscal_ref[0, f, C_V3Y]
-            a0 = fscal_ref[0, f, C_A0]
-            b0 = fscal_ref[0, f, C_B0]
-            a1 = fscal_ref[0, f, C_A1]
-            b1 = fscal_ref[0, f, C_B1]
-            ia = fscal_ref[0, f, C_IA]
-            iza = fscal_ref[0, f, C_IZA]
-            izb = fscal_ref[0, f, C_IZB]
-            izc = fscal_ref[0, f, C_IZC]
+            v3x = fscal_ref[0, C_V3X, f]
+            v3y = fscal_ref[0, C_V3Y, f]
+            a0 = fscal_ref[0, C_A0, f]
+            b0 = fscal_ref[0, C_B0, f]
+            a1 = fscal_ref[0, C_A1, f]
+            b1 = fscal_ref[0, C_B1, f]
+            ia = fscal_ref[0, C_IA, f]
+            iza = fscal_ref[0, C_IZA, f]
+            izb = fscal_ref[0, C_IZB, f]
+            izc = fscal_ref[0, C_IZC, f]
 
             def block(g, k):
                 yb = yb0 + k * wb
@@ -374,12 +376,12 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 k = jax.lax.rem(q, nblk)
                 row0, cov, izi, bcx, bcy, bcz = block(g, k)
                 # UV at pixel (render.rs:1563-1579) + keying bit
-                u0 = fscal_ref[0, f, C_U0]
-                vv0 = fscal_ref[0, f, C_VV0]
-                u1 = fscal_ref[0, f, C_U1]
-                vv1 = fscal_ref[0, f, C_VV1]
-                u2 = fscal_ref[0, f, C_U2]
-                vv2 = fscal_ref[0, f, C_VV2]
+                u0 = fscal_ref[0, C_U0, f]
+                vv0 = fscal_ref[0, C_VV0, f]
+                u1 = fscal_ref[0, C_U1, f]
+                vv1 = fscal_ref[0, C_VV1, f]
+                u2 = fscal_ref[0, C_U2, f]
+                vv2 = fscal_ref[0, C_VV2, f]
                 if affine:
                     u = _interp3(bcx, bcy, bcz, u0, u1, u2)
                     v = _interp3(bcx, bcy, bcz, vv0, vv1, vv2)
@@ -783,9 +785,9 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, seg_rows, N_CTRL), pin(I, S, Z),
+            pl.BlockSpec((1, N_CTRL, seg_rows), pin(I, Z, S),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, seg_rows, 16), pin(I, S, Z),
+            pl.BlockSpec((1, 16, seg_rows), pin(I, Z, S),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N_COLS, groups, 128), pin(I, Z, Z, Z),
                          memory_space=pltpu.VMEM),

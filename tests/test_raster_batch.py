@@ -141,13 +141,16 @@ def test_flat_cube_matches_render_mesh(cave):
             f"cube inst {i}: {diff.sum()} diffs (budget {budget})"
 
 
-def test_flat_multi_segment_face_table():
+def test_flat_multi_segment_face_table(monkeypatch):
     """Levels with more than SEG compacted faces stream the face table
-    through SMEM segments (Cathedral-scale); output must still equal the
-    sequential path."""
+    through SMEM segments; output must still equal the sequential path.
+    SEG is pinned small here — the production value (2560, column-major
+    SMEM windows) runs every sample level single-segment."""
     from bonnie32_tpu.models.level import Level, Room, TextureRef
     from bonnie32_tpu.models import texture_pack as tp
     from bonnie32_tpu.ops import raster_batch as rb
+
+    monkeypatch.setattr(rb, "SEG", 256)
 
     level = Level()
     room = Room.new(0, (0.0, 0.0, 0.0), 18, 18)
