@@ -148,3 +148,240 @@ def draw_tracker(ctx: UiContext, st: TrackerState, bounds: Rect
              f"{max(len(st.song.arrangement), 1)}", DIM)
     rows["footer"] = foot
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Full screen composition (tracker/layout.rs:33-210 draw_tracker + header,
+# 739-1026 arrangement view, 1070-1535 instruments view).
+# ---------------------------------------------------------------------------
+
+import enum
+
+
+class TrackerTab(enum.Enum):
+    """layout.rs tab strip: the three tracker sub-screens."""
+
+    PATTERN = "pattern"
+    ARRANGEMENT = "arrangement"
+    INSTRUMENTS = "instruments"
+
+
+TAB_H = 16.0
+BANK_W = 140.0
+ROW24 = 14.0
+
+
+def draw_header(ctx: UiContext, st: TrackerState, rect: Rect,
+                tab: TrackerTab) -> TrackerTab:
+    """Transport + bpm/octave spinners + tab strip (layout.rs:210-441).
+    Returns the (possibly changed) active tab."""
+    ctx.fill(rect, (26, 26, 32))
+    x = rect.x + 4
+
+    def button(label, wid, w=34.0):
+        nonlocal x
+        r = Rect(x, rect.y + 2, w, rect.h - 4)
+        ctx.fill(r, (48, 48, 58))
+        ctx.text(r.x + 4, r.y + 2, label, TEXT)
+        x += w + 4
+        return ctx.clicked(wid, r)
+
+    if button("Play" if not st.playing else "Stop", "tr.play"):
+        st.toggle_playback()
+    if button("|<", "tr.restart", 22.0):
+        st.play_from_start()
+    # bpm spinner (layout.rs header bpm +/- buttons)
+    if button("-", "tr.bpm-", 16.0):
+        st.song.bpm = max(st.song.bpm - 1, 32)
+    ctx.text(x, rect.y + 4, f"bpm {st.song.bpm:3d}", TEXT)
+    x += 56.0
+    if button("+", "tr.bpm+", 16.0):
+        st.song.bpm = min(st.song.bpm + 1, 255)
+    if button("-", "tr.oct-", 16.0):
+        st.octave = max(st.octave - 1, 0)
+    ctx.text(x, rect.y + 4, f"oct {st.octave}", TEXT)
+    x += 40.0
+    if button("+", "tr.oct+", 16.0):
+        st.octave = min(st.octave + 1, 9)
+
+    # tab strip, right-aligned
+    tabs = list(TrackerTab)
+    tw = 72.0
+    tx = rect.right - tw * len(tabs) - 4
+    out = tab
+    for i, t in enumerate(tabs):
+        r = Rect(tx + i * tw, rect.y + 2, tw - 2, rect.h - 4)
+        active = t is tab
+        ctx.fill(r, CURSOR_BG if active else (36, 36, 44))
+        ctx.text(r.x + 4, r.y + 2, t.value.title(), TEXT if active else DIM)
+        if ctx.clicked(f"tr.tab.{t.value}", r):
+            out = t
+    return out
+
+
+def draw_arrangement_view(ctx: UiContext, st: TrackerState, rect: Rect,
+                          sel: dict) -> None:
+    """Pattern bank (left) + arrangement order (right), layout.rs:739-1026.
+
+    `sel` carries the view's focus state across frames:
+    {"bank": int, "arr": int, "focus_arr": bool}.
+    """
+    ctx.fill(rect, BG)
+    bank = Rect(rect.x + 4, rect.y + 18, BANK_W, rect.h - 26)
+    ctx.text(rect.x + 6, rect.y + 4, "Pattern Bank", TEXT)
+    ctx.fill(bank, (20, 20, 26))
+    for i, pat in enumerate(st.song.patterns):
+        y = bank.y + i * ROW24
+        if y + ROW24 > bank.bottom:
+            break
+        r = Rect(bank.x, y, bank.w, ROW24 - 1)
+        selected = not sel.get("focus_arr") and sel.get("bank") == i
+        if selected:
+            ctx.fill(r, CURSOR_BG)
+        elif i % 2 == 0:
+            ctx.fill(r, BEAT_BG)
+        notes = sum(1 for chan in pat.channels for n in chan
+                    if n is not None and not n.is_empty)
+        mark = "*" if notes else "-"
+        used = ">" if i in st.song.arrangement else " "
+        ctx.text(r.x + 3, y + 2, f"{mark} {i:02d} [{pat.length:3d}]{used}",
+                 (255, 255, 255) if selected else TEXT)
+        if ctx.clicked(f"bank.{i}", r):
+            sel["bank"] = i
+            sel["focus_arr"] = False
+        # right-click appends the pattern to the arrangement (layout.rs:812)
+        if ctx.mouse.right_down and r.contains(ctx.mouse.x, ctx.mouse.y):
+            st.arrangement_insert(len(st.song.arrangement), i)
+
+    arr = Rect(bank.right + 8, rect.y + 18, rect.right - bank.right - 12,
+               rect.h - 26)
+    ctx.text(arr.x + 2, rect.y + 4, "Arrangement", TEXT)
+    ctx.fill(arr, (20, 20, 26))
+    for pos, pat_idx in enumerate(st.song.arrangement):
+        y = arr.y + pos * ROW24
+        if y + ROW24 > arr.bottom:
+            break
+        r = Rect(arr.x, y, arr.w - 70, ROW24 - 1)
+        selected = sel.get("focus_arr") and sel.get("arr") == pos
+        playing = st.playing and pos == st.playback_pattern_idx
+        if selected:
+            ctx.fill(r, CURSOR_BG)
+        elif playing:
+            ctx.fill(r, PLAY_BG)
+        ctx.text(r.x + 3, y + 2, f"{pos:02d}: pattern {pat_idx:02d}",
+                 (255, 255, 255) if selected else TEXT)
+        if ctx.clicked(f"arrv.{pos}", r):
+            sel["arr"] = pos
+            sel["focus_arr"] = True
+        # per-row controls: up / down / remove (layout.rs arrangement ops)
+        for bi, (label, wid) in enumerate((("^", "up"), ("v", "dn"),
+                                           ("x", "rm"))):
+            br = Rect(arr.right - 66 + bi * 22, y, 20, ROW24 - 1)
+            ctx.fill(br, (44, 44, 54))
+            ctx.text(br.x + 6, y + 2, label, DIM)
+            if ctx.clicked(f"arrv.{pos}.{wid}", br):
+                if wid == "up":
+                    st.arrangement_move_up(pos)
+                elif wid == "dn":
+                    st.arrangement_move_down(pos)
+                else:
+                    st.arrangement_remove(pos)
+    # append selected bank pattern (layout.rs "Add" button)
+    add = Rect(arr.x, arr.bottom - 16, 60, 14)
+    ctx.fill(add, (48, 48, 58))
+    ctx.text(add.x + 4, add.y + 2, "Add", TEXT)
+    if ctx.clicked("arrv.add", add):
+        st.arrangement_insert(len(st.song.arrangement),
+                              sel.get("bank", 0))
+
+
+def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
+                          presets, sel: dict) -> None:
+    """SoundFont preset list + per-channel assignment
+    (layout.rs:1070-1535).  `presets`: sequence of (bank, program, name)."""
+    ctx.fill(rect, BG)
+    lst = Rect(rect.x + 4, rect.y + 18, rect.w * 0.55, rect.h - 24)
+    ctx.text(rect.x + 6, rect.y + 4, "Instruments", TEXT)
+    ctx.fill(lst, (20, 20, 26))
+    for i, (bank, prog, name) in enumerate(presets):
+        y = lst.y + i * ROW24
+        if y + ROW24 > lst.bottom:
+            break
+        r = Rect(lst.x, y, lst.w, ROW24 - 1)
+        selected = sel.get("inst") == i
+        if selected:
+            ctx.fill(r, CURSOR_BG)
+        elif i % 2 == 0:
+            ctx.fill(r, BEAT_BG)
+        ctx.text(r.x + 3, y + 2, f"{bank:03d}:{prog:03d} {name[:18]}",
+                 (255, 255, 255) if selected else TEXT)
+        if ctx.clicked(f"inst.{i}", r):
+            sel["inst"] = i
+
+    # channel assignment column (click assigns the selected preset)
+    chn = Rect(lst.right + 8, rect.y + 18, rect.right - lst.right - 12,
+               rect.h - 24)
+    ctx.text(chn.x + 2, rect.y + 4, "Channels", TEXT)
+    for c in range(st.num_channels()):
+        y = chn.y + c * ROW24
+        r = Rect(chn.x, y, chn.w, ROW24 - 1)
+        cur = (st.song.channel_instruments[c]
+               if c < len(st.song.channel_instruments) else 0)
+        ctx.fill(r, BEAT_BG if c % 2 == 0 else BG)
+        ctx.text(r.x + 3, y + 2, f"CH{c + 1}: inst {cur:02d}",
+                 TEXT if c == st.current_channel else DIM)
+        if ctx.clicked(f"inst.ch.{c}", r) and sel.get("inst") is not None:
+            while len(st.song.channel_instruments) <= c:
+                st.song.channel_instruments.append(0)
+            st.song.channel_instruments[c] = sel["inst"]
+
+
+def draw_tracker_screen(ctx: UiContext, st: TrackerState, bounds: Rect,
+                        tab: TrackerTab = TrackerTab.PATTERN,
+                        presets=(), sel: Optional[dict] = None
+                        ) -> TrackerTab:
+    """The composed tracker screen: header + active tab body
+    (layout.rs:33-61 draw_tracker routing)."""
+    if sel is None:
+        sel = {}
+    head = bounds.slice_top(TAB_H + 4)
+    tab = draw_header(ctx, st, head, tab)
+    body = Rect(bounds.x, head.bottom, bounds.w,
+                bounds.bottom - head.bottom)
+    if tab is TrackerTab.PATTERN:
+        draw_tracker(ctx, st, body)
+    elif tab is TrackerTab.ARRANGEMENT:
+        draw_arrangement_view(ctx, st, body, sel)
+    else:
+        draw_instruments_view(ctx, st, body, presets, sel)
+    return tab
+
+
+def handle_pattern_key(st: TrackerState, key: str) -> bool:
+    """Note-entry + navigation keys over the pattern grid
+    (layout.rs:1570-1937 handle_input subset: piano keys, cursor moves,
+    delete, note-off, octave).  Returns True when the key was consumed."""
+    if key == "up":
+        st.cursor_up()
+    elif key == "down":
+        st.cursor_down()
+    elif key == "left":
+        st.cursor_left()
+    elif key == "right":
+        st.cursor_right()
+    elif key == "delete":
+        st.delete_note()
+    elif key == "1":
+        st.enter_note_off()
+    elif key == "pageup":
+        st.octave = min(st.octave + 1, 9)
+    elif key == "pagedown":
+        st.octave = max(st.octave - 1, 0)
+    elif key == "space":
+        st.toggle_playback()
+    else:
+        pitch = key_to_note(key, st.octave)
+        if pitch is None:
+            return False
+        st.enter_note(pitch)
+    return True

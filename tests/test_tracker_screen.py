@@ -1,0 +1,119 @@
+"""Tracker screen composition: header/transport, arrangement view,
+instruments view, key input routing (tracker/layout.rs parity)."""
+
+from bonnie32_tpu.audio import tracker_ui as tu
+from bonnie32_tpu.audio.state import TrackerState
+from bonnie32_tpu.ui import Rect, UiContext
+
+
+def click(ctx, draw, x, y):
+    """Press then release at (x, y), drawing both frames (clicks fire on
+    release inside — ui/context.py clicked())."""
+    ctx.begin_frame(x, y, True)
+    draw()
+    ctx.begin_frame(x, y, False)
+    return draw()
+
+
+def test_header_tab_switch():
+    st = TrackerState()
+    ctx = UiContext()
+    bounds = Rect(0, 0, 480, 300)
+    ctx.begin_frame(0, 0, False)
+    tab = tu.draw_tracker_screen(ctx, st, bounds)
+    assert tab is tu.TrackerTab.PATTERN
+    # click the Arrangement tab (second of three right-aligned 72px tabs)
+    tx = bounds.right - 72.0 * 3 - 4 + 72.0 + 4
+    tab = click(ctx, lambda: tu.draw_tracker_screen(ctx, st, bounds), tx, 8)
+    assert tab is tu.TrackerTab.ARRANGEMENT
+
+
+def test_header_transport_and_spinners():
+    st = TrackerState()
+    ctx = UiContext()
+    rect = Rect(0, 0, 480, 20)
+    bpm0 = st.song.bpm
+    draw = lambda: tu.draw_header(ctx, st, rect, tu.TrackerTab.PATTERN)
+    # Play button is first at x=4
+    click(ctx, draw, 10, 8)
+    assert st.playing
+    # bpm "-" button follows Play(34+4) and |<(22+4): x = 4+38+26 = 68
+    click(ctx, draw, 70, 8)
+    assert st.song.bpm == bpm0 - 1
+
+
+def test_arrangement_view_bank_and_ops():
+    st = TrackerState()
+    st.create_pattern()
+    ctx = UiContext()
+    rect = Rect(0, 0, 480, 280)
+    sel = {}
+    draw = lambda: tu.draw_arrangement_view(ctx, st, rect, sel)
+    # click second bank row
+    click(ctx, draw, 10, 18 + tu.ROW24 + 2)
+    assert sel["bank"] == 1 and not sel["focus_arr"]
+    # Add button appends the selected pattern
+    n0 = len(st.song.arrangement)
+    arr = Rect(rect.x + 4 + tu.BANK_W + 8, rect.y + 18,
+               rect.right - (rect.x + 4 + tu.BANK_W + 8) - 4, rect.h - 26)
+    click(ctx, draw, arr.x + 10, arr.bottom - 16 + 4)
+    assert len(st.song.arrangement) == n0 + 1
+    assert st.song.arrangement[-1] == 1
+
+
+def test_arrangement_row_remove():
+    st = TrackerState()
+    st.arrangement_insert(len(st.song.arrangement), 0)
+    n0 = len(st.song.arrangement)
+    ctx = UiContext()
+    rect = Rect(0, 0, 480, 280)
+    sel = {}
+    draw = lambda: tu.draw_arrangement_view(ctx, st, rect, sel)
+    arr = Rect(rect.x + 4 + tu.BANK_W + 8, rect.y + 18,
+               rect.right - (rect.x + 4 + tu.BANK_W + 8) - 4, rect.h - 26)
+    # "x" button of row 0 sits at arr.right - 66 + 2*22
+    click(ctx, draw, arr.right - 66 + 44 + 5, arr.y + 4)
+    assert len(st.song.arrangement) == n0 - 1
+
+
+def test_instruments_view_assign():
+    st = TrackerState()
+    presets = [(0, 0, "Piano"), (0, 24, "Guitar"), (128, 0, "Drums")]
+    ctx = UiContext()
+    rect = Rect(0, 0, 480, 280)
+    sel = {}
+    draw = lambda: tu.draw_instruments_view(ctx, st, rect, presets, sel)
+    # select the second preset
+    click(ctx, draw, 10, rect.y + 18 + tu.ROW24 + 2)
+    assert sel["inst"] == 1
+    # assign to channel 0
+    lst_w = rect.w * 0.55
+    click(ctx, draw, rect.x + 4 + lst_w + 10, rect.y + 18 + 2)
+    assert st.song.channel_instruments[0] == 1
+
+
+def test_pattern_key_input():
+    st = TrackerState()
+    assert tu.handle_pattern_key(st, "z")
+    note = st.current_pattern().get(st.current_channel, 0)
+    assert note is not None and note.pitch == st.octave * 12
+    tu.handle_pattern_key(st, "down")
+    r0 = st.current_row
+    tu.handle_pattern_key(st, "up")
+    assert st.current_row <= r0
+    assert not tu.handle_pattern_key(st, "escape-ish-unknown")
+    tu.handle_pattern_key(st, "pageup")
+    assert st.octave == 5
+    tu.handle_pattern_key(st, "space")
+    assert st.playing
+
+
+def test_screen_tabs_render_all():
+    st = TrackerState()
+    ctx = UiContext()
+    bounds = Rect(0, 0, 480, 300)
+    for tab in tu.TrackerTab:
+        ctx.begin_frame(0, 0, False)
+        tu.draw_tracker_screen(ctx, st, bounds, tab=tab,
+                               presets=[(0, 0, "P")])
+        assert len(ctx.commands) > 10
