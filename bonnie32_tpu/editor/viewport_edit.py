@@ -467,3 +467,222 @@ class ViewportEditor:
     def release_object(self) -> None:
         self.dragging_object = None
         self.drag_started = False
+
+
+# ---------------------------------------------------------------------------
+# Box select + shared multi-vertex drags (viewport_3d.rs:1159-1230,
+# 1990-2005, 2994-3022, 7512-7600)
+# ---------------------------------------------------------------------------
+
+def _face_world_corners(room, gx: int, gz: int, face: HorizontalFace):
+    """World-space corner positions [NW, NE, SE, SW] of a sector face."""
+    bx = float(room.position[0]) + gx * SECTOR_SIZE
+    bz = float(room.position[2]) + gz * SECTOR_SIZE
+    by = float(room.position[1])
+    ss = SECTOR_SIZE
+    offs = ((0.0, 0.0), (ss, 0.0), (ss, ss), (0.0, ss))
+    return [np.asarray([bx + ox, by + float(face.heights[i]), bz + oz],
+                       np.float32)
+            for i, (ox, oz) in enumerate(offs)]
+
+
+class BoxSelector:
+    """Marquee selection over the 3D viewport (viewport_3d.rs box select:
+    press on empty space, drag a screen rect, release collects the face
+    centers inside it into the multi-selection)."""
+
+    def __init__(self, editor: "ViewportEditor"):
+        self.editor = editor
+        self.start: Optional[Tuple[float, float]] = None
+        self.current: Optional[Tuple[float, float]] = None
+        self.active = False
+
+    def press(self, mouse_fb, shift: bool = False) -> None:
+        """Begin on empty-space click; plain click clears the selection
+        first (viewport_3d.rs:1994-2003)."""
+        st = self.editor.state
+        if not shift and (st.selection.kind != "none" or st.multi_selection):
+            st.save_selection_undo()
+            st.clear_selection()
+        self.start = (float(mouse_fb[0]), float(mouse_fb[1]))
+        self.current = self.start
+        self.active = True
+
+    def move(self, mouse_fb) -> None:
+        if self.active:
+            self.current = (float(mouse_fb[0]), float(mouse_fb[1]))
+
+    def rect(self) -> Optional[Tuple[float, float, float, float]]:
+        if not self.active or self.start is None or self.current is None:
+            return None
+        x0, x1 = sorted((self.start[0], self.current[0]))
+        y0, y1 = sorted((self.start[1], self.current[1]))
+        return (x0, y0, x1, y1)
+
+    def release(self, camera_pos, basis) -> int:
+        """Collect face selections whose projected centers fall inside the
+        rect (>3 px each way, viewport_3d.rs:3001); returns the count."""
+        r = self.rect()
+        self.active = False
+        self.start = self.current = None
+        if r is None:
+            return 0
+        x0, y0, x1, y1 = r
+        if (x1 - x0) <= 3.0 and (y1 - y0) <= 3.0:
+            return 0
+        ed = self.editor
+        st = ed.state
+        room = ed._room()
+        if room is None:
+            return 0
+        collected = []
+        centers = []
+
+        def center_of(points):
+            p = np.mean(np.stack(points, axis=0), axis=0)
+            return p
+
+        from .state import SectorFace
+        room_idx = st.current_room
+        for gx, gz, sector in room.iter_sectors():
+            if sector.floor is not None:
+                centers.append((center_of(_face_world_corners(
+                    room, gx, gz, sector.floor)),
+                    Selection(kind="sector_face", room=room_idx, x=gx,
+                              z=gz, face=SectorFace("floor"))))
+            if sector.ceiling is not None:
+                centers.append((center_of(_face_world_corners(
+                    room, gx, gz, sector.ceiling)),
+                    Selection(kind="sector_face", room=room_idx, x=gx,
+                              z=gz, face=SectorFace("ceiling"))))
+            for dname, dcode in (("walls_north", NORTH), ("walls_east", EAST),
+                                 ("walls_south", SOUTH), ("walls_west", WEST),
+                                 ("walls_nwse", NWSE), ("walls_nesw", NESW)):
+                for wi, wall in enumerate(getattr(sector, dname)):
+                    bx = float(room.position[0]) + gx * SECTOR_SIZE
+                    bz = float(room.position[2]) + gz * SECTOR_SIZE
+                    by = float(room.position[1])
+                    ss = SECTOR_SIZE
+                    a, b = {
+                        NORTH: ((bx, bz), (bx + ss, bz)),
+                        EAST: ((bx + ss, bz), (bx + ss, bz + ss)),
+                        SOUTH: ((bx, bz + ss), (bx + ss, bz + ss)),
+                        WEST: ((bx, bz), (bx, bz + ss)),
+                        NWSE: ((bx, bz), (bx + ss, bz + ss)),
+                        NESW: ((bx + ss, bz), (bx, bz + ss)),
+                    }[dcode]
+                    ymid = by + (float(wall.heights[0])
+                                 + float(wall.heights[2])) * 0.5
+                    c = np.asarray([(a[0] + b[0]) * 0.5, ymid,
+                                    (a[1] + b[1]) * 0.5], np.float32)
+                    centers.append((c, Selection(
+                        kind="sector_face", room=room_idx, x=gx, z=gz,
+                        face=SectorFace("wall", direction=dcode,
+                                        wall_index=wi))))
+
+        for c, sel in centers:
+            sx, sy, _, ok = picking.world_to_screen(
+                c, np.asarray(camera_pos, np.float32),
+                np.asarray(basis, np.float32), ed.fb_w, ed.fb_h)
+            if bool(ok) and x0 <= float(sx) <= x1 and y0 <= float(sy) <= y1:
+                collected.append(sel)
+
+        if collected:
+            st.save_selection_undo()
+            for sel in collected:
+                st.add_to_multi_selection(sel)
+            if st.selection.kind == "none" and st.multi_selection:
+                st.selection = st.multi_selection[0]
+            st.set_status(f"Selected {len(st.multi_selection)} items", 2.0)
+        return len(collected)
+
+
+class VertexDrag:
+    """Shared multi-vertex height drag (viewport_3d.rs:1159-1230): every
+    selected vertex drags together, and coincident corners of ADJACENT
+    sector faces at the same world position move with them."""
+
+    EPS = 0.5   # world-units coincidence tolerance
+
+    def __init__(self, editor: "ViewportEditor"):
+        self.editor = editor
+        self.entries: list = []     # (face, corner, initial_height)
+        self.start_mouse_y = 0.0
+        self.started = False
+
+    def _vertex_selections(self):
+        st = self.editor.state
+        sels = [st.selection] + list(st.multi_selection)
+        return [s for s in sels if s.kind == "vertex"]
+
+    def press(self, mouse_fb) -> bool:
+        ed = self.editor
+        st = ed.state
+        room = ed._room()
+        vsels = self._vertex_selections()
+        if room is None or not vsels:
+            return False
+        # world positions of explicitly selected corners
+        keyed = {}    # id(face) -> set(corner)
+        positions = []
+        for s in vsels:
+            sector = room.get_sector(s.x, s.z)
+            if sector is None:
+                continue
+            face = (sector.ceiling if s.face is not None
+                    and s.face.kind == "ceiling" else sector.floor)
+            if face is None:
+                continue
+            corners = _face_world_corners(room, s.x, s.z, face)
+            c = s.corner_idx or 0
+            keyed.setdefault(id(face), (face, set()))[1].add(c)
+            positions.append(corners[c])
+        if not positions:
+            return False
+        # coincident corners across every sector face (shared vertices of
+        # neighbouring sectors drag together, viewport_3d.rs:1211-1229)
+        for gx, gz, sector in room.iter_sectors():
+            for face in (sector.floor, sector.ceiling):
+                if face is None:
+                    continue
+                corners = _face_world_corners(room, gx, gz, face)
+                for ci, cpos in enumerate(corners):
+                    for p in positions:
+                        if (abs(float(cpos[0]) - float(p[0])) < self.EPS
+                                and abs(float(cpos[1]) - float(p[1]))
+                                < self.EPS
+                                and abs(float(cpos[2]) - float(p[2]))
+                                < self.EPS):
+                            keyed.setdefault(id(face),
+                                             (face, set()))[1].add(ci)
+                            break
+        self.entries = []
+        for face, corners in keyed.values():
+            for ci in corners:
+                self.entries.append((face, ci, float(face.heights[ci])))
+        self.start_mouse_y = float(mouse_fb[1])
+        self.started = False
+        return True
+
+    def move(self, mouse_fb) -> None:
+        if not self.entries:
+            return
+        delta = (self.start_mouse_y - float(mouse_fb[1])) * Y_SENSITIVITY
+        snapped = round(delta / CLICK_HEIGHT) * CLICK_HEIGHT
+        if snapped != 0.0 and not self.started:
+            self.editor.state.save_undo()
+            self.started = True
+        if not self.started:
+            return
+        for face, ci, h0 in self.entries:
+            face.heights[ci] = h0 + snapped
+        self.editor.state.dirty = True
+
+    def release(self) -> None:
+        if self.started:
+            room = self.editor._room()
+            if room is not None:
+                room.recalculate_bounds()
+            self.editor.state.mark_portals_dirty()
+        self.entries = []
+        self.started = False

@@ -208,3 +208,101 @@ def test_object_place_and_drag():
     ed.move_object((100.0, 150.0 - 20), cam_pos, basis)
     ed.release_object()
     assert obj.height == 100.0  # 20px * 5.0
+
+
+# ---------------------------------------------------------------------------
+# Box select + shared vertex drags (viewport_3d.rs:1159-1230, 2994-3022)
+# ---------------------------------------------------------------------------
+
+from bonnie32_tpu.editor.viewport_edit import BoxSelector, VertexDrag
+
+
+def test_box_select_collects_faces():
+    ed = _editor(with_floors=[(2, 2), (3, 2), (2, 3)])
+    pos, basis = _cam_above()
+    box = BoxSelector(ed)
+    box.press((10.0, 10.0))
+    box.move((310.0, 380.0))
+    assert box.rect() is not None
+    n = box.release(pos, basis)
+    assert n >= 3, f"expected the three floors collected, got {n}"
+    assert len(ed.state.multi_selection) >= 3
+    assert ed.state.selection.kind == "sector_face"
+    kinds = {s.face.kind for s in ed.state.multi_selection}
+    assert "floor" in kinds
+
+
+def test_box_select_click_does_not_collect():
+    ed = _editor(with_floors=[(2, 2)])
+    pos, basis = _cam_above()
+    box = BoxSelector(ed)
+    box.press((100.0, 100.0))
+    box.move((101.0, 101.0))     # < 3 px: just a click
+    assert box.release(pos, basis) == 0
+    assert not ed.state.multi_selection
+
+
+def test_box_select_plain_press_clears_selection():
+    ed = _editor(with_floors=[(2, 2)])
+    ed.state.selection = Selection(kind="sector_face", room=0, x=2, z=2,
+                                   face=SectorFace("floor"))
+    box = BoxSelector(ed)
+    box.press((5.0, 5.0), shift=False)
+    assert ed.state.selection.kind == "none"
+    ed2 = _editor(with_floors=[(2, 2)])
+    sel = Selection(kind="sector_face", room=0, x=2, z=2,
+                    face=SectorFace("floor"))
+    ed2.state.selection = sel
+    box2 = BoxSelector(ed2)
+    box2.press((5.0, 5.0), shift=True)   # shift keeps the selection
+    assert ed2.state.selection == sel
+
+
+def test_vertex_drag_moves_shared_corners():
+    # two adjacent floors: NE corner of (2,2) coincides with NW of (3,2)
+    ed = _editor(with_floors=[(2, 2), (3, 2)])
+    room = ed.state.level.rooms[0]
+    ed.state.selection = Selection(kind="vertex", room=0, x=2, z=2,
+                                   face=SectorFace("floor"), corner_idx=1)
+    drag = VertexDrag(ed)
+    assert drag.press((100.0, 100.0))
+    # the coincident corner of the neighbour must be in the drag set
+    faces = {id(e[0]) for e in drag.entries}
+    f22 = room.get_sector(2, 2).floor
+    f32 = room.get_sector(3, 2).floor
+    assert id(f22) in faces and id(f32) in faces
+    # drag up by one CLICK_HEIGHT (mouse up = -y px; 5 px/unit sensitivity)
+    drag.move((100.0, 100.0 - CLICK_HEIGHT / 5.0))
+    drag.release()
+    assert f22.heights[1] == CLICK_HEIGHT
+    assert f32.heights[0] == CLICK_HEIGHT
+    assert f22.heights[0] == 0.0, "non-coincident corners untouched"
+    assert ed.state.undo_stack, "drag snapshots undo once"
+
+
+def test_vertex_drag_multi_selection():
+    ed = _editor(with_floors=[(1, 1), (4, 4)])
+    room = ed.state.level.rooms[0]
+    ed.state.selection = Selection(kind="vertex", room=0, x=1, z=1,
+                                   face=SectorFace("floor"), corner_idx=0)
+    ed.state.add_to_multi_selection(
+        Selection(kind="vertex", room=0, x=4, z=4,
+                  face=SectorFace("floor"), corner_idx=2))
+    drag = VertexDrag(ed)
+    assert drag.press((50.0, 50.0))
+    drag.move((50.0, 50.0 - 2 * CLICK_HEIGHT / 5.0))
+    drag.release()
+    assert room.get_sector(1, 1).floor.heights[0] == 2 * CLICK_HEIGHT
+    assert room.get_sector(4, 4).floor.heights[2] == 2 * CLICK_HEIGHT
+
+
+def test_vertex_drag_snaps_to_click_height():
+    ed = _editor(with_floors=[(2, 2)])
+    room = ed.state.level.rooms[0]
+    ed.state.selection = Selection(kind="vertex", room=0, x=2, z=2,
+                                   face=SectorFace("floor"), corner_idx=3)
+    drag = VertexDrag(ed)
+    drag.press((0.0, 100.0))
+    drag.move((0.0, 95.0))   # 25 world units < CLICK_HEIGHT/2 -> no move
+    assert room.get_sector(2, 2).floor.heights[3] == 0.0
+    assert not drag.started
