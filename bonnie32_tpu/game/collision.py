@@ -245,41 +245,60 @@ def collide_cylinder(grid: CollisionGrid, position, velocity, radius, height,
     pos1 = jnp.stack([x1, y1, z1])
 
     # --- 4 corner probes (collision.rs:113-148), corners fixed from pos1,
-    # per-axis pushback carried sequentially like the reference loop ---
-    corners = jnp.stack([
-        jnp.stack([pos1[0] - radius, pos1[1], pos1[2] - radius]),
-        jnp.stack([pos1[0] + radius, pos1[1], pos1[2] - radius]),
-        jnp.stack([pos1[0] + radius, pos1[1], pos1[2] + radius]),
-        jnp.stack([pos1[0] - radius, pos1[1], pos1[2] + radius]),
-    ])
+    # per-axis pushback carried sequentially like the reference loop.
+    #
+    # The reference's loop is data-dependent (the z-probe sees the x-probe's
+    # pushback, collision.rs:129-143) — but the carried x/z can only ever be
+    # pos1 or the pushed-back original position, so every probe point the
+    # loop COULD query comes from a closed 20-point set.  TPU-first: one
+    # batched get_floor_info over all 20 points (a single fused gather
+    # round per table instead of 12 sequential rounds — XLA gather
+    # dispatch dominated steponly time, PLAN_PERF.md round-3), then the
+    # sequential pushback logic runs as pure selects over the precomputed
+    # results, carrying "is it still pos1?" booleans.  Bit-exact: the same
+    # queries on the same points, in the same order.
+    cxs = jnp.stack([pos1[0] - radius, pos1[0] + radius,
+                     pos1[0] + radius, pos1[0] - radius])   # (4,)
+    czs = jnp.stack([pos1[2] - radius, pos1[2] - radius,
+                     pos1[2] + radius, pos1[2] + radius])   # (4,)
+    y1v = jnp.broadcast_to(pos1[1], (4,))
+    corner_pts = jnp.stack([cxs, y1v, czs], axis=-1)          # (4, 3)
+    # x-probes: (corner.x, pos1.y, cz) for cz in {pos1.z, position.z}
+    px0 = jnp.stack([cxs, y1v, jnp.broadcast_to(pos1[2], (4,))], axis=-1)
+    px1 = jnp.stack([cxs, y1v, jnp.broadcast_to(position[2], (4,))], axis=-1)
+    # z-probes: (cx, pos1.y, corner.z) for cx in {pos1.x, position.x}
+    pz0 = jnp.stack([jnp.broadcast_to(pos1[0], (4,)), y1v, czs], axis=-1)
+    pz1 = jnp.stack([jnp.broadcast_to(position[0], (4,)), y1v, czs], axis=-1)
+    pts = jnp.concatenate([corner_pts, px0, px1, pz0, pz1])   # (20, 3)
+    q = jax.vmap(lambda pt: get_floor_info(grid, pt, current_room))(pts)
+    q_blocked = q.found & ((q.floor - pos1[1]) > step_height)
+    ci_found = q.found[0:4]
+    ci_blocked = q_blocked[0:4]
+    px_blocked = (q_blocked[4:8], q_blocked[8:12])
+    pz_blocked = (q_blocked[12:16], q_blocked[16:20])
 
-    def corner_step(carry, corner):
-        cx, cz, hw = carry
-        ci = get_floor_info(grid, corner, current_room)
-        blocked = ci.found & ((ci.floor - pos1[1]) > step_height)
-
-        # The reference resets new_pos.x from the x-probe BEFORE building the
-        # z-probe (collision.rs:129-143), so the z-probe sees the updated x.
-        probe_x = jnp.stack([corner[0], pos1[1], cz])
-        ix = get_floor_info(grid, probe_x, current_room)
-        x_block = blocked & ix.found & ((ix.floor - pos1[1]) > step_height)
-        cx = jnp.where(x_block, position[0], cx)
-
-        probe_z = jnp.stack([cx, pos1[1], corner[2]])
-        iz = get_floor_info(grid, probe_z, current_room)
-        z_block = blocked & iz.found & ((iz.floor - pos1[1]) > step_height)
-        cz = jnp.where(z_block, position[2], cz)
-
-        void = ~ci.found
-        cx = jnp.where(void, position[0], cx)
-        cz = jnp.where(void, position[2], cz)
+    def corner_step(carry, k):
+        cx_orig, cz_orig, hw = carry   # True => pushed back to position.x/.z
+        blocked = ci_blocked[k]
+        x_block = blocked & jnp.where(cz_orig, px_blocked[1][k],
+                                      px_blocked[0][k])
+        cx_orig = cx_orig | x_block
+        z_block = blocked & jnp.where(cx_orig, pz_blocked[1][k],
+                                      pz_blocked[0][k])
+        cz_orig = cz_orig | z_block
+        void = ~ci_found[k]
+        cx_orig = cx_orig | void
+        cz_orig = cz_orig | void
         hw = hw | x_block | z_block | void
-        return (cx, cz, hw), None
+        return (cx_orig, cz_orig, hw), None
 
-    (fx, fz, hit_wall), _ = jax.lax.scan(
-        corner_step, (pos1[0], pos1[2], hit_wall), corners)
+    f = jnp.asarray(False)
+    (cx_orig, cz_orig, hit_wall), _ = jax.lax.scan(
+        corner_step, (f, f, hit_wall), jnp.arange(4, dtype=_I32))
 
-    final = jnp.stack([fx, pos1[1], fz])
+    final = jnp.stack([jnp.where(cx_orig, position[0], pos1[0]),
+                       pos1[1],
+                       jnp.where(cz_orig, position[2], pos1[2])])
     return CollideOut(position=final, grounded=grounded, room=current_room,
                       hit_wall=hit_wall, hit_ceiling=hit_ceiling,
                       vertical_velocity=vert_vel)
