@@ -273,19 +273,71 @@ class ViewportEditor:
         else:
             self.wall_drag_current = (sx, sz, d)
 
-    def _wall_gap(self, sector) -> Tuple[float, float]:
-        """Vertical span for a new wall: the sector's floor..ceiling gap
-        (defaults 0..CEILING_HEIGHT when absent)."""
-        bottom = 0.0
-        top = CEILING_HEIGHT
-        if sector is not None:
-            if sector.floor is not None:
-                bottom = max(sector.floor.heights)
-            if sector.ceiling is not None:
-                top = min(sector.ceiling.heights)
-        return bottom, top
+    def toggle_wall_prefer(self) -> None:
+        """Tab in DrawWall mode (viewport_3d.rs:382): select the high or
+        low gap when an edge has several."""
+        self.wall_prefer_high = not self.wall_prefer_high
+        self.state.set_status(
+            f"Wall gap: {'High' if self.wall_prefer_high else 'Low'}", 1.5)
 
-    def release_wall(self, texture) -> int:
+    def _gap_select_y(self, room) -> float:
+        """Gap-selection probe height (viewport_3d.rs:877-881, :976-980):
+        just inside the room's effective top or bottom."""
+        bottom, top = room.effective_height_bounds()
+        return (top - 1.0) if self.wall_prefer_high else (bottom + 1.0)
+
+    def wall_preview(self):
+        """Gap-detected heights the next release would place at the drag's
+        current cell (viewport_3d.rs:804-938 preview), or None."""
+        cur = self.wall_drag_current
+        room = self._room()
+        if cur is None or room is None:
+            return None
+        gx, gz, d = cur
+        sector = room.get_sector(gx, gz)
+        bottom, top = room.effective_height_bounds()
+        gap_y = self._gap_select_y(room)
+        if sector is None:
+            return [bottom, bottom, top, top]
+        if d in (NWSE, NESW):
+            return sector.next_diagonal_wall_position(d == NWSE, bottom,
+                                                      top, gap_y)
+        return sector.next_wall_position(d, bottom, top, gap_y)
+
+    @staticmethod
+    def _wall_normal_mode(room, gx, gz, d, camera_pos) -> int:
+        """Front/Back by the camera's side of the wall plane
+        (viewport_3d.rs:2741-2776)."""
+        if camera_pos is None:
+            return 0
+        base_x = float(room.position[0]) + gx * SECTOR_SIZE
+        base_z = float(room.position[2]) + gz * SECTOR_SIZE
+        half = SECTOR_SIZE / 2.0
+        center = {
+            NORTH: (base_x + half, base_z),
+            SOUTH: (base_x + half, base_z + SECTOR_SIZE),
+            EAST: (base_x + SECTOR_SIZE, base_z + half),
+            WEST: (base_x, base_z + half),
+            NWSE: (base_x + half, base_z + half),
+            NESW: (base_x + half, base_z + half),
+        }[d]
+        normal = {
+            NORTH: (0.0, 1.0), SOUTH: (0.0, -1.0),
+            EAST: (-1.0, 0.0), WEST: (1.0, 0.0),
+            # diagonal normals perpendicular to the NW-SE / NE-SW edge
+            NWSE: (-1.0, 1.0), NESW: (1.0, 1.0),
+        }[d]
+        to_cam = (float(camera_pos[0]) - center[0],
+                  float(camera_pos[2]) - center[1])
+        dot = normal[0] * to_cam[0] + normal[1] * to_cam[1]
+        return 1 if dot < 0.0 else 0   # FaceNormalMode::Back / Front
+
+    def release_wall(self, texture, camera_pos=None) -> int:
+        """Place gap-detected walls along the dragged edge line
+        (viewport_3d.rs:2640-2790; diagonals :2048-2120 place one edge).
+        Cells outside the room grow it exactly like floor placement."""
+        from .grid_view import _expand_room_for
+
         start, cur = self.wall_drag_start, self.wall_drag_current
         self.wall_drag_start = self.wall_drag_current = None
         if start is None or cur is None:
@@ -306,19 +358,30 @@ class ViewportEditor:
         placed = 0
         snapshot_done = False
         for gx, gz in cells:
-            if not (0 <= gx < room.width and 0 <= gz < room.depth):
-                continue
-            sector = room.get_sector(gx, gz)
-            bottom, top = self._wall_gap(sector)
-            if top <= bottom:
-                continue
             if not snapshot_done:
                 self.state.save_undo()
                 snapshot_done = True
-            room.add_wall(gx, gz, d, bottom, top, texture)
+            if not (0 <= gx < room.width and 0 <= gz < room.depth):
+                gx, gz = _expand_room_for(room, gx, gz)
+            sector = room.ensure_sector(gx, gz)
+            bottom, top = room.effective_height_bounds()
+            gap_y = self._gap_select_y(room)
+            if d in (NWSE, NESW):
+                heights = sector.next_diagonal_wall_position(
+                    d == NWSE, bottom, top, gap_y)
+            else:
+                heights = sector.next_wall_position(d, bottom, top, gap_y)
+            if heights is None:
+                continue
+            room.add_wall_heights(gx, gz, d, heights, texture)
+            sector.walls(d)[-1].normal_mode = self._wall_normal_mode(
+                room, gx, gz, d, camera_pos)
             placed += 1
+        # drop any geometry-less sectors ensure_sector created for cells
+        # whose edge had no gap, then refresh bounds (viewport_3d.rs:2790)
+        room.cleanup_empty_sectors()
+        room.recalculate_bounds()
         if placed:
-            room.recalculate_bounds()
             self.state.set_status(f"Placed {placed} wall"
                                   f"{'s' if placed != 1 else ''}", 1.5)
         return placed

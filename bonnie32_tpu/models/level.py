@@ -325,6 +325,113 @@ class Sector:
         return (self.floor is not None or self.ceiling is not None
                 or any(self.walls(d) for d in range(6)))
 
+    MIN_GAP = 256.0   # geometry.rs:1632 — one click = SECTOR_SIZE / 4
+
+    @staticmethod
+    def _pick_gap(gaps, mouse_y):
+        """Gap selection (geometry.rs:1790-1820): nearest center to
+        mouse_y, else the largest gap."""
+        if not gaps:
+            return None
+        if mouse_y is not None:
+            best = min(gaps, key=lambda g: abs(mouse_y - (g[1] + g[2]) / 2.0))
+        else:
+            best = max(gaps, key=lambda g: g[2] - g[1])
+        return best[0]
+
+    @classmethod
+    def _stack_gaps(cls, sorted_walls, f1, f2, c1, c2):
+        """Gaps around/between a sorted wall stack, with per-corner
+        triangular collapse (geometry.rs:1706-1790 / :1890-1960).
+        f1/f2 = floor heights at the (left, right) corners; c1/c2 ceiling.
+        Returns [(heights[4], avg_bottom, avg_top), ...]."""
+        gaps = []
+        lowest = sorted_walls[0]
+        g1 = lowest.heights[0] - f1
+        g2 = lowest.heights[1] - f2
+        if max(g1, g2) > cls.MIN_GAP:
+            bl, tl = (f1, lowest.heights[0]) if g1 > cls.MIN_GAP else (f1, f1)
+            br, tr = (f2, lowest.heights[1]) if g2 > cls.MIN_GAP else (f2, f2)
+            gaps.append(([bl, br, tr, tl], (bl + br) / 2.0, (tl + tr) / 2.0))
+        for lower, upper in zip(sorted_walls, sorted_walls[1:]):
+            g1 = upper.heights[0] - lower.heights[3]
+            g2 = upper.heights[1] - lower.heights[2]
+            if max(g1, g2) > cls.MIN_GAP:
+                gaps.append((
+                    [lower.heights[3], lower.heights[2],
+                     upper.heights[1], upper.heights[0]],
+                    (lower.heights[2] + lower.heights[3]) / 2.0,
+                    (upper.heights[0] + upper.heights[1]) / 2.0))
+        highest = sorted_walls[-1]
+        g1 = c1 - highest.heights[3]
+        g2 = c2 - highest.heights[2]
+        if max(g1, g2) > cls.MIN_GAP:
+            bl, tl = ((highest.heights[3], c1) if g1 > cls.MIN_GAP
+                      else (c1, c1))
+            br, tr = ((highest.heights[2], c2) if g2 > cls.MIN_GAP
+                      else (c2, c2))
+            gaps.append(([bl, br, tr, tl], (bl + br) / 2.0, (tl + tr) / 2.0))
+        return gaps
+
+    def _gap_position(self, walls, f1, f2, c1, c2, mouse_y):
+        """Shared body of next_wall_position / next_diagonal_wall_position
+        once the corner floor/ceiling heights are known.  Wall heights are
+        [bot1, bot2, top2, top1]."""
+        if len(walls) >= 3:      # max 3 walls per edge (geometry.rs:1658)
+            return None
+        if not walls:
+            # sloped floor/ceiling offers triangular gaps by mouse side
+            if (abs(f1 - f2) > self.MIN_GAP or abs(c1 - c2) > self.MIN_GAP):
+                floor_max = max(f1, f2)
+                mid = (floor_max + min(c1, c2)) / 2.0
+                if mouse_y is not None:
+                    if mouse_y < mid:
+                        return [f1, f2, floor_max, floor_max]
+                    return [floor_max, floor_max, c2, c1]
+            return [f1, f2, c2, c1]
+        sw = sorted(walls,
+                    key=lambda w: (w.heights[0] + w.heights[1]) / 2.0)
+        return self._pick_gap(self._stack_gaps(sw, f1, f2, c1, c2), mouse_y)
+
+    def next_wall_position(self, direction: int, fallback_bottom: float,
+                           fallback_top: float, mouse_y=None):
+        """geometry.rs:1630 — heights [BL, BR, TR, TL] for the next wall on
+        an edge, gap-detected against the existing stack, or None.
+
+        edge_heights is (left, right) from INSIDE; wall corners face
+        outward, so sector-left is wall-right (geometry.rs:1636-1642).
+        Room bounds are absolute limits: floor clamps DOWN to the room
+        bottom, ceiling UP to the room top (geometry.rs:1639-1653)."""
+        if self.floor is not None:
+            el, er = self.floor.edge_heights(direction)
+            floor_right, floor_left = (min(el, fallback_bottom),
+                                       min(er, fallback_bottom))
+        else:
+            floor_right = floor_left = fallback_bottom
+        if self.ceiling is not None:
+            el, er = self.ceiling.edge_heights(direction)
+            ceiling_right, ceiling_left = (max(el, fallback_top),
+                                           max(er, fallback_top))
+        else:
+            ceiling_right = ceiling_left = fallback_top
+        return self._gap_position(self.walls(direction), floor_left,
+                                  floor_right, ceiling_left, ceiling_right,
+                                  mouse_y)
+
+    def next_diagonal_wall_position(self, is_nwse: bool,
+                                    fallback_bottom: float,
+                                    fallback_top: float, mouse_y=None):
+        """geometry.rs:1823 — like next_wall_position for the NwSe/NeSw
+        diagonal; corners are (NW, SE) or (NE, SW), heights returned as
+        [c1_bot, c2_bot, c2_top, c1_top]."""
+        i1, i2 = (0, 2) if is_nwse else (1, 3)
+        f1 = self.floor.heights[i1] if self.floor else fallback_bottom
+        f2 = self.floor.heights[i2] if self.floor else fallback_bottom
+        c1 = self.ceiling.heights[i1] if self.ceiling else fallback_top
+        c2 = self.ceiling.heights[i2] if self.ceiling else fallback_top
+        walls = self.walls_nwse if is_nwse else self.walls_nesw
+        return self._gap_position(walls, f1, f2, c1, c2, mouse_y)
+
     @classmethod
     def from_ron(cls, d):
         def walls(key):
@@ -513,6 +620,23 @@ class Room:
         self.ensure_sector(x, z).walls(direction).append(
             VerticalFace(heights=[y_bottom, y_bottom, y_top, y_top],
                          texture=texture))
+
+    def add_wall_heights(self, x, z, direction, heights, texture):
+        """Place a wall with explicit per-corner heights (the gap-detected
+        result of Sector.next_wall_position)."""
+        self.ensure_sector(x, z).walls(direction).append(
+            VerticalFace(heights=list(heights), texture=texture))
+
+    def effective_height_bounds(self) -> Tuple[float, float]:
+        """geometry.rs:2580 — room vertical span for wall gap detection;
+        degenerate rooms fall back to a default ceiling above the floor."""
+        min_gap = 256.0
+        default_ceiling = 3072.0
+        bottom = float(self.bounds_min[1])
+        top = float(self.bounds_max[1])
+        if top - bottom < min_gap:
+            top = bottom + default_ceiling
+        return bottom, top
 
     def iter_sectors(self):
         for x in range(self.width):

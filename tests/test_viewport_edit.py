@@ -306,3 +306,149 @@ def test_vertex_drag_snaps_to_click_height():
     drag.move((0.0, 95.0))   # 25 world units < CLICK_HEIGHT/2 -> no move
     assert room.get_sector(2, 2).floor.heights[3] == 0.0
     assert not drag.started
+
+
+# ---------------------------------------------------------------------------
+# Wall gap detection (geometry.rs:1630-1975) + gap-aware placement
+# ---------------------------------------------------------------------------
+
+from bonnie32_tpu.models.level import (EAST, NESW, NWSE, Sector,
+                                       HorizontalFace, VerticalFace)
+
+
+def _sector(floor_h=None, ceil_h=None, walls_north=()):
+    s = Sector()
+    if floor_h is not None:
+        s.floor = HorizontalFace.flat(floor_h, TEX)
+    if ceil_h is not None:
+        s.ceiling = HorizontalFace.flat(ceil_h, TEX)
+    for h in walls_north:
+        s.walls_north.append(VerticalFace(heights=list(h), texture=TEX))
+    return s
+
+
+def test_next_wall_empty_sector_full_fill():
+    s = Sector()
+    assert s.next_wall_position(NORTH, 0.0, 3072.0) == [0.0, 0.0,
+                                                        3072.0, 3072.0]
+
+
+def test_next_wall_floor_ceiling_span():
+    s = _sector(floor_h=512.0, ceil_h=2048.0)
+    # floor clamps DOWN to the room bottom (geometry.rs:1643): gaps under a
+    # raised floor are detectable
+    assert s.next_wall_position(NORTH, 0.0, 3072.0) == [0.0, 0.0,
+                                                        3072.0, 3072.0]
+    # with matching fallbacks the heights follow the faces
+    assert s.next_wall_position(NORTH, 512.0, 2048.0) == [512.0, 512.0,
+                                                          2048.0, 2048.0]
+
+
+def test_next_wall_gap_selection_by_mouse_y():
+    mid = [1024.0, 1024.0, 2048.0, 2048.0]
+    s = _sector(floor_h=0.0, ceil_h=3072.0, walls_north=[mid])
+    low = s.next_wall_position(NORTH, 0.0, 3072.0, mouse_y=1.0)
+    high = s.next_wall_position(NORTH, 0.0, 3072.0, mouse_y=3071.0)
+    assert low == [0.0, 0.0, 1024.0, 1024.0]
+    assert high == [2048.0, 2048.0, 3072.0, 3072.0]
+    # no mouse -> largest gap (both are 1024; max picks the first found)
+    assert s.next_wall_position(NORTH, 0.0, 3072.0) in (low, high)
+
+
+def test_next_wall_between_two_walls():
+    s = _sector(floor_h=0.0, ceil_h=3072.0,
+                walls_north=[[0.0, 0.0, 1024.0, 1024.0],
+                             [2048.0, 2048.0, 3072.0, 3072.0]])
+    got = s.next_wall_position(NORTH, 0.0, 3072.0, mouse_y=1500.0)
+    assert got == [1024.0, 1024.0, 2048.0, 2048.0]
+
+
+def test_next_wall_three_walls_is_full():
+    s = _sector(floor_h=0.0, ceil_h=3072.0,
+                walls_north=[[0.0, 0.0, 1000.0, 1000.0]] * 3)
+    assert s.next_wall_position(NORTH, 0.0, 3072.0) is None
+
+
+def test_next_wall_triangular_collapse():
+    # wall bottom touches the floor on the left only -> left vertices
+    # collapse to the floor (geometry.rs:1714-1726)
+    s = _sector(floor_h=0.0, ceil_h=3072.0,
+                walls_north=[[0.0, 1024.0, 3072.0, 3072.0]])
+    got = s.next_wall_position(NORTH, 0.0, 3072.0, mouse_y=1.0)
+    assert got == [0.0, 0.0, 1024.0, 0.0]
+
+
+def test_next_wall_sloped_floor_triangular_gaps():
+    # floor corners clamp DOWN to the room bottom (geometry.rs:1643), so a
+    # slope only survives where it dips BELOW the fallback
+    s = Sector()
+    s.floor = HorizontalFace.flat(0.0, TEX)
+    s.floor.heights = [0.0, -1024.0, 0.0, 0.0]   # NE corner dips below
+    s.ceiling = HorizontalFace.flat(3072.0, TEX)
+    low = s.next_wall_position(NORTH, 0.0, 3072.0, mouse_y=-1000.0)
+    high = s.next_wall_position(NORTH, 0.0, 3072.0, mouse_y=3000.0)
+    # NORTH edge (el,er)=(h0,h1)=(0,-1024); wall-left=sector-right swap:
+    # floor_left=min(er,0)=-1024, floor_right=min(el,0)=0, floor_max=0
+    assert low == [-1024.0, 0.0, 0.0, 0.0]
+    assert high == [0.0, 0.0, 3072.0, 3072.0]
+
+
+def test_next_diagonal_wall_corners():
+    s = Sector()
+    s.floor = HorizontalFace.flat(0.0, TEX)
+    s.floor.heights = [100.0, 200.0, 300.0, 400.0]
+    s.ceiling = HorizontalFace.flat(3072.0, TEX)
+    got = s.next_diagonal_wall_position(True, 0.0, 3072.0)   # NwSe: NW,SE
+    assert got == [100.0, 300.0, 3072.0, 3072.0]
+    got = s.next_diagonal_wall_position(False, 0.0, 3072.0)  # NeSw: NE,SW
+    assert got == [200.0, 400.0, 3072.0, 3072.0]
+
+
+def test_release_wall_respects_existing_stack():
+    ed = _editor(with_floors=[(1, 1)])
+    room = ed.state.level.rooms[0]
+    room.get_sector(1, 1).ceiling = HorizontalFace.flat(3072.0, TEX)
+    room.add_wall(1, 1, NORTH, 0.0, 1024.0, TEX)
+    room.recalculate_bounds()
+    ed.state.tool = EditorTool.DRAW_WALL
+    ed.wall_direction = NORTH
+    ed.wall_prefer_high = True
+    ed.wall_drag_start = (1, 1, NORTH)
+    ed.wall_drag_current = (1, 1, NORTH)
+    assert ed.wall_preview() == [1024.0, 1024.0, 3072.0, 3072.0]
+    placed = ed.release_wall(TEX)
+    assert placed == 1
+    walls = room.get_sector(1, 1).walls(NORTH)
+    assert [w.heights for w in walls] == [[0.0, 0.0, 1024.0, 1024.0],
+                                          [1024.0, 1024.0, 3072.0, 3072.0]]
+
+
+def test_release_wall_expands_room():
+    ed = _editor(width=2, depth=2, with_floors=[(0, 0)])
+    room = ed.state.level.rooms[0]
+    ed.state.tool = EditorTool.DRAW_WALL
+    ed.wall_direction = EAST
+    ed.wall_drag_start = (3, 0, EAST)     # outside the 2x2 grid
+    ed.wall_drag_current = (3, 1, EAST)
+    placed = ed.release_wall(TEX)
+    assert placed == 2
+    assert room.width >= 4
+    assert len(room.get_sector(3, 0).walls(EAST)) == 1
+    assert len(room.get_sector(3, 1).walls(EAST)) == 1
+
+
+def test_release_wall_diagonal_and_normal_mode():
+    ed = _editor(with_floors=[(2, 2)])
+    room = ed.state.level.rooms[0]
+    ed.state.tool = EditorTool.DRAW_WALL
+    ed.wall_direction = NWSE
+    ed.wall_drag_start = (2, 2, NWSE)
+    ed.wall_drag_current = (2, 2, NWSE)
+    # camera on the SW side of the NW-SE diagonal -> normal (-1,1) faces it
+    cam = np.asarray([0.0, 1000.0, 6 * 1024.0], np.float32)
+    placed = ed.release_wall(TEX, camera_pos=cam)
+    assert placed == 1
+    w = room.get_sector(2, 2).walls_nwse[0]
+    assert w.normal_mode == 0     # Front: camera on the normal's side
+    bottom, top = room.effective_height_bounds()
+    assert w.heights == [bottom, bottom, top, top]
