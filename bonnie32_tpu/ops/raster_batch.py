@@ -437,6 +437,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
         def _run_phase2():
             ngroups = jnp.maximum((count + 127) >> 7, 1)
+            n_groups_static = t_pad // 128
 
             if shading == ShadingMode.GOURAUD:
                 sh_cols = list(range(C_SH, C_SH + 9))
@@ -495,8 +496,16 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                             out.append(jnp.where(grp == gg, sel, carry[ci]))
                         return tuple(out)
 
+                    # faces compact in room/draw order, so one screen chunk
+                    # usually references a narrow band of attr groups —
+                    # bound the gather loop by the chunk's [min, max] winner
+                    # group instead of walking all ceil(count/128) groups
+                    gmin = jnp.min(jnp.where(has, grp,
+                                             _I32(n_groups_static - 1)))
+                    gmax = jnp.max(jnp.where(has, grp, _I32(0)))
+                    gmax = jnp.minimum(jnp.maximum(gmax, gmin), ngroups - 1)
                     vals = jax.lax.fori_loop(
-                        0, ngroups, gather_body,
+                        gmin, gmax + 1, gather_body,
                         tuple(jnp.zeros((ch, 128), _F32) for _ in cols))
                     a = dict(zip(cols, vals))
 
