@@ -13,9 +13,13 @@ from __future__ import annotations
 import copy
 import dataclasses
 import enum
+import math
 from typing import Any, Dict, List, Optional, Tuple
 
-from ..models.level import Level, Room, Sector, create_empty_level
+import numpy as np
+
+from ..models.level import (SECTOR_SIZE, Level, Room, Sector,
+                            create_empty_level)
 
 
 class EditorTool(enum.Enum):
@@ -242,6 +246,111 @@ class EditorState:
         self.asset_library: Any = None        # AssetLibrary when wired
         self.wall_direction: int = 0          # NORTH; state.rs wall tool
         self.portals_dirty = True             # state.rs:616
+        # --- 3D viewport camera (state.rs:418-428, :704-731) ---
+        self.camera_pos = np.array([4096.0, 4096.0, 4096.0], np.float32)
+        self.camera_rot_x = 0.46
+        self.camera_rot_y = 4.02
+        self.camera_mode = "free"             # "free" | "orbit"
+        self.orbit_target = np.array([512.0, 512.0, 512.0], np.float32)
+        self.orbit_distance = 4000.0
+        self.orbit_azimuth = 0.8
+        self.orbit_elevation = 0.4
+        self.last_orbit_target = self.orbit_target.copy()
+
+    def camera_basis(self) -> np.ndarray:
+        """Camera::update_basis (camera.rs:76-91) for the editor camera."""
+        from ..models import build
+        return np.asarray(build.camera_basis(self.camera_rot_x,
+                                             self.camera_rot_y))
+
+    def sync_camera_from_orbit(self) -> None:
+        """state.rs:1128 — place the camera behind the orbit target along
+        the current azimuth/elevation."""
+        pitch, yaw = self.orbit_elevation, self.orbit_azimuth
+        forward = np.array([math.cos(pitch) * math.sin(yaw),
+                            -math.sin(pitch),
+                            math.cos(pitch) * math.cos(yaw)], np.float32)
+        self.camera_pos = (np.asarray(self.orbit_target, np.float32)
+                           - forward * np.float32(self.orbit_distance))
+        self.camera_rot_x = pitch
+        self.camera_rot_y = yaw
+
+    def get_selection_center(self):
+        """state.rs:1147 — world-space center of the selection (orbit
+        target), or None.  Covers every variant incl. portals/objects."""
+        s = self.selection
+        rooms = self.level.rooms
+        if s.kind == "none" or not (0 <= s.room < len(rooms)):
+            return None
+        room = rooms[s.room]
+        if s.kind == "room":
+            return np.array([
+                float(room.position[0]) + room.width * SECTOR_SIZE / 2.0,
+                float(room.position[1]) + 512.0,
+                float(room.position[2]) + room.depth * SECTOR_SIZE / 2.0,
+            ], np.float32)
+        if s.kind in ("sector", "sector_face", "vertex", "edge"):
+            sector = room.get_sector(s.x, s.z)
+            if sector is None:
+                return None
+            floor_y = sector.floor.avg_height() if sector.floor else 0.0
+            ceil_y = (sector.ceiling.avg_height() if sector.ceiling
+                      else 2048.0)
+            return np.array([
+                float(room.position[0]) + (s.x + 0.5) * SECTOR_SIZE,
+                (floor_y + ceil_y) / 2.0,
+                float(room.position[2]) + (s.z + 0.5) * SECTOR_SIZE,
+            ], np.float32)
+        if s.kind == "portal":
+            if not (0 <= s.index < len(room.portals)):
+                return None
+            return np.mean(np.asarray(room.portals[s.index].vertices,
+                                      np.float32), axis=0)
+        if s.kind == "object":
+            if not (0 <= s.index < len(room.objects)):
+                return None
+            return np.asarray(room.objects[s.index].world_position(room),
+                              np.float32)
+        return None
+
+    def update_orbit_target(self) -> None:
+        """state.rs:1225."""
+        center = self.get_selection_center()
+        if center is not None:
+            self.orbit_target = center
+            self.last_orbit_target = center.copy()
+        else:
+            self.orbit_target = self.last_orbit_target
+
+    def center_camera_on_selection(self) -> None:
+        """state.rs:1237 — orbit mode retargets; free mode keeps the
+        current distance and basis but looks at the selection."""
+        center = self.get_selection_center()
+        if center is None:
+            return
+        if self.camera_mode == "orbit":
+            self.orbit_target = center
+            self.last_orbit_target = center.copy()
+            self.sync_camera_from_orbit()
+        else:
+            to_camera = self.camera_pos - center
+            distance = float(np.sqrt(np.sum(to_camera ** 2)))
+            if distance <= 0.1:
+                distance = 2000.0
+            bz = self.camera_basis()[2]
+            self.camera_pos = (center - bz * np.float32(distance)).astype(
+                np.float32)
+
+    def toggle_multi_selection(self, sel: Selection) -> None:
+        """state.rs:1110 — Shift+click toggling; folds the primary
+        selection in first so the first-clicked item stays selected."""
+        if self.selection.kind != "none" \
+                and self.selection not in self.multi_selection:
+            self.multi_selection.append(self.selection)
+        if sel in self.multi_selection:
+            self.multi_selection.remove(sel)
+        elif sel.kind != "none":
+            self.multi_selection.append(sel)
 
     def mark_portals_dirty(self) -> None:
         """state.rs:1251 — portal recompute is deferred to the frame."""

@@ -141,3 +141,79 @@ def test_face_property_clipboard():
     assert s.paste_face_properties(wall2)
     assert wall2.texture.name == "WALL_2B"
     assert wall2.heights == [5, 5, 6, 6]
+
+# ---------------------------------------------------------------------------
+# Selection center / camera orbit (state.rs:1110-1260)
+# ---------------------------------------------------------------------------
+
+import math
+
+import numpy as np
+
+from bonnie32_tpu.models.level import Portal
+
+
+def _state_with_floor():
+    from bonnie32_tpu.models.level import Level, Room, TextureRef
+    level = Level()
+    room = Room.new(0, (0.0, 0.0, 0.0), 4, 4)
+    room.set_floor(1, 2, 0.0, TextureRef("p", "T"))
+    room.recalculate_bounds()
+    level.add_room(room)
+    return EditorState(level)
+
+
+def test_selection_center_sector_and_room():
+    s = _state_with_floor()
+    s.selection = Selection(kind="sector", room=0, x=1, z=2)
+    c = s.get_selection_center()
+    np.testing.assert_allclose(c, [1.5 * 1024.0, 1024.0, 2.5 * 1024.0])
+    s.selection = Selection(kind="room", room=0)
+    c = s.get_selection_center()
+    np.testing.assert_allclose(c, [2048.0, 512.0, 2048.0])
+
+
+def test_selection_center_portal_and_object():
+    s = _state_with_floor()
+    room = s.level.rooms[0]
+    room.portals.append(Portal(
+        target_room=1,
+        vertices=np.array([[0, 0, 0], [4, 0, 0], [4, 4, 0], [0, 4, 0]],
+                          np.float32),
+        normal=np.array([0, 0, 1], np.float32)))
+    s.selection = Selection(kind="portal", room=0, index=0)
+    np.testing.assert_allclose(s.get_selection_center(), [2.0, 2.0, 0.0])
+    s.selection = Selection(kind="portal", room=0, index=5)
+    assert s.get_selection_center() is None
+
+
+def test_center_camera_orbit_and_free():
+    s = _state_with_floor()
+    s.selection = Selection(kind="sector", room=0, x=1, z=2)
+    center = s.get_selection_center()
+    # free mode: same distance, camera looks along -bz at the center
+    d0 = float(np.linalg.norm(s.camera_pos - center))
+    s.center_camera_on_selection()
+    d1 = float(np.linalg.norm(s.camera_pos - center))
+    np.testing.assert_allclose(d1, d0, rtol=1e-5)
+    # orbit mode: position derives from azimuth/elevation/distance
+    s.camera_mode = "orbit"
+    s.center_camera_on_selection()
+    np.testing.assert_allclose(s.orbit_target, center)
+    pitch, yaw = s.orbit_elevation, s.orbit_azimuth
+    fwd = np.array([math.cos(pitch) * math.sin(yaw), -math.sin(pitch),
+                    math.cos(pitch) * math.cos(yaw)], np.float32)
+    np.testing.assert_allclose(s.camera_pos,
+                               center - fwd * s.orbit_distance, rtol=1e-5)
+    assert s.camera_rot_x == pitch and s.camera_rot_y == yaw
+
+
+def test_toggle_multi_selection_keeps_primary():
+    s = _state_with_floor()
+    a = Selection(kind="sector", room=0, x=0, z=0)
+    b = Selection(kind="sector", room=0, x=1, z=1)
+    s.selection = a
+    s.toggle_multi_selection(b)
+    assert a in s.multi_selection and b in s.multi_selection
+    s.toggle_multi_selection(b)
+    assert b not in s.multi_selection
