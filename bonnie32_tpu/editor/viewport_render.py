@@ -1,0 +1,359 @@
+"""3D-viewport overlay rendering: previews, selection, rooms, portals.
+
+The overlay phase of `draw_viewport_3d`
+(`/root/reference/src/editor/viewport_3d.rs:3492-5654`) drawn headlessly
+into the same framebuffer the scene rendered into:
+
+  * floor/ceiling placement grids — 5x5 teal line grid + white corner
+    points centered on the hovered sector (:3496-3650),
+  * wall / diagonal-wall previews — gap-detected quad outline, teal for
+    a new wall, orange when filling a gap between existing walls, with
+    white corner markers (:3766-3980, colors :3229-3231),
+  * room boundary wireframes — 12 AABB edges per visible room, bright
+    blue for the current room, dim gray otherwise (:3981-4048),
+  * portal outlines — magenta for horizontal portals, cyan for wall
+    portals, depth-tested overlay lines (:4049-4090),
+  * selection highlights (yellow/orange :4863) for the primary and all
+    multi-selections, split-aware triangle edges for floors/ceilings and
+    quad edges for walls; vertex selections add a corner point,
+  * hover highlight (light blue :4492) for the hovered face when it is
+    not already selected.
+
+Line batches group by color and draw through ops.draw2d — previews and
+selection use the reference's non-depth-tested draw_3d_line; room bounds
+and portals use the depth-biased overlay variant (render.rs:764).
+"""
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.level import NESW, NORTH, NWSE, SECTOR_SIZE, EAST, SOUTH, WEST
+from ..ops import draw2d
+from ..types import CameraArrays, FrameBuffers
+from .state import (CEILING_HEIGHT, EditorState, EditorTool, SectorFace,
+                    Selection)
+
+F32 = np.float32
+
+# Overlay palette (viewport_3d.rs)
+GRID_INNER = (80, 180, 160)      # :3499 teal bright
+GRID_OUTER = (40, 90, 80)        # :3500 teal dim
+VERTEX_WHITE = (255, 255, 255)   # :3548
+NEW_WALL = (80, 200, 180)        # :3229
+GAP_FILL = (255, 180, 80)        # :3230
+ROOM_CURRENT = (80, 120, 200)    # :3991
+ROOM_OTHER = (60, 60, 80)        # :3993
+PORTAL_HORIZONTAL = (255, 100, 255)  # :4056
+PORTAL_WALL = (100, 255, 255)    # :4058
+SELECT_COLOR = (255, 200, 80)    # :4863
+HOVER_COLOR = (150, 200, 255)    # :4492
+
+
+class _Batch:
+    """Segment/point collector; one draw call per (color, depth mode)."""
+
+    def __init__(self):
+        self.segs: dict = {}     # (rgb, depth) -> [(p0, p1), ...]
+        self.points: List[Tuple[np.ndarray, int, tuple]] = []
+
+    def line(self, p0, p1, rgb, depth=False):
+        self.segs.setdefault((rgb, depth), []).append(
+            (np.asarray(p0, F32), np.asarray(p1, F32)))
+
+    def quad(self, corners, rgb, depth=False):
+        for i in range(4):
+            self.line(corners[i], corners[(i + 1) % 4], rgb, depth)
+
+    def point(self, p, size, rgb):
+        self.points.append((np.asarray(p, F32), size, rgb))
+
+    def flush(self, fb: FrameBuffers, camera: CameraArrays,
+              depth_mode: str) -> FrameBuffers:
+        height, width = fb.color.shape
+        for (rgb, depth), segs in self.segs.items():
+            p0 = np.stack([s[0] for s in segs])
+            p1 = np.stack([s[1] for s in segs])
+            if not depth:
+                fb = draw2d.draw_3d_lines_clipped(fb, p0, p1, camera, rgb)
+            else:
+                # draw_line_3d_overlay (render.rs:764): segments with an
+                # endpoint behind the camera are dropped, not clipped
+                # (viewport_3d.rs:4045 `if let (Some, Some)`)
+                sx0, sy0, z0, ok0 = _w2s(p0, camera, width, height)
+                sx1, sy1, z1, ok1 = _w2s(p1, camera, width, height)
+                ex = jnp.stack([sx0, sx1], axis=-1).astype(jnp.int32)
+                ey = jnp.stack([sy0, sy1], axis=-1).astype(jnp.int32)
+                ez = jnp.stack([z0, z1], axis=-1)
+                fb = draw2d.draw_lines_3d_alpha(
+                    fb, ex, ey, ez, rgb, 255, valid=ok0 & ok1,
+                    depth_mode=depth_mode)
+        for p, size, rgb in self.points:
+            sx, sy, _, ok = _w2s(p[None, :], camera, width, height)
+            if bool(ok[0]):
+                x, y = int(sx[0]), int(sy[0])
+                r = size // 2
+                fb = draw2d.draw_filled_rect(fb, x - r, y - r, x + r, y + r,
+                                             rgb)
+        return fb
+
+
+def _w2s(pts, camera: CameraArrays, width, height):
+    from ..ops.picking import world_to_screen
+    sx, sy, cz, ok = world_to_screen(jnp.asarray(pts, jnp.float32),
+                                     camera.position, camera.basis,
+                                     width, height)
+    return jnp.trunc(sx), jnp.trunc(sy), cz, ok
+
+
+def _camera(state: EditorState) -> CameraArrays:
+    return CameraArrays(position=jnp.asarray(state.camera_pos, jnp.float32),
+                        basis=jnp.asarray(state.camera_basis(), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# overlay builders
+# ---------------------------------------------------------------------------
+
+def _placement_grid(batch: _Batch, state: EditorState, editor) -> None:
+    """viewport_3d.rs:3496-3650 — 5x5 grid + corner points at the hovered
+    cell, on the floor plane or the ceiling plane by tool."""
+    if editor is None or editor.preview_sector is None:
+        return
+    if state.tool not in (EditorTool.DRAW_FLOOR, EditorTool.DRAW_CEILING):
+        return
+    room = state.current_room_ref()
+    room_y = float(room.position[1]) if room is not None else 0.0
+    grid_y = room_y + (CEILING_HEIGHT
+                       if state.tool == EditorTool.DRAW_CEILING else 0.0)
+    snapped_x, snapped_z = editor.preview_sector[0], editor.preview_sector[1]
+    sx = np.floor(snapped_x / SECTOR_SIZE) * SECTOR_SIZE
+    sz = np.floor(snapped_z / SECTOR_SIZE) * SECTOR_SIZE
+    cx = sx + SECTOR_SIZE * 0.5
+    cz = sz + SECTOR_SIZE * 0.5
+    inner_half = SECTOR_SIZE * 1.5
+    outer_half = SECTOR_SIZE * 2.5
+    for i in range(6):
+        off = -outer_half + i * SECTOR_SIZE
+        rgb = GRID_INNER if abs(off) <= inner_half else GRID_OUTER
+        batch.line((cx - outer_half, grid_y, cz + off),
+                   (cx + outer_half, grid_y, cz + off), rgb)
+        batch.line((cx + off, grid_y, cz - outer_half),
+                   (cx + off, grid_y, cz + outer_half), rgb)
+    for dx, dz in ((0, 0), (SECTOR_SIZE, 0), (SECTOR_SIZE, SECTOR_SIZE),
+                   (0, SECTOR_SIZE)):
+        batch.point((sx + dx, grid_y, sz + dz), 3, VERTEX_WHITE)
+
+
+def _wall_edge_corners(room, gx, gz, d, heights):
+    """World-space wall quad corners for direction `d` with the emitter's
+    corner order [BL, BR, TR, TL] (models/level.py _Emitter.wall)."""
+    bx = float(room.position[0]) + gx * SECTOR_SIZE
+    bz = float(room.position[2]) + gz * SECTOR_SIZE
+    y = float(room.position[1])
+    s = SECTOR_SIZE
+    h = [y + float(v) for v in heights]
+    if d == NORTH:
+        pts = [(bx, h[0], bz), (bx + s, h[1], bz),
+               (bx + s, h[2], bz), (bx, h[3], bz)]
+    elif d == EAST:
+        pts = [(bx + s, h[0], bz), (bx + s, h[1], bz + s),
+               (bx + s, h[2], bz + s), (bx + s, h[3], bz)]
+    elif d == SOUTH:
+        pts = [(bx + s, h[0], bz + s), (bx, h[1], bz + s),
+               (bx, h[2], bz + s), (bx + s, h[3], bz + s)]
+    elif d == WEST:
+        pts = [(bx, h[0], bz + s), (bx, h[1], bz),
+               (bx, h[2], bz), (bx, h[3], bz + s)]
+    elif d == NWSE:
+        pts = [(bx + s, h[1], bz + s), (bx, h[0], bz),
+               (bx, h[3], bz), (bx + s, h[2], bz + s)]
+    else:  # NESW
+        pts = [(bx, h[1], bz + s), (bx + s, h[0], bz),
+               (bx + s, h[3], bz), (bx, h[2], bz + s)]
+    return [np.asarray(p, F32) for p in pts]
+
+
+def _wall_preview(batch: _Batch, state: EditorState, editor) -> None:
+    """viewport_3d.rs:3766-3980 — gap-detected preview quad + corners."""
+    if editor is None or state.tool != EditorTool.DRAW_WALL:
+        return
+    cur = editor.wall_drag_current
+    room = state.current_room_ref()
+    if cur is None or room is None:
+        return
+    heights = editor.wall_preview()
+    if heights is None:
+        return
+    gx, gz, d = cur
+    sector = room.get_sector(gx, gz)
+    filling = sector is not None and len(sector.walls(d)) > 0
+    rgb = GAP_FILL if filling else NEW_WALL
+    corners = _wall_edge_corners(room, gx, gz, d, heights)
+    batch.quad(corners, rgb)
+    for c in corners:
+        batch.point(c, 3, VERTEX_WHITE)
+
+
+def _room_bounds_and_portals(batch: _Batch, state: EditorState) -> None:
+    """viewport_3d.rs:3981-4090."""
+    if not getattr(state, "show_room_bounds", True):
+        return
+    for room_idx, room in enumerate(state.level.rooms):
+        if room_idx in state.hidden_rooms:
+            continue
+        rgb = ROOM_CURRENT if room_idx == state.current_room else ROOM_OTHER
+        min_x = float(room.position[0])
+        min_z = float(room.position[2])
+        max_x = min_x + room.width * SECTOR_SIZE
+        max_z = min_z + room.depth * SECTOR_SIZE
+        min_y = float(room.position[1]) + float(room.bounds_min[1])
+        max_y = float(room.position[1]) + float(room.bounds_max[1])
+        if min_y > max_y or min_x > max_x or min_z > max_z:
+            continue
+        c = [(min_x, min_y, min_z), (max_x, min_y, min_z),
+             (max_x, min_y, max_z), (min_x, min_y, max_z),
+             (min_x, max_y, min_z), (max_x, max_y, min_z),
+             (max_x, max_y, max_z), (min_x, max_y, max_z)]
+        for i, j in ((0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6),
+                     (6, 7), (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)):
+            batch.line(c[i], c[j], rgb, depth=True)
+        for portal in room.portals:
+            horizontal = abs(float(portal.normal[1])) > 0.9
+            prgb = PORTAL_HORIZONTAL if horizontal else PORTAL_WALL
+            verts = (np.asarray(portal.vertices, F32)
+                     + np.asarray(room.position, F32)[None, :])
+            for i in range(4):
+                batch.line(verts[i], verts[(i + 1) % 4], prgb, depth=True)
+
+
+def _face_edges(batch: _Batch, room, gx, gz, face: SectorFace, rgb) -> bool:
+    """Edges of one selected/hovered sector face (viewport_3d.rs:4874-5100
+    selection closure).  Returns False if the face no longer exists."""
+    sector = room.get_sector(gx, gz)
+    if sector is None:
+        return False
+    bx = float(room.position[0]) + gx * SECTOR_SIZE
+    bz = float(room.position[2]) + gz * SECTOR_SIZE
+    y = float(room.position[1])
+    s = SECTOR_SIZE
+
+    if face.kind in ("floor", "ceiling"):
+        f = sector.floor if face.kind == "floor" else sector.ceiling
+        if f is None:
+            return False
+        h1 = [y + float(v) for v in f.heights]
+        h2 = [y + float(v) for v in f.get_heights_2()]
+        p1 = [(bx, h1[0], bz), (bx + s, h1[1], bz),
+              (bx + s, h1[2], bz + s), (bx, h1[3], bz + s)]
+        p2 = [(bx, h2[0], bz), (bx + s, h2[1], bz),
+              (bx + s, h2[2], bz + s), (bx, h2[3], bz + s)]
+        if f.split_direction == 0:   # NwSe: tri1 NW-NE-SE, tri2 NW-SE-SW
+            edges = [(p1, 0, 1), (p1, 1, 2), (p2, 2, 3), (p2, 3, 0),
+                     (p1, 0, 2), (p2, 0, 2)]
+        else:                        # NeSw: tri1 NW-NE-SW, tri2 NE-SE-SW
+            edges = [(p1, 0, 1), (p2, 1, 2), (p2, 2, 3), (p1, 3, 0),
+                     (p1, 1, 3), (p2, 1, 3)]
+        seen = set()
+        for pts, i, j in edges:
+            key = (pts[i], pts[j])
+            if key in seen:
+                continue
+            seen.add(key)
+            batch.line(pts[i], pts[j], rgb)
+        return True
+
+    walls = sector.walls(face.direction)
+    if not (0 <= face.wall_index < len(walls)):
+        return False
+    corners = _wall_edge_corners(room, gx, gz, face.direction,
+                                 walls[face.wall_index].heights)
+    batch.quad(corners, rgb)
+    return True
+
+
+def _selection_overlays(batch: _Batch, state: EditorState) -> None:
+    """Primary + multi selections (viewport_3d.rs:4863-5260)."""
+    for sel in [state.selection] + state.multi_selection:
+        if sel.kind not in ("sector_face", "vertex", "sector"):
+            continue
+        if not (0 <= sel.room < len(state.level.rooms)):
+            continue
+        room = state.level.rooms[sel.room]
+        if sel.kind == "sector":
+            # highlight the sector footprint through its floor (or flat
+            # outline at room height when no floor exists)
+            face = SectorFace(kind="floor")
+            if not _face_edges(batch, room, sel.x, sel.z, face,
+                               SELECT_COLOR):
+                bx = float(room.position[0]) + sel.x * SECTOR_SIZE
+                bz = float(room.position[2]) + sel.z * SECTOR_SIZE
+                yy = float(room.position[1])
+                s = SECTOR_SIZE
+                batch.quad([(bx, yy, bz), (bx + s, yy, bz),
+                            (bx + s, yy, bz + s), (bx, yy, bz + s)],
+                           SELECT_COLOR)
+            continue
+        if sel.face is None:
+            continue
+        _face_edges(batch, room, sel.x, sel.z, sel.face, SELECT_COLOR)
+        if sel.kind == "vertex":
+            sector = room.get_sector(sel.x, sel.z)
+            if sector is None:
+                continue
+            if sel.face.kind in ("floor", "ceiling"):
+                f = (sector.floor if sel.face.kind == "floor"
+                     else sector.ceiling)
+                if f is None:
+                    continue
+                corner_off = [(0.0, 0.0), (SECTOR_SIZE, 0.0),
+                              (SECTOR_SIZE, SECTOR_SIZE), (0.0, SECTOR_SIZE)]
+                dx, dz = corner_off[sel.corner_idx % 4]
+                p = (float(room.position[0]) + sel.x * SECTOR_SIZE + dx,
+                     float(room.position[1]) + float(
+                         f.heights[sel.corner_idx % 4]),
+                     float(room.position[2]) + sel.z * SECTOR_SIZE + dz)
+            else:
+                walls = sector.walls(sel.face.direction)
+                if not (0 <= sel.face.wall_index < len(walls)):
+                    continue
+                corners = _wall_edge_corners(
+                    room, sel.x, sel.z, sel.face.direction,
+                    walls[sel.face.wall_index].heights)
+                p = corners[sel.corner_idx % 4]
+            batch.point(p, 5, SELECT_COLOR)
+
+
+def _hover_overlay(batch: _Batch, state: EditorState, hover) -> None:
+    """viewport_3d.rs:4481 — hovered face edges unless already selected.
+
+    `hover` is the reference's `hovered_face`: (room_idx, gx, gz,
+    SectorFace) — e.g. a hover.py HoverResult's quad tag."""
+    if hover is None:
+        return
+    room_idx, gx, gz, face = hover
+    if face is None:
+        return
+    sel = state.selection
+    if (sel.kind in ("sector_face", "vertex") and sel.face == face
+            and (sel.room, sel.x, sel.z) == (room_idx, gx, gz)):
+        return
+    if not (0 <= room_idx < len(state.level.rooms)):
+        return
+    _face_edges(batch, state.level.rooms[room_idx], gx, gz, face,
+                HOVER_COLOR)
+
+
+def draw_viewport_overlays(fb: FrameBuffers, state: EditorState,
+                           editor=None, hover=None,
+                           depth_mode: str = "inv") -> FrameBuffers:
+    """Compose every overlay onto a rendered viewport framebuffer."""
+    camera = _camera(state)
+    batch = _Batch()
+    _placement_grid(batch, state, editor)
+    _wall_preview(batch, state, editor)
+    _room_bounds_and_portals(batch, state)
+    _selection_overlays(batch, state)
+    _hover_overlay(batch, state, hover)
+    return batch.flush(fb, camera, depth_mode)

@@ -1,0 +1,124 @@
+"""3D-viewport overlay rendering (viewport_3d.rs:3492-5654): placement
+grids, wall previews, room/portal wireframes, selection + hover edges
+drawn into the framebuffer."""
+
+import numpy as np
+
+from bonnie32_tpu.editor.state import (EditorState, EditorTool, SectorFace,
+                                       Selection)
+from bonnie32_tpu.editor.viewport_edit import ViewportEditor
+from bonnie32_tpu.editor import viewport_render as vr
+from bonnie32_tpu.models.level import (NORTH, NWSE, SECTOR_SIZE, Level,
+                                       Portal, Room, TextureRef)
+from bonnie32_tpu.ops import raster_ref
+
+TEX = TextureRef("p", "T")
+
+
+def _pack(rgb):
+    return np.int32(rgb[0] | (rgb[1] << 8) | (rgb[2] << 16)
+                    | np.uint32(255 << 24).astype(np.int32))
+
+
+def _count(fb, rgb):
+    return int((np.asarray(fb.color) == _pack(rgb)).sum())
+
+
+def _state(with_floor=True):
+    level = Level()
+    room = Room.new(0, (0.0, 0.0, 0.0), 4, 4)
+    if with_floor:
+        room.set_floor(1, 1, 0.0, TEX)
+    room.recalculate_bounds()
+    level.add_room(room)
+    s = EditorState(level)
+    # look at the room center from above/outside
+    s.selection = Selection(kind="sector", room=0, x=1, z=1)
+    s.camera_mode = "orbit"
+    s.orbit_distance = 6000.0
+    s.center_camera_on_selection()
+    s.selection = Selection()
+    return s
+
+
+def _fb():
+    return raster_ref.new_framebuffer(240, 320, depth_mode="inv")
+
+
+def test_placement_grid_draws_teal_lines_and_corners():
+    s = _state()
+    s.tool = EditorTool.DRAW_FLOOR
+    ed = ViewportEditor(state=s)
+    ed.preview_sector = (1.0 * SECTOR_SIZE, 1.0 * SECTOR_SIZE, 0.0, False)
+    fb = vr.draw_viewport_overlays(_fb(), s, editor=ed)
+    assert _count(fb, vr.GRID_INNER) > 50
+    assert _count(fb, vr.GRID_OUTER) > 50
+    assert _count(fb, vr.VERTEX_WHITE) >= 4
+
+
+def test_wall_preview_new_vs_gap_fill_colors():
+    s = _state()
+    s.tool = EditorTool.DRAW_WALL
+    ed = ViewportEditor(state=s)
+    ed.wall_direction = NORTH
+    ed.wall_drag_start = (1, 1, NORTH)
+    ed.wall_drag_current = (1, 1, NORTH)
+    fb = vr.draw_viewport_overlays(_fb(), s, editor=ed)
+    assert _count(fb, vr.NEW_WALL) > 20         # teal: new wall
+    assert _count(fb, vr.GAP_FILL) == 0
+
+    # an existing wall on the edge turns the preview orange (gap fill)
+    room = s.level.rooms[0]
+    room.add_wall(1, 1, NORTH, 0.0, 512.0, TEX)
+    room.add_wall(1, 1, NORTH, 896.0, 2048.0, TEX)
+    room.recalculate_bounds()
+    fb2 = vr.draw_viewport_overlays(_fb(), s, editor=ed)
+    assert _count(fb2, vr.GAP_FILL) > 20
+
+
+def test_room_bounds_and_portit_outlines():
+    s = _state()
+    room = s.level.rooms[0]
+    room.portals.append(Portal(
+        target_room=1,
+        vertices=np.array([[0, 0, 0], [1024, 0, 0], [1024, 1024, 0],
+                           [0, 1024, 0]], np.float32),
+        normal=np.array([0, 0, 1], np.float32)))
+    fb = vr.draw_viewport_overlays(_fb(), s)
+    assert _count(fb, vr.ROOM_CURRENT) > 50       # current room AABB
+    assert _count(fb, vr.PORTAL_WALL) > 10        # cyan wall portal
+    # horizontal portal -> magenta
+    room.portals[0].normal = np.array([0, 1, 0], np.float32)
+    fb2 = vr.draw_viewport_overlays(_fb(), s)
+    assert _count(fb2, vr.PORTAL_HORIZONTAL) > 10
+
+
+def test_selection_and_hover_edges():
+    s = _state()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    fb = vr.draw_viewport_overlays(_fb(), s)
+    assert _count(fb, vr.SELECT_COLOR) > 30
+
+    hover = (0, 1, 1, SectorFace(kind="floor"))
+    fb2 = vr.draw_viewport_overlays(_fb(), s, hover=hover)
+    # hovered face == selected face -> no hover color drawn
+    assert _count(fb2, vr.HOVER_COLOR) == 0
+    s.selection = Selection()
+    fb3 = vr.draw_viewport_overlays(_fb(), s, hover=hover)
+    assert _count(fb3, vr.HOVER_COLOR) > 30
+
+
+def test_vertex_selection_point():
+    s = _state()
+    s.selection = Selection(kind="vertex", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"), corner_idx=2)
+    fb = vr.draw_viewport_overlays(_fb(), s)
+    assert _count(fb, vr.SELECT_COLOR) > 40   # edges + the 5px corner point
+
+
+def test_hidden_room_skipped():
+    s = _state()
+    s.hidden_rooms.add(0)
+    fb = vr.draw_viewport_overlays(_fb(), s)
+    assert _count(fb, vr.ROOM_CURRENT) == 0
