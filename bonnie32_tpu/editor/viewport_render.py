@@ -357,3 +357,22 @@ def draw_viewport_overlays(fb: FrameBuffers, state: EditorState,
     _selection_overlays(batch, state)
     _hover_overlay(batch, state, hover)
     return batch.flush(fb, camera, depth_mode)
+
+
+def render_editor_viewport(state: EditorState, scene, width: int,
+                           height: int, settings=None, editor=None,
+                           hover=None) -> FrameBuffers:
+    """The full draw_viewport_3d content pass: scene render from the
+    editor camera (viewport_3d.rs:3472 render_scene) + every overlay.
+    `scene` is a models.scene.CompiledScene for state.level; the caller
+    blits the returned framebuffer into the viewport rect (the same
+    contract as the game tab's frame, frame.py)."""
+    from ..config import RasterSettings
+    from ..models import scene as scene_mod
+    from ..ops import raster_ref
+
+    if settings is None:
+        settings = RasterSettings.modeler()
+    fb = raster_ref.new_framebuffer(height, width, depth_mode="inv")
+    fb = scene_mod.render_level(fb, scene, _camera(state), settings)
+    return draw_viewport_overlays(fb, state, editor=editor, hover=hover)

@@ -122,3 +122,17 @@ def test_hidden_room_skipped():
     s.hidden_rooms.add(0)
     fb = vr.draw_viewport_overlays(_fb(), s)
     assert _count(fb, vr.ROOM_CURRENT) == 0
+
+
+def test_render_editor_viewport_full_pass():
+    # scene + overlays through the real pipeline on a tiny one-room level
+    from bonnie32_tpu.models import scene as scene_mod
+    from bonnie32_tpu.models import texture_pack as tp
+
+    s = _state()
+    packs = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+    scene = scene_mod.compile_level(s.level, packs, tp.make_resolver(packs))
+    fb = vr.render_editor_viewport(s, scene, 160, 120)
+    assert fb.color.shape == (120, 160)
+    assert int((np.asarray(fb.color) != 0).sum()) > 100
