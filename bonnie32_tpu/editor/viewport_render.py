@@ -273,6 +273,204 @@ def _face_edges(batch: _Batch, room, gx, gz, face: SectorFace, rgb) -> bool:
     return True
 
 
+def _ring(batch, center, radius, y, rgb, segments=12, axis="y"):
+    import math
+    pts = []
+    for i in range(segments):
+        a = 2.0 * math.pi * i / segments
+        if axis == "y":
+            pts.append((center[0] + radius * math.cos(a), y,
+                        center[2] + radius * math.sin(a)))
+        elif axis == "x":
+            pts.append((center[0], center[1] + radius * math.cos(a),
+                        center[2] + radius * math.sin(a)))
+        else:
+            pts.append((center[0] + radius * math.cos(a),
+                        center[1] + radius * math.sin(a), center[2]))
+    for i in range(segments):
+        batch.line(pts[i], pts[(i + 1) % segments], rgb, depth=True)
+
+
+def _wire_sphere(batch, center, radius, rgb, segments=12):
+    """draw_wireframe_sphere (viewport_3d.rs:6023): equator + two great
+    circles."""
+    _ring(batch, center, radius, center[1], rgb, segments, axis="y")
+    _ring(batch, center, radius, None, rgb, segments, axis="x")
+    _ring(batch, center, radius, None, rgb, segments, axis="z")
+
+
+def _wire_cylinder(batch, center, radius, height, rgb, segments=12):
+    """Rings + every-other vertical (game/renderer.rs:984 style)."""
+    import math
+    _ring(batch, center, radius, center[1], rgb, segments)
+    _ring(batch, center, radius, center[1] + height, rgb, segments)
+    step = 2 if segments > 8 else 1
+    for i in range(0, segments, step):
+        a = 2.0 * math.pi * i / segments
+        x = center[0] + radius * math.cos(a)
+        z = center[2] + radius * math.sin(a)
+        batch.line((x, center[1], z), (x, center[1] + height, z), rgb,
+                   depth=True)
+
+
+def _rotated_box(batch, mn, mx, world_pos, facing, rgb):
+    """draw_rotated_bounding_box: local AABB yawed by facing at
+    world_pos."""
+    import math
+    c, s = math.cos(facing), math.sin(facing)
+    corners = []
+    for x in (mn[0], mx[0]):
+        for y in (mn[1], mx[1]):
+            for z in (mn[2], mx[2]):
+                corners.append((world_pos[0] + x * c + z * s,
+                                world_pos[1] + y,
+                                world_pos[2] - x * s + z * c))
+    # index bits: x*4 + y*2 + z
+    for i, j in ((0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
+                 (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)):
+        batch.line(corners[i], corners[j], rgb, depth=True)
+
+
+def _octahedron(fb, batch, camera, center, size, rgb):
+    """draw_filled_octahedron (viewport_3d.rs:6223): 8 same-color filled
+    faces (the union is the silhouette) + 3/4-bright edges."""
+    height, width = fb.color.shape
+    verts = np.array([
+        [center[0], center[1] + size, center[2]],   # top
+        [center[0], center[1] - size, center[2]],   # bottom
+        [center[0], center[1], center[2] + size],   # front
+        [center[0], center[1], center[2] - size],   # back
+        [center[0] - size, center[1], center[2]],   # left
+        [center[0] + size, center[1], center[2]],   # right
+    ], F32)
+    sx, sy, _, ok = _w2s(verts, camera, width, height)
+    if not bool(np.asarray(ok).all()):
+        return fb
+    sx = np.asarray(sx)
+    sy = np.asarray(sy)
+    for a, b, c in ((0, 2, 5), (0, 5, 3), (0, 3, 4), (0, 4, 2),
+                    (1, 5, 2), (1, 3, 5), (1, 4, 3), (1, 2, 4)):
+        fb = draw2d.draw_filled_triangle(fb, sx[a], sy[a], sx[b], sy[b],
+                                         sx[c], sy[c], rgb)
+    edge = tuple(int(v) * 3 // 4 for v in rgb)
+    for i, j in ((0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3), (1, 4),
+                 (1, 5), (2, 5), (5, 3), (3, 4), (4, 2)):
+        batch.line(verts[i], verts[j], edge)
+    return fb
+
+
+# Gizmo palette (viewport_3d.rs:4111-4131)
+GIZMO_SPAWN = (100, 255, 100)
+GIZMO_LIGHT = (255, 255, 100)
+GIZMO_LIGHT_OFF = (80, 80, 80)
+GIZMO_ENEMY = (255, 100, 100)
+GIZMO_MESH = (180, 130, 255)
+GIZMO_TRIGGER = (255, 100, 200)
+GIZMO_PLAIN = (100, 100, 100)
+GIZMO_SELECTED_BOX = (255, 200, 50)
+
+
+def _asset_gizmos(fb, batch: _Batch, state: EditorState,
+                  camera: CameraArrays) -> FrameBuffers:
+    """viewport_3d.rs:4088-4272 — per placed object: light octahedron,
+    player-spawn collision cylinder + camera indicator, collision-shape
+    wireframes, fallback screen-space dots, selected bounding box."""
+    lib = state.asset_library
+    if lib is None:
+        return fb
+    height, width = fb.color.shape
+    for room_idx, room in enumerate(state.level.rooms):
+        for obj_idx, obj in enumerate(room.objects):
+            wp = obj.world_position(room)
+            sx, sy, _, ok = _w2s(wp[None, :], camera, width, height)
+            if not bool(ok[0]):
+                continue
+            selected = (state.selection.kind == "object"
+                        and state.selection.room == room_idx
+                        and state.selection.index == obj_idx)
+            asset = lib.get_by_id(obj.asset_id)
+            if asset is None:
+                fb = draw2d.draw_circle_outline(
+                    fb, int(sx[0]), int(sy[0]), 5, GIZMO_PLAIN)
+                continue
+            if asset.has_light():
+                light = asset.light_component()
+                offset = light[3] if light else (0.0, 0.0, 0.0)
+                if obj.light_override is not None \
+                        and obj.light_override.offset is not None:
+                    offset = obj.light_override.offset
+                pos = (wp[0] + offset[0], wp[1] + offset[1],
+                       wp[2] + offset[2])
+                size = 80.0 if selected else 50.0
+                rgb = ((255, 255, 255) if selected else
+                       GIZMO_LIGHT if obj.enabled else GIZMO_LIGHT_OFF)
+                fb = _octahedron(fb, batch, camera, pos, size, rgb)
+            elif asset.has_spawn_point(True):
+                ps = state.level.player_settings
+                rgb = GIZMO_SPAWN if selected else GIZMO_PLAIN
+                _wire_cylinder(batch, wp, ps.radius, ps.height, rgb)
+                cam_pos = (wp[0], wp[1] + ps.camera_height,
+                           wp[2] - ps.camera_distance)
+                crgb = (255, 255, 100) if selected else (120, 120, 80)
+                _wire_sphere(batch, cam_pos, 30.0, crgb, 6)
+                batch.line((wp[0], wp[1] + ps.height, wp[2]), cam_pos,
+                           crgb, depth=True)
+            else:
+                shape = asset.collision_shape()
+                if shape is not None:
+                    d = asset.collision_component() or {}
+                    rgb = ((255, 255, 255) if selected
+                           else (100, 255, 150) if d.get("is_trigger")
+                           else (100, 150, 255))
+                    if shape.kind == "sphere":
+                        _wire_sphere(batch, wp, shape.radius, rgb, 16)
+                    elif shape.kind == "box":
+                        hx, hy, hz = shape.half_extents
+                        _rotated_box(batch, (-hx, -hy, -hz), (hx, hy, hz),
+                                     wp, obj.facing, rgb)
+                    elif shape.kind == "cylinder":
+                        _wire_cylinder(batch, wp, shape.radius,
+                                       shape.height, rgb)
+                    elif shape.kind == "capsule":
+                        _wire_cylinder(batch, wp, shape.radius,
+                                       shape.height, rgb)
+                        _wire_sphere(batch, (wp[0], wp[1], wp[2]),
+                                     shape.radius, rgb)
+                        _wire_sphere(batch,
+                                     (wp[0], wp[1] + shape.height, wp[2]),
+                                     shape.radius, rgb)
+                else:
+                    base = 8 if selected else 5
+                    col = (GIZMO_ENEMY if asset.has_enemy()
+                           else GIZMO_MESH if asset.has_mesh()
+                           else GIZMO_TRIGGER if asset.has_trigger()
+                           else GIZMO_PLAIN)
+                    if selected:
+                        fb = draw2d.draw_circle(fb, int(sx[0]), int(sy[0]),
+                                                base + 3, (255, 255, 255))
+                    fb = draw2d.draw_circle(fb, int(sx[0]), int(sy[0]),
+                                            base, col)
+            if selected and asset.has_mesh():
+                b = _asset_bounds(asset)
+                if b is not None:
+                    _rotated_box(batch, b[0], b[1], wp, obj.facing,
+                                 GIZMO_SELECTED_BOX)
+    return fb
+
+
+def _asset_bounds(asset):
+    """Asset::bounds — AABB over all mesh part vertices."""
+    parts = asset.mesh() or []
+    pts = []
+    for part in parts:
+        for v in getattr(part.mesh, "vertices", []):
+            pts.append(v.pos if hasattr(v, "pos") else v["pos"])
+    if not pts:
+        return None
+    arr = np.asarray(pts, F32)
+    return arr.min(axis=0), arr.max(axis=0)
+
+
 def _selection_overlays(batch: _Batch, state: EditorState) -> None:
     """Primary + multi selections (viewport_3d.rs:4863-5260)."""
     for sel in [state.selection] + state.multi_selection:
@@ -354,6 +552,7 @@ def draw_viewport_overlays(fb: FrameBuffers, state: EditorState,
     _placement_grid(batch, state, editor)
     _wall_preview(batch, state, editor)
     _room_bounds_and_portals(batch, state)
+    fb = _asset_gizmos(fb, batch, state, camera)
     _selection_overlays(batch, state)
     _hover_overlay(batch, state, hover)
     return batch.flush(fb, camera, depth_mode)

@@ -136,3 +136,52 @@ def test_render_editor_viewport_full_pass():
     fb = vr.render_editor_viewport(s, scene, 160, 120)
     assert fb.color.shape == (120, 160)
     assert int((np.asarray(fb.color) != 0).sum()) > 100
+
+
+def test_asset_gizmos_light_spawn_collision():
+    from bonnie32_tpu.models import asset as A
+    from bonnie32_tpu.models.level import AssetInstance
+
+    s = _state()
+    lib = A.AssetLibrary()
+    lib.assets = {a.id: a for a in A.builtin_assets()}
+    s.asset_library = lib
+    by_name = {a.name: a for a in lib.assets.values()}
+    room = s.level.rooms[0]
+    spawn = by_name.get("Player Spawn") or by_name.get("player_spawn")
+    light = by_name.get("Point Light") or by_name.get("point_light")
+    assert spawn is not None and light is not None
+    room.objects.append(AssetInstance(sector_x=1, sector_z=1,
+                                      asset_id=spawn.id))
+    # height lifts the light to the orbit target's altitude so the
+    # octahedron lands mid-viewport
+    room.objects.append(AssetInstance(sector_x=2, sector_z=1,
+                                      asset_id=light.id, height=1024.0))
+    # orbit in close so the 50-unit octahedron covers real pixels
+    room.set_floor(2, 1, 0.0, TEX)
+    room.recalculate_bounds()
+    s.selection = Selection(kind="sector", room=0, x=2, z=1)
+    s.orbit_distance = 1500.0
+    s.center_camera_on_selection()
+    s.selection = Selection()
+    fb = vr.draw_viewport_overlays(_fb(), s)
+    arr = np.asarray(fb.color)
+    assert int((arr == _pack(vr.GIZMO_LIGHT)).sum()) > 20   # octahedron fill
+
+    # spawn cylinder (grey) from a camera centered on its sector
+    s.selection = Selection(kind="sector", room=0, x=1, z=1)
+    s.orbit_distance = 4000.0
+    s.center_camera_on_selection()
+    s.selection = Selection()
+    arr2 = np.asarray(vr.draw_viewport_overlays(_fb(), s).color)
+    assert int((arr2 == _pack(vr.GIZMO_PLAIN)).sum()) > 10
+
+    # selecting the light turns the octahedron white and larger
+    # (same camera as the yellow measurement: re-center on the light)
+    s.selection = Selection(kind="sector", room=0, x=2, z=1)
+    s.orbit_distance = 1500.0
+    s.center_camera_on_selection()
+    s.selection = Selection(kind="object", room=0, index=1)
+    fb2 = vr.draw_viewport_overlays(_fb(), s)
+    assert int((np.asarray(fb2.color) == _pack((255, 255, 255))).sum()) > \
+        int((arr == _pack(vr.GIZMO_LIGHT)).sum())
