@@ -335,6 +335,31 @@ def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
                 st.song.channel_instruments.append(0)
             st.song.channel_instruments[c] = sel["inst"]
 
+    # Pan/Mod/Expr knobs + reverb Wet mini-knob for the current channel
+    # (layout.rs:1352-1445; values persist in ChannelSettings, pattern.rs:9)
+    from ..ui.widgets import knob, mini_knob
+
+    ch = st.current_channel
+    while len(st.song.channel_settings) <= ch:
+        st.song.channel_settings.append(type(st.song.channel_settings[0])()
+                                        if st.song.channel_settings
+                                        else None)
+    cs = st.song.channel_settings[ch]
+    if cs is not None:
+        knob_y = chn.y + st.num_channels() * ROW24 + 44
+        for i, (label, attr, bipolar) in enumerate(
+                (("Pan", "pan", True), ("Mod", "modulation", False),
+                 ("Expr", "expression", False))):
+            kx = chn.x + 30 + i * 64
+            new, _ = knob(ctx, kx, knob_y, 24, getattr(cs, attr), label,
+                          bipolar=bipolar)
+            if new is not None:
+                setattr(cs, attr, new)
+        new = mini_knob(ctx, chn.x + 30 + 3 * 64, knob_y, 14, cs.wet,
+                        "Wet")
+        if new is not None:
+            cs.wet = new
+
 
 def draw_tracker_screen(ctx: UiContext, st: TrackerState, bounds: Rect,
                         tab: TrackerTab = TrackerTab.PATTERN,

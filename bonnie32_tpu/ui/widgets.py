@@ -7,6 +7,7 @@ hashes labels; explicit ids avoid collisions).
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence, Tuple
 
 from .context import UiContext
@@ -158,6 +159,16 @@ def vlist(ctx: UiContext, wid: str, rect: Rect, items: Sequence[str],
         elif ctx.hot == rid:
             ctx.fill(row, ctx.theme.widget_hover)
         ctx.text(row.x + 4, row.center_y, items[i])
+    # scrollbar track + thumb when content overflows (widgets.rs:118-133)
+    total_h = len(items) * row_h
+    if total_h > rect.h:
+        sb_w = 6.0
+        sb_x = rect.right - sb_w - 2.0
+        sb_h = max(rect.h / total_h * rect.h, 20.0)
+        max_scroll = total_h - rect.h
+        sb_y = rect.y + (scroll / max_scroll) * (rect.h - sb_h)
+        ctx.fill(Rect(sb_x, rect.y, sb_w, rect.h), (20, 20, 26))
+        ctx.fill(Rect(sb_x, sb_y, sb_w, sb_h), (77, 77, 89))
     ctx.outline(rect, ctx.theme.panel_border)
     return selected, scroll
 
@@ -472,3 +483,122 @@ def three_way_toggle(ctx: UiContext, rect: Rect, options: Sequence[str],
         if hovered and ctx.mouse.pressed and not sel:
             clicked = i
     return clicked
+
+
+# =============================================================================
+# Rotary knobs (widgets.rs:781-1100) — tracker channel strips
+# =============================================================================
+
+_KNOB_START = math.radians(225.0)   # bottom-left
+_KNOB_END = math.radians(-45.0)     # bottom-right: 270 deg sweep
+_ACCENT = (120, 180, 255)
+
+
+def _knob_arc(ctx: UiContext, cx, cy, arc_r, a_from, a_to, thickness,
+              segments):
+    """Arc as line segments (widgets.rs:816-858); y flips screenward."""
+    for i in range(segments):
+        t1 = i / segments
+        t2 = (i + 1) / segments
+        a1 = a_from + (a_to - a_from) * t1
+        a2 = a_from + (a_to - a_from) * t2
+        if not (_KNOB_END <= a1 <= _KNOB_START
+                and _KNOB_END <= a2 <= _KNOB_START):
+            continue
+        for off in range(int(thickness)):
+            r = arc_r - thickness / 2.0 + off
+            ctx.line(cx + r * math.cos(a1), cy - r * math.sin(a1),
+                     cx + r * math.cos(a2), cy - r * math.sin(a2), _ACCENT)
+
+
+def _knob_angle(value: int) -> float:
+    return _KNOB_START - (value / 127.0) * (_KNOB_START - _KNOB_END)
+
+
+def _knob_drag_value(ctx: UiContext, cx, cy) -> int:
+    """Angle-from-center mapping with bottom dead-zone snap
+    (widgets.rs:917-952)."""
+    dx = ctx.mouse.x - cx
+    dy = cy - ctx.mouse.y
+    mouse_angle = math.atan2(dx, dy)       # 0 at 12 o'clock, cw positive
+    lo, hi = math.radians(-135.0), math.radians(45.0)
+    norm = (mouse_angle - lo) / (hi - lo)
+    if hi < mouse_angle <= math.pi:
+        norm = 1.0
+    elif -math.pi <= mouse_angle < lo:
+        norm = 0.0
+    norm = min(max(norm, 0.0), 1.0)
+    return int(round(norm * 127.0))
+
+
+def knob(ctx: UiContext, cx: float, cy: float, radius: float, value: int,
+         label: str, bipolar: bool = False,
+         is_editing: bool = False) -> Tuple[Optional[int], bool]:
+    """widgets.rs:781 draw_knob — ring + value arc + pointer + label +
+    click-to-edit value box.  Returns (new value or None, start_editing)."""
+    rect = Rect(cx - radius, cy - radius, radius * 2, radius * 2)
+    hovered = rect.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.circle(cx, cy, radius, (64, 64, 77))
+    ctx.circle(cx, cy, radius - 5.0, (31, 31, 38))
+
+    angle = _knob_angle(value)
+    arc_r = radius - 2.5
+    if bipolar:
+        center_angle = _KNOB_START - 0.5 * (_KNOB_START - _KNOB_END)
+        a_from, a_to = ((angle, center_angle) if value < 64
+                        else (center_angle, angle))
+        _knob_arc(ctx, cx, cy, arc_r, a_from, a_to, 5.0, 32)
+    else:
+        _knob_arc(ctx, cx, cy, arc_r, _KNOB_START, angle, 5.0, 32)
+
+    # pointer + center dot
+    ctx.line(cx + radius * 0.35 * math.cos(angle),
+             cy - radius * 0.35 * math.sin(angle),
+             cx + radius * 0.75 * math.cos(angle),
+             cy - radius * 0.75 * math.sin(angle), _ACCENT)
+    ctx.circle(cx, cy, 3.0, _ACCENT)
+    ctx.text(cx - len(label) * 3, cy - radius - 12, label, (153, 153, 153))
+
+    # value box below (click to start text entry)
+    box = Rect(cx - 18, cy + radius + 6, 36, 16)
+    box_hovered = box.contains(ctx.mouse.x, ctx.mouse.y)
+    bg = ((51, 64, 77) if is_editing
+          else (46, 46, 56) if box_hovered else (36, 36, 43))
+    ctx.fill(box, bg)
+    if is_editing:
+        ctx.outline(box, _ACCENT)
+    ctx.text(box.x + 4, box.center_y, str(int(value)), (204, 204, 204))
+
+    new_value = _knob_drag_value(ctx, cx, cy) if hovered and ctx.mouse.down \
+        else None
+    start_editing = box_hovered and ctx.mouse.pressed and not is_editing
+    return new_value, start_editing
+
+
+def mini_knob(ctx: UiContext, cx: float, cy: float, radius: float,
+              value: int, label: str,
+              bipolar: bool = False) -> Optional[int]:
+    """widgets.rs:969 draw_mini_knob — compact strip knob: thin ring, value
+    arc, centered label, no value box.  Returns new value while dragged."""
+    rect = Rect(cx - radius, cy - radius, radius * 2, radius * 2)
+    hovered = rect.contains(ctx.mouse.x, ctx.mouse.y)
+    ring = (89, 89, 102) if hovered else (64, 64, 77)
+    ctx.circle(cx, cy, radius, ring)
+    ctx.circle(cx, cy, radius - 3.0, (31, 31, 38))
+
+    angle = _knob_angle(value)
+    arc_r = radius - 1.5
+    if bipolar:
+        center_angle = _KNOB_START - 0.5 * (_KNOB_START - _KNOB_END)
+        a_from, a_to = ((angle, center_angle) if value < 64
+                        else (center_angle, angle))
+        _knob_arc(ctx, cx, cy, arc_r, a_from, a_to, 3.0, 20)
+    else:
+        _knob_arc(ctx, cx, cy, arc_r, _KNOB_START, angle, 3.0, 20)
+    ctx.line(cx + radius * 0.3 * math.cos(angle),
+             cy - radius * 0.3 * math.sin(angle),
+             cx + radius * 0.7 * math.cos(angle),
+             cy - radius * 0.7 * math.sin(angle), _ACCENT)
+    ctx.text(cx - len(label) * 3, cy, label, (178, 178, 178))
+    return _knob_drag_value(ctx, cx, cy) if hovered and ctx.mouse.down \
+        else None

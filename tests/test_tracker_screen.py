@@ -117,3 +117,19 @@ def test_screen_tabs_render_all():
         tu.draw_tracker_screen(ctx, st, bounds, tab=tab,
                                presets=[(0, 0, "P")])
         assert len(ctx.commands) > 10
+
+
+def test_instruments_view_knobs_adjust_channel_settings():
+    st = TrackerState()
+    ctx = UiContext()
+    sel = {"inst": 0}
+    rect = Rect(0, 20, 640, 440)
+    lst_w = rect.w * 0.55
+    chn_x = rect.x + 4 + lst_w + 8
+    knob_y = rect.y + 18 + st.num_channels() * tu.ROW24 + 44
+    kx = chn_x + 30
+    # press at 12 o'clock inside the Pan knob -> value 95 (bipolar arc)
+    ctx.begin_frame(kx, knob_y - 10, True)
+    tu.draw_instruments_view(ctx, st, rect, [(0, 0, "Piano")], sel)
+    assert st.song.channel_settings[st.current_channel].pan == \
+        round(0.75 * 127)

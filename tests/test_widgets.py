@@ -169,3 +169,66 @@ def test_widgets_paint_smoke():
                       depth=jnp.full((240, 320), 3.4e38, jnp.float32))
     out = ctx.paint(fb)
     assert int((np.asarray(out.color) != 0).sum()) > 500
+
+
+# ---------------------------------------------------------------------------
+# Rotary knobs (widgets.rs:781-1100)
+# ---------------------------------------------------------------------------
+
+import math
+
+from bonnie32_tpu.ui.widgets import knob, mini_knob
+
+
+def test_knob_draws_and_reports_no_change_when_idle():
+    ctx = UiContext()
+    ctx.begin_frame(0, 0, False)
+    new, editing = knob(ctx, 100, 100, 20, 64, "VOL")
+    assert new is None and editing is False
+    assert len(ctx.commands) > 10   # ring, arc segments, pointer, label
+
+
+def test_knob_drag_sets_value_by_angle():
+    ctx = UiContext()
+    # mouse at 12 o'clock inside the knob -> angle 0 from vertical ->
+    # norm = (0 + 3pi/4) / pi = 0.75 -> value 95
+    ctx.begin_frame(100, 85, True)
+    new, _ = knob(ctx, 100, 100, 20, 0, "VOL")
+    assert new == round(0.75 * 127)
+    # bottom-left dead zone snaps to 0
+    ctx.begin_frame(90, 118, True)
+    new, _ = knob(ctx, 100, 100, 20, 64, "VOL")
+    assert new == 0
+    # bottom-right dead zone snaps to 127
+    ctx.begin_frame(110, 118, True)
+    new, _ = knob(ctx, 100, 100, 20, 64, "VOL")
+    assert new == 127
+
+
+def test_knob_value_box_starts_editing():
+    ctx = UiContext()
+    ctx.begin_frame(100, 100 + 20 + 10, True)   # inside the value box
+    _, editing = knob(ctx, 100, 100, 20, 64, "VOL")
+    assert editing is True
+
+
+def test_mini_knob_drag():
+    ctx = UiContext()
+    ctx.begin_frame(60, 50, True)     # straight up, inside radius
+    new = mini_knob(ctx, 60, 60, 12, 0, "P", bipolar=True)
+    assert new == round(0.75 * 127)
+    ctx.begin_frame(0, 0, False)
+    assert mini_knob(ctx, 60, 60, 12, 64, "P") is None
+
+
+def test_vlist_scrollbar_drawn_when_overflowing():
+    ctx = UiContext()
+    ctx.begin_frame(0, 0, False)
+    from bonnie32_tpu.ui.widgets import vlist
+    items = [f"row {i}" for i in range(50)]
+    vlist(ctx, "l", Rect(0, 0, 100, 100), items, None)
+    n_cmds = len(ctx.commands)
+    ctx2 = UiContext()
+    ctx2.begin_frame(0, 0, False)
+    vlist(ctx2, "s", Rect(0, 0, 100, 100), ["a", "b"], None)
+    assert n_cmds > len(ctx2.commands)   # scrollbar fills added
