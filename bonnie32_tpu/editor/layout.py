@@ -43,6 +43,7 @@ class EditorLayout:
     right_collapsed: List[bool] = dataclasses.field(
         default_factory=lambda: [False, False])
     room_scroll: float = 0.0
+    properties_ui: dict = dataclasses.field(default_factory=dict)
 
 
 def _collapsible_stack(ctx, rect, names, collapsed, bg) -> Dict[str, Rect]:
@@ -113,15 +114,10 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
     right_content = _collapsible_stack(ctx, right_rect, RIGHT_PANELS,
                                        layout.right_collapsed, PANEL_BG)
     if "Properties" in right_content:
-        body = right_content["Properties"]
-        sel = state.selection
-        ctx.text(body.x + 2, body.y + 2, f"Sel: {sel.kind}")
-        if sel.kind in ("sector", "sector_face", "vertex"):
-            ctx.text(body.x + 2, body.y + 12,
-                     f"room {sel.room} cell {sel.x},{sel.z}")
-        elif sel.kind == "object":
-            ctx.text(body.x + 2, body.y + 12,
-                     f"room {sel.room} obj {sel.index}")
+        from .properties import draw_properties
+
+        draw_properties(ctx, right_content["Properties"], state,
+                        ui=layout.properties_ui)
 
     # --- viewport frame ---
     draw_panel(ctx, center_rect, None, (12, 12, 16))

@@ -1,0 +1,142 @@
+"""Editor properties panel (layout.rs:5204-6100, 3679, 4764, 3014):
+split/texture/heights/colors/flags editing for faces, object and room
+properties, with undo snapshots per gesture."""
+
+from bonnie32_tpu.editor.properties import draw_properties
+from bonnie32_tpu.editor.state import (CLICK_HEIGHT, EditorState,
+                                       SectorFace, Selection)
+from bonnie32_tpu.models.level import (NORTH, Level, Room, TextureRef,
+                                       AssetInstance)
+from bonnie32_tpu.ui import Rect, UiContext
+
+TEX = TextureRef("p", "T")
+TEX2 = TextureRef("p", "U")
+RECT = Rect(0, 0, 240, 400)
+
+
+def _state():
+    level = Level()
+    room = Room.new(0, (0.0, 0.0, 0.0), 4, 4)
+    room.set_floor(1, 1, 0.0, TEX)
+    room.add_wall(1, 1, NORTH, 0.0, 1024.0, TEX)
+    room.recalculate_bounds()
+    level.add_room(room)
+    s = EditorState(level)
+    s.selected_texture = TEX2
+    return s
+
+
+def _click(state, ui, x, y):
+    ctx = UiContext()
+    ctx.begin_frame(x, y, True)
+    draw_properties(ctx, RECT, state, ui)
+    ctx.begin_frame(x, y, False)
+    draw_properties(ctx, RECT, state, ui)
+    return ctx
+
+
+def test_floor_split_toggle_and_undo():
+    s = _state()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    floor = s.level.rooms[0].get_sector(1, 1).floor
+    assert floor.split_direction == 0
+    ui = {}
+    # the split button sits at (x=4, y=4+22+18) per container layout
+    _click(s, ui, 10, 4 + 22 + 18 + 8)
+    floor = s.level.rooms[0].get_sector(1, 1).floor
+    assert floor.split_direction == 1
+    assert len(s.undo_stack) == 1
+    s.undo()
+    assert s.level.rooms[0].get_sector(1, 1).floor.split_direction == 0
+
+
+def test_floor_texture_slot_applies_selected():
+    s = _state()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    ui = {}
+    # Tri1 slot row: y = 4 + 22 + 18 + 20 + 8
+    _click(s, ui, 30, 4 + 22 + 18 + 20 + 8)
+    assert s.level.rooms[0].get_sector(1, 1).floor.texture == TEX2
+
+
+def test_floor_height_buttons():
+    s = _state()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    ui = {}
+    # heights row: after header(22)+split(20)+2 slots(36): y=4+22+18+20+36
+    base_y = 4 + 22 + 18 + 20 + 36
+    hx = 4 + 46
+    _click(s, ui, hx + 80 + 9, base_y + 8)     # minus button
+    floor = s.level.rooms[0].get_sector(1, 1).floor
+    assert floor.heights == [-CLICK_HEIGHT] * 4
+    _click(s, ui, hx + 102 + 9, base_y + 8)    # plus button
+    assert s.level.rooms[0].get_sector(1, 1).floor.heights == [0.0] * 4
+
+
+def test_wall_solid_checkbox_and_texture():
+    s = _state()
+    s.selection = Selection(
+        kind="sector_face", room=0, x=1, z=1,
+        face=SectorFace(kind="wall", direction=NORTH, wall_index=0))
+    wall = s.level.rooms[0].get_sector(1, 1).walls(NORTH)[0]
+    assert wall.solid is True
+    ui = {}
+    # texture slot row at y = 4+22+18+8
+    _click(s, ui, 30, 4 + 22 + 18 + 8)
+    assert s.level.rooms[0].get_sector(1, 1).walls(NORTH)[0].texture == TEX2
+    # solid checkbox at y = 4+22+18+20+36+4 + 7
+    cy = 4 + 22 + 18 + 20 + 36 + 4 + 7
+    _click(s, ui, 8, cy)
+    assert s.level.rooms[0].get_sector(1, 1).walls(NORTH)[0].solid is False
+
+
+def test_room_ambient_and_fog():
+    s = _state()
+    s.selection = Selection(kind="room", room=0)
+    room = s.level.rooms[0]
+    assert room.fog.enabled is False
+    ui = {}
+    # fog checkbox at y = 4 + 18 + 18 + 7
+    _click(s, ui, 8, 4 + 18 + 18 + 7)
+    assert room.fog.enabled is True
+    # ambient slider drag: row y = 4+18, x in the slider track
+    ctx = UiContext()
+    ctx.begin_frame(90 + (RECT.w - 100) * 0.9, 4 + 18 + 6, True)
+    draw_properties(ctx, RECT, s, ui)
+    assert room.ambient > 0.8
+
+
+def test_object_enabled_toggle():
+    s = _state()
+    room = s.level.rooms[0]
+    room.objects.append(AssetInstance(sector_x=1, sector_z=1, asset_id=7))
+    s.selection = Selection(kind="object", room=0, index=0)
+    ui = {}
+    _click(s, ui, 8, 4 + 18 + 7)
+    assert room.objects[0].enabled is False
+
+
+def test_corner_color_multi_select_edit():
+    s = _state()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    floor = s.level.rooms[0].get_sector(1, 1).floor
+    ui = {}
+    # colors section y: header 22 + split 20 + slots 36 + heights 18+4 = y0
+    y0 = 4 + 22 + 18 + 20 + 36 + 18 + 4
+    # select NE corner swatch too (grid (1,0) -> corner 1)
+    _click(s, ui, 4 + 21 + 9, y0 + 9)
+    assert sorted(ui["corner_sel"]) == [0, 1]
+    # drag the R slider to the right end -> r5=31 expands to 255
+    picker_x = 4 + 2 * 18 + 3 + 10
+    slider_x = picker_x + 32 + 8 + 16          # widgets.ps1_color_picker
+    track_w = (RECT.w - 8 - (picker_x - 4)) - 32 - 8 - 16 - 20 - 4
+    ctx = UiContext()
+    ctx.begin_frame(slider_x + track_w - 1, y0 + 4, True)
+    draw_properties(ctx, RECT, s, ui)
+    floor = s.level.rooms[0].get_sector(1, 1).floor
+    assert floor.colors[0][0][0] == 255 and floor.colors[1][0][0] == 255
+    assert floor.colors[2][0][0] == 128   # unselected corners untouched
