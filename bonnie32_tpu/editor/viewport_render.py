@@ -573,5 +573,7 @@ def render_editor_viewport(state: EditorState, scene, width: int,
     if settings is None:
         settings = RasterSettings.modeler()
     fb = raster_ref.new_framebuffer(height, width, depth_mode="inv")
-    fb = scene_mod.render_level(fb, scene, _camera(state), settings)
+    fb = scene_mod.render_level(
+        fb, scene, _camera(state), settings,
+        skip_rooms=tuple(sorted(state.hidden_rooms)))
     return draw_viewport_overlays(fb, state, editor=editor, hover=hover)

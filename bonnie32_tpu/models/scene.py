@@ -48,6 +48,7 @@ class CompiledScene(NamedTuple):
     atlas8: "object" = None     # TextureAtlas8 — GLOBAL (untrimmed)
     tex_map: "object" = None    # (R, NT) i32: per-room local -> global id
     a_atlas8: "object" = None   # TextureAtlas8 fields (D, ...)
+    a_room: "object" = None     # (D,) i32: containing room per draw
 
 
 def _rgba8_from_c15(c15: np.ndarray) -> np.ndarray:
@@ -268,8 +269,9 @@ def compile_level(level: Level, textures, resolve,
 
     # ---- placed asset draws (scene.rs:226-259) ----
     draws = []  # (verts, faces, tex15, fog_row, ambient, double_sided)
+    draw_rooms = []
     if asset_library is not None:
-        for room in level.rooms:
+        for room_idx, room in enumerate(level.rooms):
             fog_row = _room_fog_params(room)
             for obj in room.objects:
                 if not obj.enabled:
@@ -291,6 +293,7 @@ def compile_level(level: Level, textures, resolve,
                     tex15 = resolve_part_texture15(part, user_textures)
                     draws.append((verts, pfaces, tex15, fog_row, room.ambient,
                                   part.double_sided))
+                    draw_rooms.append(room_idx)
 
     if not draws:
         dummy_tex = np.full((1, 1), 0x7FFF, np.uint16)
@@ -298,6 +301,7 @@ def compile_level(level: Level, textures, resolve,
                         color=(128, 128, 128), color_blend=0)],
                   [], dummy_tex, (False, 0.0, 0.0, 3.4e38, (0, 0, 0)), 0.5,
                   False)]
+        draw_rooms = [0]
 
     av_max = max(max(len(v) for v, _, _, _, _, _ in draws), 1)
     at_max = max(max(len(f) for _, f, _, _, _, _ in draws), 1)
@@ -370,15 +374,25 @@ def compile_level(level: Level, textures, resolve,
                          a_mesh=a_mesh, a_faces=a_faces, a_atlas=a_atlas,
                          a_fog=a_fog,
                          a_ambient=jnp.asarray(np.array(a_amb, F32)),
-                         atlas8=atlas8, tex_map=tex_map, a_atlas8=a_atlas8)
+                         atlas8=atlas8, tex_map=tex_map, a_atlas8=a_atlas8,
+                         a_room=jnp.asarray(np.array(draw_rooms, np.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "depth_mode"))
+@functools.partial(jax.jit, static_argnames=("settings", "depth_mode",
+                                             "skip_rooms", "use_fog",
+                                             "render_assets"))
 def render_level(fb: FrameBuffers, scene: CompiledScene,
                  camera: CameraArrays, settings: RasterSettings,
-                 depth_mode: str = "fast") -> FrameBuffers:
+                 depth_mode: str = "fast", skip_rooms: tuple = (),
+                 use_fog: bool = True,
+                 render_assets: bool = True) -> FrameBuffers:
     """render_scene (scene.rs:180-261): sequential rooms (each with its own
     ambient + fog), then placed asset parts, into one framebuffer.
+
+    skip_rooms / use_fog / render_assets mirror SceneRenderOptions
+    (scene.rs:172-178): hidden rooms (and their placed objects) are
+    skipped, fog can be forced off, and asset draws disabled — the world
+    editor viewport's configuration.
 
     Dispatches on `settings.use_rgb555` (scene.rs:214-219): the False
     branch runs the full-8-bit pipeline (render_mesh, no fog) and needs a
@@ -389,28 +403,53 @@ def render_level(fb: FrameBuffers, scene: CompiledScene,
                 "use_rgb555=False needs compile_level(..., with_8bit=True)")
         return _render_level8(fb, scene, camera, settings, depth_mode)
     n_rooms = scene.ambient.shape[0]
+    room_ok = np.ones(n_rooms, bool)
+    for r in skip_rooms:
+        if 0 <= r < n_rooms:
+            room_ok[r] = False
+    room_ok_d = jnp.asarray(room_ok)
 
-    def room_body(i, fb):
+    def no_fog_like(fog):
+        return fog._replace(enabled=jnp.zeros_like(fog.enabled))
+
+    def room_render(i, fb):
         mesh = jax.tree_util.tree_map(lambda x: x[i], scene.mesh)
         faces = jax.tree_util.tree_map(lambda x: x[i], scene.faces)
         fog = jax.tree_util.tree_map(lambda x: x[i], scene.fog)
+        if not use_fog:
+            fog = no_fog_like(fog)
         atlas = jax.tree_util.tree_map(lambda x: x[i], scene.atlas)
         lights = scene.lights._replace(ambient=scene.ambient[i])
         return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
                               fog, settings, depth_mode=depth_mode)
 
+    def room_body(i, fb):
+        return jax.lax.cond(room_ok_d[i], lambda f: room_render(i, f),
+                            lambda f: f, fb)
+
     fb = jax.lax.fori_loop(0, n_rooms, room_body, fb)
 
+    if not render_assets:
+        return fb
     n_draws = scene.a_ambient.shape[0]
+    a_room = (scene.a_room if scene.a_room is not None
+              else jnp.zeros(n_draws, jnp.int32))
 
-    def draw_body(i, fb):
+    def draw_render(i, fb):
         mesh = jax.tree_util.tree_map(lambda x: x[i], scene.a_mesh)
         faces = jax.tree_util.tree_map(lambda x: x[i], scene.a_faces)
         fog = jax.tree_util.tree_map(lambda x: x[i], scene.a_fog)
+        if not use_fog:
+            fog = no_fog_like(fog)
         atlas = jax.tree_util.tree_map(lambda x: x[i], scene.a_atlas)
         lights = scene.lights._replace(ambient=scene.a_ambient[i])
         return render_mesh_15(fb, mesh, faces, atlas, camera, lights,
                               fog, settings, depth_mode=depth_mode)
+
+    def draw_body(i, fb):
+        ok = room_ok_d[jnp.clip(a_room[i], 0, n_rooms - 1)]
+        return jax.lax.cond(ok, lambda f: draw_render(i, f),
+                            lambda f: f, fb)
 
     return jax.lax.fori_loop(0, n_draws, draw_body, fb)
 

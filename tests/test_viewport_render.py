@@ -185,3 +185,31 @@ def test_asset_gizmos_light_spawn_collision():
     fb2 = vr.draw_viewport_overlays(_fb(), s)
     assert int((np.asarray(fb2.color) == _pack((255, 255, 255))).sum()) > \
         int((arr == _pack(vr.GIZMO_LIGHT)).sum())
+
+
+def test_scene_render_options_skip_rooms_and_fog():
+    # SceneRenderOptions parity (scene.rs:172-178) on the sequential path
+    import jax.numpy as jnp
+    from bonnie32_tpu.models import scene as scene_mod
+    from bonnie32_tpu.models import texture_pack as tp
+    from bonnie32_tpu.config import RasterSettings
+    from bonnie32_tpu.types import CameraArrays
+
+    s = _state()
+    packs = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+    scene = scene_mod.compile_level(s.level, packs, tp.make_resolver(packs))
+    s.selection = Selection(kind="sector", room=0, x=1, z=1)
+    s.camera_mode = "orbit"
+    s.center_camera_on_selection()
+    cam = CameraArrays(position=jnp.asarray(s.camera_pos, jnp.float32),
+                       basis=jnp.asarray(s.camera_basis(), jnp.float32))
+    settings = RasterSettings.game()
+    fb = raster_ref.new_framebuffer(240, 320, depth_mode="inv")
+    full = scene_mod.render_level(fb, scene, cam, settings)
+    skipped = scene_mod.render_level(fb, scene, cam, settings,
+                                     skip_rooms=(0,))
+    assert int((np.asarray(full.color) != 0).sum()) > 1000
+    assert int((np.asarray(skipped.color) != 0).sum()) == 0
+    nofog = scene_mod.render_level(fb, scene, cam, settings, use_fog=False)
+    assert nofog.color.shape == full.color.shape
