@@ -239,7 +239,114 @@ def face_edges(face: EditFace) -> List[Tuple[int, int]]:
             for i in range(n)]
 
 
-class ModelerState:
+# =============================================================================
+# Skeleton editing (state.rs:2307-2680, layout.rs:1661-1720)
+# =============================================================================
+
+class SkeletonMixin:
+    """Bone CRUD for ModelerState — mixed in below to keep the mesh and
+    skeleton concerns separable.  Operates on an attached RiggedModel."""
+
+    DEFAULT_BONE_LENGTH = 200.0   # layout.rs:1665
+
+    def skeleton(self) -> List:
+        """state.rs:2307 — the bone list ([] without a rig)."""
+        return self.rigged.skeleton if self.rigged is not None else []
+
+    def ensure_skeleton(self) -> None:
+        """layout.rs:1695 ensure_skeleton_component — create the rig and a
+        'Root' bone at origin pointing +Y when absent."""
+        from .animation import RigBone, RiggedModel
+
+        if self.rigged is None:
+            self.rigged = RiggedModel(name="model")
+        if not self.rigged.skeleton:
+            self.rigged.skeleton.append(RigBone(
+                name="Root", parent=None, local_position=(0.0, 0.0, 0.0),
+                local_rotation=(0.0, 0.0, 0.0),
+                length=self.DEFAULT_BONE_LENGTH))
+
+    def generate_bone_name(self) -> str:
+        """state.rs:2662 — first free 'Bone.NN'."""
+        existing = {b.name for b in self.skeleton()}
+        for i in range(100):
+            name = f"Bone.{i:02d}"
+            if name not in existing:
+                return name
+        return "Bone.99"
+
+    def save_undo_skeleton(self) -> None:
+        """state.rs save_undo_skeleton — snapshot the bone list."""
+        self.skeleton_undo.append(copy.deepcopy(self.skeleton()))
+        if len(self.skeleton_undo) > self.MAX_UNDO:
+            self.skeleton_undo.pop(0)
+
+    def undo_skeleton(self) -> bool:
+        if not self.skeleton_undo or self.rigged is None:
+            return False
+        self.rigged.skeleton = self.skeleton_undo.pop()
+        if self.selected_bone is not None \
+                and self.selected_bone >= len(self.rigged.skeleton):
+            self.selected_bone = None
+        return True
+
+    def create_child_bone(self, parent_idx: int) -> Optional[int]:
+        """layout.rs:1661 — child at the parent's tip, inheriting rotation
+        and display width."""
+        from .animation import RigBone
+
+        bones = self.skeleton()
+        if not (0 <= parent_idx < len(bones)):
+            return None
+        self.save_undo_skeleton()
+        p = bones[parent_idx]
+        bone = RigBone(name=self.generate_bone_name(), parent=parent_idx,
+                       local_position=(0.0, p.length, 0.0),
+                       local_rotation=tuple(p.local_rotation),
+                       length=self.DEFAULT_BONE_LENGTH,
+                       width=p.display_width())
+        bones.append(bone)
+        self.selected_bone = len(bones) - 1
+        return self.selected_bone
+
+    def remove_bone(self, bone_idx: int) -> None:
+        """state.rs:2542 — reparent children to the removed bone's parent
+        and fix up indices/selection."""
+        bones = self.skeleton()
+        if not (0 <= bone_idx < len(bones)):
+            return
+        self.save_undo_skeleton()
+        parent = bones[bone_idx].parent
+        for b in bones:
+            if b.parent == bone_idx:
+                b.parent = parent
+            if b.parent is not None and b.parent > bone_idx:
+                b.parent = b.parent - 1
+        bones.pop(bone_idx)
+        if self.selected_bone == bone_idx:
+            self.selected_bone = None
+        elif self.selected_bone is not None \
+                and self.selected_bone > bone_idx:
+            self.selected_bone -= 1
+        self.dirty = True
+
+    def rename_bone(self, bone_idx: int, name: str) -> bool:
+        bones = self.skeleton()
+        if not name or not (0 <= bone_idx < len(bones)):
+            return False
+        self.save_undo_skeleton()
+        bones[bone_idx].name = name
+        self.dirty = True
+        return True
+
+    def bone_children(self, bone_idx: Optional[int]) -> List[int]:
+        return [i for i, b in enumerate(self.skeleton())
+                if b.parent == bone_idx]
+
+
+
+
+class ModelerState(SkeletonMixin):
     """state.rs:959 — headless core of the asset editor."""
 
     MAX_UNDO = 50  # state.rs:1439
@@ -262,6 +369,13 @@ class ModelerState:
         # `tools` field (constructed in tools/mod.rs:112)
         from .modeler_tools import ModelerToolBox
         self.toolbox = ModelerToolBox()
+        # --- rigging (state.rs:1070-1074, :1424-1426) ---
+        self.rigged = None                  # RiggedModel when rigging
+        self.selected_bone: Optional[int] = None
+        self.hovered_bone: Optional[int] = None
+        self.bone_rename_active = False
+        self.bone_rename_buffer = ""
+        self.skeleton_undo: List = []
 
     @property
     def selection(self) -> List:
@@ -418,3 +532,5 @@ class ModelerState:
         new_faces = self.clipboard.paste_into(self.mesh, at)
         self.selected_faces = set(new_faces)
         return new_faces
+
+

@@ -20,6 +20,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..ui import (Rect, SplitPanel, UiContext, button, draw_panel, toolbar,
                   vlist)
+from ..ui.widgets import drag_value
 from .mesh import EditableMesh
 from .modeler import ModalTransform, ModelerState, SelectMode
 
@@ -292,8 +293,9 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
     ctx.text(left_rect.x + 6, y, f"Mode: {state.select_mode.value}",
              (150, 150, 160))
     y += 16
-    parts_rect = Rect(left_rect.x + 4, y, left_rect.w - 8,
-                      max(left_rect.bottom - y - 6, 20))
+    avail = max(left_rect.bottom - y - 6, 40)
+    parts_h = avail * 0.5 if state.rigged is not None else avail
+    parts_rect = Rect(left_rect.x + 4, y, left_rect.w - 8, parts_h)
     labels = [f"Face {i} ({len(f.vertices)}v)"
               for i, f in enumerate(mesh.faces)]
     sel_face = (state.selection[0] if state.select_mode == SelectMode.FACE
@@ -304,6 +306,13 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
     if picked is not None and picked != sel_face:
         state.select_mode = SelectMode.FACE
         state.selection = [picked]
+
+    # --- skeleton editor (layout.rs:1335 draw_skeleton_editor_content) ---
+    if state.rigged is not None:
+        skel_rect = Rect(left_rect.x + 4, parts_rect.bottom + 4,
+                         left_rect.w - 8,
+                         max(left_rect.bottom - parts_rect.bottom - 10, 20))
+        draw_skeleton_panel(ctx, skel_rect, state)
 
     # --- center: the 4-pane viewport region (draw_4panel_viewport) ---
     draw_panel(ctx, center_rect, None, (12, 12, 16))
@@ -393,3 +402,136 @@ def layout_tool_index(state: ModelerState) -> int:
     if state.toolbox.is_active("extrude"):
         return TOOL_IDS.index("extrude")
     return 0
+
+
+# =============================================================================
+# Skeleton editor panel (layout.rs:1335-1660)
+# =============================================================================
+
+def draw_skeleton_panel(ctx: UiContext, rect: Rect,
+                        state: ModelerState) -> None:
+    """Bone tree (indent per depth, select/hover, add-child / rename /
+    delete row actions) + per-bone properties with inline rename."""
+    line_h = 18.0
+    ctx.fill(rect, (24, 24, 29))
+    ctx.outline(rect, (55, 55, 65))
+    x, y = rect.x + 2, rect.y + 2
+    ctx.text(x + 2, y, "Skeleton", (200, 200, 210))
+    y += 14
+
+    bones = state.skeleton()
+    if not bones:
+        ctx.text(x + 2, y, "No bones", (120, 120, 130))
+        if button(ctx, "sk.add", Rect(x + 2, y + 14, 90, 16),
+                  "Add Skeleton"):
+            state.ensure_skeleton()
+        return
+
+    props_h = 80.0 if state.selected_bone is not None else 0.0
+    list_bottom = rect.bottom - props_h - 4.0
+
+    select_idx = delete_idx = add_idx = rename_idx = None
+
+    def draw_bone(idx: int, depth: int, y: float) -> float:
+        nonlocal select_idx, delete_idx, add_idx, rename_idx
+        if y + line_h > list_bottom:
+            return y
+        bone = bones[idx]
+        row = Rect(x, y, rect.w - 4, line_h)
+        hovered = row.contains(ctx.mouse.x, ctx.mouse.y)
+        selected = state.selected_bone == idx
+        if selected:
+            ctx.fill(row, (60, 80, 100))
+        elif hovered or state.hovered_bone == idx:
+            ctx.fill(row, (50, 50, 55))
+        indent = depth * 12.0
+        dot = (255, 220, 100) if bone.parent is None else \
+            (80, 255, 80) if selected else (170, 170, 180)
+        ctx.fill(Rect(x + 3 + indent, y + 6, 6, 6), dot)
+        ctx.text(x + 14 + indent, y + 5, bone.name,
+                 (120, 180, 255) if selected else (200, 200, 210))
+        if selected or hovered:
+            bx = row.right - 16
+            for label, slot in (("x", "del"), ("r", "ren"), ("+", "add")):
+                br = Rect(bx, y + 2, 14, 14)
+                bh = br.contains(ctx.mouse.x, ctx.mouse.y)
+                ctx.fill(br, (70, 70, 80) if bh else (45, 45, 52))
+                ctx.text(br.x + 4, br.y + 3, label)
+                if bh and ctx.mouse.pressed:
+                    if slot == "del":
+                        delete_idx = idx
+                    elif slot == "ren":
+                        rename_idx = idx
+                    else:
+                        add_idx = idx
+                bx -= 16
+        name_r = Rect(x, y, row.w - 3 * 16 - 4, line_h)
+        if (name_r.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed
+                and delete_idx is None and rename_idx is None
+                and add_idx is None):
+            select_idx = idx
+        y += line_h
+        for ci in state.bone_children(idx):
+            y = draw_bone(ci, depth + 1, y)
+        return y
+
+    yy = y
+    for root in state.bone_children(None):
+        yy = draw_bone(root, 0, yy)
+
+    # apply actions after the walk (layout.rs:1483-1509)
+    if delete_idx is not None:
+        state.remove_bone(delete_idx)
+        state.bone_rename_active = False
+        state.bone_rename_buffer = ""
+    elif add_idx is not None:
+        state.create_child_bone(add_idx)
+    elif rename_idx is not None:
+        state.selected_bone = rename_idx
+        state.bone_rename_buffer = bones[rename_idx].name
+        state.bone_rename_active = True
+    elif select_idx is not None:
+        if state.selected_bone != select_idx:
+            state.bone_rename_active = False
+            state.bone_rename_buffer = ""
+        state.selected_bone = select_idx
+
+    # --- per-bone properties (layout.rs:1511-1660) ---
+    sel = state.selected_bone
+    if sel is None or sel >= len(state.skeleton()):
+        return
+    bones = state.skeleton()
+    bone = bones[sel]
+    py = list_bottom + 4
+    ctx.fill(Rect(x, py - 2, rect.w - 8, 1), (60, 60, 70))
+    if state.bone_rename_active:
+        for k in ctx.keys_pressed:
+            if len(k) == 1 and (k.isalnum() or k in "_- "):
+                state.bone_rename_buffer += k
+            elif k == "backspace":
+                state.bone_rename_buffer = state.bone_rename_buffer[:-1]
+            elif k == "enter":
+                if state.bone_rename_buffer:
+                    state.rename_bone(sel, state.bone_rename_buffer)
+                state.bone_rename_active = False
+            elif k == "escape":
+                state.bone_rename_active = False
+        ir = Rect(x + 2, py, rect.w - 12, line_h)
+        ctx.fill(ir, (40, 45, 55))
+        ctx.outline(ir, (120, 180, 255))
+        ctx.text(ir.x + 3, ir.y + 5, state.bone_rename_buffer + "|",
+                 (120, 180, 255))
+    else:
+        ctx.text(x + 2, py + 4, bone.name, (230, 230, 235))
+    py += line_h + 2
+    parent_name = (bones[bone.parent].name if bone.parent is not None
+                   else "(root)")
+    ctx.text(x + 2, py, f"Parent: {parent_name}", (130, 130, 140))
+    py += 14
+    ctx.text(x + 2, py, f"Length: {bone.length:.0f}", (130, 130, 140))
+    py += 14
+    new_w = drag_value(ctx, "sk.width", Rect(x + 2, py, 90, 15),
+                       bone.display_width(), speed=1.0, lo=20.0, hi=200.0)
+    if new_w != bone.display_width():
+        bone.width = new_w
+        state.dirty = True

@@ -171,3 +171,76 @@ def test_uv_screen_mapping_roundtrip():
         s = uv.uv_to_screen(p, canvas, 64, 64)
         back = uv.screen_to_uv(*s, canvas, 64, 64)
         assert abs(back[0] - p[0]) < 1e-9 and abs(back[1] - p[1]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Skeleton editor panel (layout.rs:1335-1660)
+# ---------------------------------------------------------------------------
+
+from bonnie32_tpu.models.modeler_layout import draw_skeleton_panel
+
+
+def _skel_state():
+    st = ModelerState()
+    st.ensure_skeleton()
+    st.create_child_bone(0)
+    return st
+
+
+def test_skeleton_panel_tree_and_select():
+    st = _skel_state()
+    rect = Rect(0, 0, 160, 240)
+    ctx = UiContext()
+    # click the child bone's name row (depth 1, second row): y = 2+14+18+5
+    ctx.begin_frame(30, 2 + 14 + 18 + 5, True)
+    draw_skeleton_panel(ctx, rect, st)
+    assert st.selected_bone == 1
+
+
+def test_skeleton_panel_add_and_delete():
+    st = _skel_state()
+    st.selected_bone = 0
+    rect = Rect(0, 0, 160, 240)
+    row_y = 2 + 14          # root row
+    right = rect.right - 4
+    ctx = UiContext()
+    # "+" button is the third from the right edge on the selected row
+    ctx.begin_frame(right - 16 - 16 - 16 + 7, row_y + 8, True)
+    draw_skeleton_panel(ctx, rect, st)
+    assert len(st.skeleton()) == 3
+    assert st.skeleton()[2].parent == 0
+    # "x" (delete) is rightmost; delete the root -> children reparent
+    st.selected_bone = 0
+    ctx = UiContext()
+    ctx.begin_frame(right - 16 + 7, row_y + 8, True)
+    draw_skeleton_panel(ctx, rect, st)
+    assert len(st.skeleton()) == 2
+    assert all(b.parent is None for b in st.skeleton())
+
+
+def test_skeleton_rename_flow():
+    st = _skel_state()
+    st.selected_bone = 1
+    st.bone_rename_active = True
+    st.bone_rename_buffer = "Arm"
+    rect = Rect(0, 0, 160, 240)
+    ctx = UiContext()
+    ctx.begin_frame(0, 0, False, keys_pressed=("l", "enter"))
+    draw_skeleton_panel(ctx, rect, st)
+    assert st.skeleton()[1].name == "Arml"
+    assert st.bone_rename_active is False
+
+
+def test_skeleton_empty_state_button():
+    st = ModelerState()
+    st.rigged = None
+    from bonnie32_tpu.models.animation import RiggedModel
+    st.rigged = RiggedModel(name="m")     # rig present, no bones
+    rect = Rect(0, 0, 160, 240)
+    ctx = UiContext()
+    # click "Add Skeleton": y = 2+14+14+8
+    ctx.begin_frame(30, 2 + 14 + 14 + 8, True)
+    draw_skeleton_panel(ctx, rect, st)
+    ctx.begin_frame(30, 2 + 14 + 14 + 8, False)
+    draw_skeleton_panel(ctx, rect, st)
+    assert len(st.skeleton()) == 1 and st.skeleton()[0].name == "Root"
