@@ -172,3 +172,46 @@ def composite_views(ctx: UiContext, viewports: ModelerViewports,
         ctx.outline(rect, (70, 70, 80))
         ctx.text(rect.x + 3, rect.y + 3, view.value.upper(),
                  (160, 160, 170))
+
+
+def skeleton_arrays(bones, alpha: int = 200, pose=None):
+    """skeleton_to_triangles -> device arrays for a render_mesh_15 overlay
+    pass (the host cost is per-edit, not per-frame — cache by caller)."""
+    from . import build
+    from .animation import skeleton_to_triangles
+
+    verts, faces = skeleton_to_triangles(bones, alpha=alpha, pose=pose)
+    if not faces:
+        return None
+    pos = np.array([v["pos"] for v in verts], np.float32)
+    normal = np.array([v["normal"] for v in verts], np.float32)
+    color = np.array([v["color"] for v in verts], np.int32)
+    mesh = build.make_mesh_arrays(pos, normal=normal, color=color)
+    vidx = np.array([(f["v0"], f["v1"], f["v2"]) for f in faces], np.int32)
+    fa = build.make_face_arrays(
+        vidx,
+        black_transparent=np.array([f["black_transparent"] for f in faces]),
+        editor_alpha=np.array([f["editor_alpha"] for f in faces], np.int32))
+    atlas = build.build_atlas([(np.full((1, 1), 0x7FFF, np.uint16), 0)])
+    return mesh, fa, atlas
+
+
+def render_view_with_skeleton(viewports: ModelerViewports, view: ViewportId,
+                              mesh, faces, atlas, lights,
+                              settings: RasterSettings,
+                              height: int, width: int, bones,
+                              pose=None) -> FrameBuffers:
+    """draw_viewport's rigging mode (modeler/viewport.rs:1407-1410): the
+    mesh pass, then the bone octahedrons alpha-composited on top through
+    the same pipeline (skeleton.rs:42 draw_skeleton)."""
+    fb = render_view(viewports, view, mesh, faces, atlas, lights,
+                     settings, height, width)
+    sk = skeleton_arrays(bones, alpha=200, pose=pose)
+    if sk is None:
+        return fb
+    smesh, sfaces, satlas = sk
+    cam = viewports.cameras.get(view)
+    s = view_settings(settings, view, cam)
+    camera = view_camera(viewports, view)
+    return render_mesh_15(fb, smesh, sfaces, satlas, camera, lights,
+                          no_fog(), s, depth_mode="harmonic")

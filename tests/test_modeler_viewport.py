@@ -80,3 +80,25 @@ def test_render_all_views_and_composite():
     # every quadrant carries pixels
     assert (w[:120, :160] != 0).any() and (w[:120, 160:] != 0).any()
     assert (w[120:, :160] != 0).any() and (w[120:, 160:] != 0).any()
+
+
+def test_skeleton_overlay_renders_over_mesh():
+    # rigging view (modeler/viewport.rs:1407): bone octahedrons composite
+    # z-tested over the mesh pass
+    from bonnie32_tpu.models.modeler import ModelerState
+
+    st = ModelerState()
+    st.ensure_skeleton()
+    st.create_child_bone(0)
+    vp = mv.ModelerViewports()
+    # frame the 0..400-unit bone chain
+    vp.perspective.distance = 1200.0
+    vp.perspective.target = (0.0, 200.0, 0.0)
+    mesh, fa, atlas, lights = _scene()
+    base = mv.render_view(vp, mv.ViewportId.PERSPECTIVE, mesh, fa, atlas,
+                          lights, RasterSettings.modeler(), 120, 160)
+    fb = mv.render_view_with_skeleton(
+        vp, mv.ViewportId.PERSPECTIVE, mesh, fa, atlas, lights,
+        RasterSettings.modeler(), 120, 160, st.skeleton())
+    changed = int((np.asarray(fb.color) != np.asarray(base.color)).sum())
+    assert changed > 5      # bone octahedrons composited on top
