@@ -494,17 +494,23 @@ def _transparent_pass(fb, surf, idx_tuple, atlas, settings, width, height):
 
 @functools.partial(jax.jit, static_argnames=("static", "settings", "height",
                                              "width", "interpret",
-                                             "debug"))
+                                             "debug", "background"))
 def render_level_flat(fb: FrameBuffers, scene: FlatScene,
                       static: FlatSceneStatic, cams: CameraArrays,
                       settings: RasterSettings,
                       height: int, width: int,
                       interpret: bool = False,
-                      debug: str = "") -> FrameBuffers:
+                      debug: str = "",
+                      background: Optional[int] = None) -> FrameBuffers:
     """Batched level render: (I, H, W) framebuffers + (I,) cameras through
     the fused Pallas kernel.  render_scene (scene.rs:180-261) semantics:
     identical output to scene.render_level per instance (tested), one
-    kernel launch for the whole batch."""
+    kernel launch for the whole batch.
+
+    `background` asserts fb == new_framebuffer(depth_mode="inv",
+    clear_color=background) for every instance (the no-skybox datagen
+    path): the kernel then synthesizes the background in-register and
+    skips both framebuffer DMAs and the host-side layout transposes."""
     from ..ops import raster_batch as rb
 
     surf = jax.vmap(
@@ -512,15 +518,20 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     prep = jax.vmap(
         lambda s: rb.prep_instance(s, scene.atlas, settings, width, height,
                                    static.t_pad))(surf)
-    fbc = rb.to_layout(fb.color, width)
-    fbd = rb.to_layout(fb.depth, width)
+    n_inst = fb.color.shape[0]
+    if background is not None:
+        fbc = jnp.zeros((n_inst, 8, 128), jnp.int32)
+        fbd = jnp.zeros((n_inst, 8, 128), jnp.float32)
+    else:
+        fbc = rb.to_layout(fb.color, width)
+        fbd = rb.to_layout(fb.depth, width)
     color, depth = rb.rasterize_batch(
         fbc, fbd, prep, scene.keyrows, scene.texmeta, scene.tex_lo,
         scene.tex_hi, scene.tex_pack, scene.tex_pal,
         settings, width, height, static.t_pad,
         static.n_textures, static.atlas_rows, static.key_wrows,
         atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
-        interpret=interpret, debug=debug)
+        interpret=interpret, debug=debug, clear_color=background)
     out = FrameBuffers(color=rb.from_layout(color, width, height),
                        depth=rb.from_layout(depth, width, height))
     if static.transparent_idx:

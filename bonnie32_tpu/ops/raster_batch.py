@@ -240,7 +240,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
 def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
                  debug: str = "", atlas_rows_data: int = 0,
-                 tex_enc: tuple = ()):
+                 tex_enc: tuple = (), clear_color=None):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
@@ -258,7 +258,9 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # "cdepth": the caller guarantees the incoming depth plane is cleared
     # (0.0 inverse-z — new_framebuffer/"inv" and render_skybox both leave
     # it so), so the kernel skips the fbd DMA and fills the clear value.
-    const_depth = "cdepth" in debug
+    # clear_color: the color plane is ALSO a constant (no-skybox datagen)
+    # — skip both DMAs and the host-side broadcast/transpose entirely.
+    const_depth = "cdepth" in debug or clear_color is not None
     affine = settings.affine_textures
     shading = settings.shading
     if t_pad <= SEG:
@@ -432,7 +434,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         # ---- PHASE 2: resolve + pixel pipeline, chunked; runs once the
         # final face segment has merged (the output blocks revisit) ----
         if "nophase2" in debug:
-            color_ref[0] = fbc_ref[0]
+            if clear_color is None:
+                color_ref[0] = fbc_ref[0]
+            else:
+                color_ref[0] = jnp.full((gh, 128), _I32(clear_color))
             return
 
         def _run_phase2():
@@ -481,7 +486,12 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
                 @pl.when(jnp.logical_not(any_winner))
                 def _(r0=r0):
-                    color_ref[0, pl.ds(r0, ch), :] = fbc_ref[0, pl.ds(r0, ch), :]
+                    if clear_color is None:
+                        color_ref[0, pl.ds(r0, ch), :] = \
+                            fbc_ref[0, pl.ds(r0, ch), :]
+                    else:
+                        color_ref[0, pl.ds(r0, ch), :] = jnp.full(
+                            (ch, 128), _I32(clear_color))
 
                 @pl.when(any_winner)
                 def _(idx=idx, has=has, idxs=idxs, lanei=lanei, grp=grp,
@@ -743,7 +753,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                                           col.expand_5_to_8(b5v),
                                           jnp.full((ch, 128), 255, _I32))
                     drawn = has & ~keyed_out
-                    bg = fbc_ref[0, pl.ds(r0, ch), :]
+                    if clear_color is None:
+                        bg = fbc_ref[0, pl.ds(r0, ch), :]
+                    else:
+                        bg = jnp.full((ch, 128), _I32(clear_color))
                     color_ref[0, pl.ds(r0, ch), :] = jnp.where(drawn, word, bg)
 
         if "nophase2" not in debug:
@@ -756,14 +769,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     jax.jit,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
                      "atlas_rows", "key_wrows", "interpret", "debug",
-                     "atlas_rows_data", "tex_enc"))
+                     "atlas_rows_data", "tex_enc", "clear_color"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     tex_lo, tex_hi, tex_pack, tex_pal,
                     settings: RasterSettings,
                     width: int, height: int, t_pad: int, n_tex: int,
                     atlas_rows: int, key_wrows: int,
                     interpret: bool = False, debug: str = "",
-                    atlas_rows_data: int = 0, tex_enc: tuple = ()):
+                    atlas_rows_data: int = 0, tex_enc: tuple = (),
+                    clear_color=None):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
@@ -771,10 +785,10 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     """
     n_inst = fbc.shape[0]
     ch, _ = _tile_sizes(debug)
-    const_depth = "cdepth" in debug
+    const_depth = "cdepth" in debug or clear_color is not None
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,
-                                      atlas_rows_data, tex_enc)
+                                      atlas_rows_data, tex_enc, clear_color)
     if t_pad <= SEG:
         n_segs, seg_rows = 1, t_pad
     else:
@@ -812,8 +826,9 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tex_pal.shape[0], 128), pin(Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gh, 128), pin(I, Z, Z),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128) if clear_color is not None
+                         else (1, gh, 128),
+                         pin(I, Z, Z), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128) if const_depth else (1, gh, 128),
                          pin(I, Z, Z), memory_space=pltpu.VMEM),
         ],
