@@ -335,8 +335,9 @@ def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
                 st.song.channel_instruments.append(0)
             st.song.channel_instruments[c] = sel["inst"]
 
-    # Pan/Mod/Expr knobs + reverb Wet mini-knob for the current channel
-    # (layout.rs:1352-1445; values persist in ChannelSettings, pattern.rs:9)
+    # Channel effects block (layout.rs:1270-1445): sample-rate buttons,
+    # reverb preset grid, Pan/Mod/Expr knobs + Wet mini-knob — values
+    # persist in ChannelSettings (pattern.rs:9)
     from ..ui.widgets import knob, mini_knob
 
     ch = st.current_channel
@@ -346,7 +347,35 @@ def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
                                         else None)
     cs = st.song.channel_settings[ch]
     if cs is not None:
-        knob_y = chn.y + st.num_channels() * ROW24 + 44
+        fy = chn.y + st.num_channels() * ROW24 + 8
+        ctx.text(chn.x + 2, fy, f"Channel {ch + 1} Effects", TEXT)
+        fy += 16
+        # sample-rate row (SPU output simulation, audio.rs:36-78)
+        for i, label in enumerate(("OFF", "44k", "22k", "11k", "5k")):
+            r = Rect(chn.x + 2 + i * 34, fy, 32, 16)
+            active = cs.sample_rate == i
+            hov = r.contains(ctx.mouse.x, ctx.mouse.y)
+            ctx.fill(r, (51, 102, 128) if active
+                     else (64, 64, 77) if hov else (38, 38, 46))
+            ctx.text(r.x + 3, r.center_y, label,
+                     (255, 255, 255) if active else TEXT)
+            if hov and ctx.mouse.pressed:
+                cs.sample_rate = i
+        fy += 20
+        # reverb preset grid (10 PsyQ presets, 5 per row, green active)
+        from .spu_tables import REVERB_ORDER
+        for i, name in enumerate(REVERB_ORDER):
+            r = Rect(chn.x + 2 + (i % 5) * 44, fy + (i // 5) * 18, 42, 16)
+            active = cs.reverb_type == i
+            hov = r.contains(ctx.mouse.x, ctx.mouse.y)
+            ctx.fill(r, (51, 128, 77) if active
+                     else (64, 64, 77) if hov else (38, 38, 46))
+            ctx.text(r.x + 2, r.center_y, name[:6].title(),
+                     (255, 255, 255) if active else TEXT)
+            if hov and ctx.mouse.pressed:
+                cs.reverb_type = i
+        fy += 2 * 18 + 6
+        knob_y = fy + 28
         for i, (label, attr, bipolar) in enumerate(
                 (("Pan", "pan", True), ("Mod", "modulation", False),
                  ("Expr", "expression", False))):

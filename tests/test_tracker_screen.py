@@ -126,10 +126,29 @@ def test_instruments_view_knobs_adjust_channel_settings():
     rect = Rect(0, 20, 640, 440)
     lst_w = rect.w * 0.55
     chn_x = rect.x + 4 + lst_w + 8
-    knob_y = rect.y + 18 + st.num_channels() * tu.ROW24 + 44
+    fy = rect.y + 18 + st.num_channels() * tu.ROW24 + 8 + 16 + 20
+    knob_y = fy + 2 * 18 + 6 + 28
     kx = chn_x + 30
     # press at 12 o'clock inside the Pan knob -> value 95 (bipolar arc)
     ctx.begin_frame(kx, knob_y - 10, True)
     tu.draw_instruments_view(ctx, st, rect, [(0, 0, "Piano")], sel)
     assert st.song.channel_settings[st.current_channel].pan == \
         round(0.75 * 127)
+
+
+def test_instruments_view_sample_rate_and_reverb_buttons():
+    st = TrackerState()
+    ctx = UiContext()
+    sel = {}
+    rect = Rect(0, 20, 640, 440)
+    chn_x = rect.x + 4 + rect.w * 0.55 + 8
+    fy = rect.y + 18 + st.num_channels() * tu.ROW24 + 8 + 16
+    draw = lambda: tu.draw_instruments_view(ctx, st, rect,
+                                            [(0, 0, "Piano")], sel)
+    # click the 22k sample-rate button (index 2)
+    click(ctx, draw, chn_x + 2 + 2 * 34 + 5, fy + 8)
+    assert st.song.channel_settings[st.current_channel].sample_rate == 2
+    # click the HALL reverb preset (index 5 -> row 1 col 0)
+    ry = fy + 20
+    click(ctx, draw, chn_x + 2 + 5, ry + 18 + 8)
+    assert st.song.channel_settings[st.current_channel].reverb_type == 5
