@@ -171,3 +171,66 @@ class AppState:
 
     def active_tool_index(self) -> int:
         return self.active_tool.value
+
+
+DEFAULT_LEVEL_DIR = "assets/userdata/levels"
+
+
+def handle_editor_action(app: AppState, action: str, path=None,
+                         layout=None) -> bool:
+    """main.rs:2533 handle_editor_action, headless: the OS file dialogs
+    become explicit `path` arguments (the level browser supplies them).
+
+    Actions: "new" | "save" | "save_as" | "open" | "play".
+    Returns True when the action changed app state."""
+    import os
+
+    from .models.level import create_empty_level, load_level, save_level
+
+    ws = app.world_editor
+
+    if action == "play":
+        ws.set_status("Game preview coming soon", 2.0)   # main.rs:2540
+        return False
+
+    if action == "new":
+        from .editor.state import EditorState
+
+        app.world_editor = EditorState(create_empty_level())
+        app.world_editor.apply_layout_config(layout)
+        app.world_editor.set_status("Created new level", 3.0)
+        app.project.level = app.world_editor.level
+        return True
+
+    if action in ("save", "save_as"):
+        if action == "save" and path is None:
+            path = ws.current_file
+        if path is None:
+            path = os.path.join(DEFAULT_LEVEL_DIR, "level.ron")
+        ws.store_layout_config(layout)
+        try:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            save_level(ws.level, path)
+        except OSError as e:
+            ws.set_status(f"Save failed: {e}", 5.0)
+            return False
+        ws.current_file = path
+        ws.dirty = False
+        ws.set_status(f"Saved ({app.storage.mode().label}) {path}", 3.0)
+        return True
+
+    if action == "open":
+        if path is None:
+            return False
+        try:
+            level = load_level(path)
+        except (OSError, ValueError, KeyError) as e:
+            ws.set_status(f"Load failed: {e}", 5.0)
+            return False
+        ws.load_level(level, path)
+        ws.apply_layout_config(layout)
+        ws.set_status(f"Loaded {path}", 3.0)
+        app.project.level = ws.level
+        return True
+
+    return False

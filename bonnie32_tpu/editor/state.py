@@ -246,6 +246,7 @@ class EditorState:
         self.asset_library: Any = None        # AssetLibrary when wired
         self.wall_direction: int = 0          # NORTH; state.rs wall tool
         self.portals_dirty = True             # state.rs:616
+        self.current_file = None              # state.rs current_file
         # --- 3D viewport camera (state.rs:418-428, :704-731) ---
         self.camera_pos = np.array([4096.0, 4096.0, 4096.0], np.float32)
         self.camera_rot_x = 0.46
@@ -568,3 +569,80 @@ class EditorState:
                 setattr(face, k, copy.deepcopy(v))
         self.dirty = True
         return True
+
+
+# ---------------------------------------------------------------------------
+# Level lifecycle + EditorLayoutConfig persistence (state.rs:897,
+# geometry.rs:3357, main.rs:2542-2640)
+# ---------------------------------------------------------------------------
+
+def _orbit_defaults() -> dict:
+    """EditorLayoutConfig's serde defaults (geometry.rs:3373-3420)."""
+    return dict(main_split=0.22, right_split=0.72, left_split=0.5,
+                right_panel_split=0.5, grid_offset_x=0.0, grid_offset_y=0.0,
+                grid_zoom=0.1, orbit_target_x=512.0, orbit_target_y=512.0,
+                orbit_target_z=512.0, orbit_distance=4000.0,
+                orbit_azimuth=0.8, orbit_elevation=0.4)
+
+
+def apply_layout_config(state: EditorState, layout=None) -> None:
+    """Restore grid pan/zoom + the orbit camera (and split ratios when an
+    EditorLayout is given) from level.editor_layout — the PromptLoad flow
+    (main.rs:2616-2629)."""
+    cfg = dict(_orbit_defaults())
+    cfg.update(state.level.editor_layout or {})
+    state.grid_offset_x = float(cfg["grid_offset_x"])
+    state.grid_offset_y = float(cfg["grid_offset_y"])
+    state.grid_zoom = float(cfg["grid_zoom"])
+    state.orbit_target = np.array([cfg["orbit_target_x"],
+                                   cfg["orbit_target_y"],
+                                   cfg["orbit_target_z"]], np.float32)
+    state.last_orbit_target = state.orbit_target.copy()
+    state.orbit_distance = float(cfg["orbit_distance"])
+    state.orbit_azimuth = float(cfg["orbit_azimuth"])
+    state.orbit_elevation = float(cfg["orbit_elevation"])
+    state.sync_camera_from_orbit()
+    if layout is not None:
+        layout.main_split.ratio = float(cfg["main_split"])
+        layout.right_split.ratio = float(cfg["right_split"])
+
+
+def store_layout_config(state: EditorState, layout=None) -> None:
+    """Write the current editor view state into level.editor_layout before
+    saving (main.rs:2568-2576 to_config)."""
+    cfg = dict(state.level.editor_layout or {})
+    cfg.update(
+        grid_offset_x=float(state.grid_offset_x),
+        grid_offset_y=float(state.grid_offset_y),
+        grid_zoom=float(state.grid_zoom),
+        orbit_target_x=float(state.orbit_target[0]),
+        orbit_target_y=float(state.orbit_target[1]),
+        orbit_target_z=float(state.orbit_target[2]),
+        orbit_distance=float(state.orbit_distance),
+        orbit_azimuth=float(state.orbit_azimuth),
+        orbit_elevation=float(state.orbit_elevation),
+    )
+    if layout is not None:
+        cfg.update(main_split=float(layout.main_split.ratio),
+                   right_split=float(layout.right_split.ratio))
+    state.level.editor_layout = cfg
+
+
+def load_level_into(state: EditorState, level: Level, path=None) -> None:
+    """EditorState::load_level (state.rs:897): swap the level, reset
+    selection/undo, refresh bounds and mark portals dirty."""
+    state.level = level
+    state.current_file = path
+    state.selection = Selection()
+    state.multi_selection = []
+    state.undo_stack = []
+    state.redo_stack = []
+    state.dirty = False
+    for room in level.rooms:
+        room.recalculate_bounds()
+    state.portals_dirty = True
+
+
+EditorState.apply_layout_config = apply_layout_config
+EditorState.store_layout_config = store_layout_config
+EditorState.load_level = load_level_into

@@ -113,3 +113,51 @@ def test_level_browser_flow(tmp_path):
     level = b.load_selected(load_level)
     assert level is not None and len(level.rooms) == 2
     assert not b.open_flag                 # closes after load
+
+# ---------------------------------------------------------------------------
+# Editor action dispatch (main.rs:2533) + EditorLayoutConfig persistence
+# ---------------------------------------------------------------------------
+
+def test_editor_action_save_open_roundtrip(tmp_path):
+    import numpy as np
+
+    from bonnie32_tpu.app import AppState, handle_editor_action
+    from bonnie32_tpu.editor.layout import EditorLayout
+    from bonnie32_tpu.models.level import Room, TextureRef
+
+    app = AppState()
+    room = Room.new(0, (0.0, 0.0, 0.0), 3, 3)
+    room.set_floor(1, 1, 256.0, TextureRef("p", "T"))
+    room.recalculate_bounds()
+    app.world_editor.level.add_room(room)
+    app.world_editor.orbit_distance = 1234.0
+    app.world_editor.grid_zoom = 0.42
+    layout = EditorLayout()
+    layout.main_split.ratio = 0.31
+
+    p = str(tmp_path / "lvl.ron")
+    assert handle_editor_action(app, "save_as", path=p, layout=layout)
+    assert app.world_editor.current_file == p
+    assert "Saved" in app.world_editor.status_message
+
+    # mutate, then load back: camera + grid + splits restore from the file
+    app.world_editor.orbit_distance = 9.0
+    app.world_editor.grid_zoom = 9.0
+    layout.main_split.ratio = 0.9
+    assert handle_editor_action(app, "open", path=p, layout=layout)
+    ws = app.world_editor
+    assert ws.orbit_distance == 1234.0
+    assert abs(ws.grid_zoom - 0.42) < 1e-6
+    assert abs(layout.main_split.ratio - 0.31) < 1e-6
+    assert ws.level.rooms[-1].get_sector(1, 1).floor.heights[0] == 256.0
+    assert app.project.level is ws.level       # live-sync source swapped
+
+
+def test_editor_action_new_resets(tmp_path):
+    from bonnie32_tpu.app import AppState, handle_editor_action
+
+    app = AppState()
+    app.world_editor.dirty = True
+    assert handle_editor_action(app, "new")
+    assert app.world_editor.dirty is False
+    assert "new level" in app.world_editor.status_message
