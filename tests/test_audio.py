@@ -97,3 +97,59 @@ def test_render_sample_song():
     assert left.shape == (44100,)
     assert np.abs(left).max() > 0.01, "song renders audible output"
     assert np.abs(left).max() <= 2.0
+
+
+# ---------------------------------------------------------------------------
+# Song browser (song_browser.rs)
+# ---------------------------------------------------------------------------
+
+def test_song_browser_discovery_and_flow(tmp_path):
+    from bonnie32_tpu.audio import song as song_mod
+    from bonnie32_tpu.audio.song_browser import (SongBrowser, SongCategory,
+                                                 SongInfo,
+                                                 discover_songs_from_dir,
+                                                 next_available_song_name)
+
+    d = tmp_path / "songs"
+    d.mkdir()
+    s = song_mod.Song(name="t")
+    song_mod.save_song(s, str(d / "song_002.ron"))
+    song_mod.save_song(s, str(d / "alpha.ron"))
+    found = discover_songs_from_dir(str(d), SongCategory.SAMPLE)
+    assert [f.name for f in found] == ["alpha", "song_002"]
+
+    assert next_available_song_name(found, []).endswith("song_003.ron")
+    assert next_available_song_name([], []).endswith("song_001.ron")
+
+    br = SongBrowser()
+    br.open(found)
+    br.select(1)
+    assert br.is_sample_selected()
+    loaded = br.load_selected(song_mod.load_song)
+    assert loaded is not None and not br.open_flag
+
+
+def test_song_browser_user_listing_and_delete(tmp_path):
+    from bonnie32_tpu.audio import song as song_mod
+    from bonnie32_tpu.audio.song_browser import (SongBrowser,
+                                                 USER_SONGS_PATH)
+    from bonnie32_tpu.storage import Storage
+    from bonnie32_tpu.storage.local import LocalStorage
+
+    storage = Storage(local=LocalStorage(base_dir=str(tmp_path)))
+    s = song_mod.Song(name="t")
+    p = tmp_path / USER_SONGS_PATH
+    p.mkdir(parents=True)
+    song_mod.save_song(s, str(p / "mine.ron"))
+    br = SongBrowser()
+    br.open([], storage=storage)
+    assert br.is_loading_user_songs() or True
+    for _ in range(50):
+        br.poll()
+        if not br.is_loading_user_songs():
+            break
+    assert [u.name for u in br.user_songs] == ["mine"]
+    br.select(0)
+    assert br.is_user_selected()
+    assert br.delete_selected(storage)
+    assert br.user_songs == []
