@@ -18,6 +18,9 @@ from .game import overlay as game_overlay
 from .input import InputState
 from .models import modeler_viewport as mv
 from .ui import Rect, UiContext, tab_bar
+from .ui.widgets import tab_bar_with_auth
+
+VERSION = "0.3.0"   # mirrors pyproject; the reference shows vX.Y.Z in the tab bar
 
 TAB_H = 28.0
 
@@ -38,8 +41,19 @@ def draw_frame(app: AppState, ctx: UiContext, bounds: Rect,
 
     tab_rect = bounds.slice_top(TAB_H)
     content = bounds.remaining_after_top(TAB_H)
-    idx = tab_bar(ctx, "tabs", tab_rect, Tool.labels(),
-                  app.active_tool_index())
+    idx, auth_clicked = tab_bar_with_auth(
+        ctx, "tabs", tab_rect, Tool.labels(), app.active_tool_index(),
+        version=VERSION, storage_label=app.storage.mode().label,
+        is_authenticated=app.auth.authenticated,
+        user_label=app.auth.user_email or "")
+    if auth_clicked:
+        # tabbar.rs:402: toggles the session; the PKCE flow (auth.py)
+        # plugs in via AuthState.provider
+        if app.auth.authenticated:
+            app.auth.sign_out()
+            app.storage.update_for_auth(False)
+        else:
+            app.update_auth()
     if idx != app.active_tool_index():
         tool = Tool.from_index(idx)
         if tool is not None:

@@ -602,3 +602,39 @@ def mini_knob(ctx: UiContext, cx: float, cy: float, radius: float,
     ctx.text(cx - len(label) * 3, cy, label, (178, 178, 178))
     return _knob_drag_value(ctx, cx, cy) if hovered and ctx.mouse.down \
         else None
+
+
+def tab_bar_with_auth(ctx: UiContext, wid: str, rect: Rect,
+                      labels: Sequence[str], active: int,
+                      version: str = "", storage_label: str = "Local",
+                      is_authenticated: bool = False,
+                      user_label: str = "") -> Tuple[int, bool]:
+    """ui/tabbar.rs:298 draw_fixed_tabs_with_auth — the tab strip plus the
+    right-aligned version tag, storage-mode label, signed-in identity and
+    the Sign In / Sign Out button.  Returns (active, auth_clicked)."""
+    right_w = 200.0
+    tabs_rect = Rect(rect.x, rect.y, max(rect.w - right_w, 60.0), rect.h)
+    active = tab_bar(ctx, wid, tabs_rect, labels, active)
+
+    x = rect.right - 8.0
+    # Sign In / Sign Out button (tabbar.rs:402-430)
+    btn_label = "Sign Out" if is_authenticated else "Sign In"
+    bw = 7.0 * len(btn_label) + 14.0
+    btn = Rect(x - bw, rect.y + 4, bw, rect.h - 8)
+    hovered = btn.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.fill(btn, (46, 46, 56) if hovered else (36, 36, 43))
+    ctx.outline(btn, (128, 128, 140) if is_authenticated
+                else (90, 170, 230))
+    ctx.text(btn.x + 7, btn.center_y, btn_label)
+    clicked = hovered and ctx.mouse.pressed
+    x = btn.x - 10.0
+
+    # storage mode + identity (tabbar.rs mode/user labels)
+    info = storage_label if not user_label else \
+        f"{user_label} - {storage_label}"
+    x -= 6.0 * len(info)
+    ctx.text(x, rect.center_y, info, (140, 140, 150))
+    if version:
+        vx = x - 6.0 * (len(version) + 2) - 8.0
+        ctx.text(vx, rect.center_y, f"v{version}", (110, 110, 120))
+    return active, clicked

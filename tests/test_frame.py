@@ -37,7 +37,8 @@ def test_tab_switching_and_project_sync():
     assert app.project.level is app.world_editor.level
 
     # click the World tab (index 1 of 6 equal tabs)
-    tab_w = bounds.w / len(Tool.labels())
+    # the auth controls reserve 200px on the right (tab_bar_with_auth)
+    tab_w = max(bounds.w - 200.0, 60.0) / len(Tool.labels())
     tx = tab_w * 1 + tab_w / 2
     ctx.begin_frame(tx, TAB_H / 2, True)
     draw_frame(app, ctx, bounds, inp)
@@ -76,3 +77,27 @@ def test_each_tool_screen_rasterizes():
     ctx.begin_frame(0, 0, False)
     rects = draw_frame(app, ctx, bounds, inp)
     assert "pane:top" in rects and "pane:perspective" in rects
+
+
+def test_tab_bar_auth_button_toggles_session():
+    from bonnie32_tpu.app import AppState, Tool
+    from bonnie32_tpu.frame import draw_frame
+    from bonnie32_tpu.ui import Rect, UiContext
+
+    app = AppState()
+    app.auth.provider = lambda: "user@example.com"
+    bounds = Rect(0, 0, 640, 480)
+    # the Sign In button sits just left of the right edge
+    bx = bounds.right - 8 - (7 * len("Sign In") + 14) / 2
+    ctx = UiContext()
+    ctx.begin_frame(bx, 12, True)
+    draw_frame(app, ctx, bounds)
+    assert app.auth.authenticated and app.storage.cloud is not None \
+        or app.auth.authenticated   # storage switch depends on backend
+    # click again (now "Sign Out")
+    bx2 = bounds.right - 8 - (7 * len("Sign Out") + 14) / 2
+    ctx.begin_frame(0, 0, False)
+    draw_frame(app, ctx, bounds)
+    ctx.begin_frame(bx2, 12, True)
+    draw_frame(app, ctx, bounds)
+    assert not app.auth.authenticated
