@@ -300,7 +300,7 @@ def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
     """SoundFont preset list + per-channel assignment
     (layout.rs:1070-1535).  `presets`: sequence of (bank, program, name)."""
     ctx.fill(rect, BG)
-    lst = Rect(rect.x + 4, rect.y + 18, rect.w * 0.55, rect.h - 24)
+    lst = Rect(rect.x + 4, rect.y + 18, rect.w * 0.55, rect.h - 160)
     ctx.text(rect.x + 6, rect.y + 4, "Instruments", TEXT)
     ctx.fill(lst, (20, 20, 26))
     for i, (bank, prog, name) in enumerate(presets):
@@ -389,6 +389,12 @@ def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
         if new is not None:
             cs.wet = new
 
+    # piano keyboard along the bottom (layout.rs:1142); a click enters the
+    # note at the cursor exactly like typing its mapped key
+    note = draw_piano(ctx, st, rect.x + 8, rect.bottom - 112)
+    if note is not None:
+        st.enter_note(note)
+
 
 def draw_tracker_screen(ctx: UiContext, st: TrackerState, bounds: Rect,
                         tab: TrackerTab = TrackerTab.PATTERN,
@@ -439,3 +445,59 @@ def handle_pattern_key(st: TrackerState, key: str) -> bool:
             return False
         st.enter_note(pitch)
     return True
+
+
+# ---------------------------------------------------------------------------
+# Piano keyboard drawing (layout.rs:1018-1025, :1142-1260)
+# ---------------------------------------------------------------------------
+
+_SEMITONE_KEY = {v: k for k, v in KEY_SEMITONES.items()}
+
+# 22 white keys across semitones 0-36 (3 octaves C..C) + 15 black keys at
+# fractional white-key positions (layout.rs:1144-1157)
+_WHITE_KEYS = [(o * 12 + s, n) for o in range(3)
+               for s, n in ((0, "C"), (2, "D"), (4, "E"), (5, "F"),
+                            (7, "G"), (9, "A"), (11, "B"))] + [(36, "C")]
+_BLACK_KEYS = [(o * 12 + s, o * 7 + fx) for o in range(3)
+               for s, fx in ((1, 0.7), (3, 1.7), (6, 3.7), (8, 4.7),
+                             (10, 5.7))]
+
+
+def draw_piano(ctx: UiContext, st: TrackerState, x: float, y: float,
+               white_w: float = 24.0, white_h: float = 100.0
+               ) -> Optional[int]:
+    """The 3-octave piano with keyboard-mapping labels; keys light up when
+    hovered or when their mapped computer key is held.  Returns the
+    clicked MIDI pitch or None (layout.rs:1142-1260)."""
+    ctx.text(x, y - 14, f"Piano - Octave {st.octave}", TEXT)
+    clicked: Optional[int] = None
+    black_w, black_h = 16.0, 60.0
+
+    for i, (semi, name) in enumerate(_WHITE_KEYS):
+        r = Rect(x + i * white_w, y, white_w - 2.0, white_h)
+        hovered = r.contains(ctx.mouse.x, ctx.mouse.y)
+        key = _SEMITONE_KEY.get(semi)
+        held = key is not None and ctx.key_down(key)
+        rgb = ((120, 180, 255) if held else
+               (215, 215, 220) if hovered else (240, 240, 245))
+        ctx.fill(r, rgb)
+        ctx.outline(r, (60, 60, 70))
+        ctx.text(r.x + 3, r.bottom - 24, name, (60, 60, 70))
+        if key is not None:
+            ctx.text(r.x + 3, r.bottom - 12, key.upper(), (120, 120, 130))
+        if hovered and ctx.mouse.pressed:
+            clicked = min(st.octave * 12 + semi, 127)
+
+    for semi, fx in _BLACK_KEYS:
+        r = Rect(x + fx * white_w, y, black_w, black_h)
+        hovered = r.contains(ctx.mouse.x, ctx.mouse.y)
+        key = _SEMITONE_KEY.get(semi)
+        held = key is not None and ctx.key_down(key)
+        rgb = ((90, 140, 220) if held else
+               (60, 60, 70) if hovered else (25, 25, 30))
+        ctx.fill(r, rgb)
+        if key is not None:
+            ctx.text(r.x + 3, r.bottom - 12, key.upper(), (150, 150, 160))
+        if hovered and ctx.mouse.pressed:
+            clicked = min(st.octave * 12 + semi, 127)
+    return clicked

@@ -152,3 +152,28 @@ def test_instruments_view_sample_rate_and_reverb_buttons():
     ry = fy + 20
     click(ctx, draw, chn_x + 2 + 5, ry + 18 + 8)
     assert st.song.channel_settings[st.current_channel].reverb_type == 5
+
+
+def test_piano_click_enters_note_and_held_key_highlight():
+    st = TrackerState()
+    st.edit_mode = True
+    ctx = UiContext()
+    sel = {}
+    rect = Rect(0, 20, 640, 440)
+    # the piano starts at rect.x + 8, rect.bottom - 112; first white key = C
+    px = rect.x + 8 + 5
+    py = rect.bottom - 112 + 80      # below black keys, inside white key
+    click(ctx, lambda: tu.draw_instruments_view(ctx, st, rect,
+                                                [(0, 0, "Piano")], sel),
+          px, py)
+    pat = st.current_pattern()
+    note = pat.get(st.current_channel, 0)
+    assert note is not None and note.pitch == st.octave * 12
+
+    # held mapped key ("z" = semitone 0) lights the key (accent fill)
+    ctx2 = UiContext()
+    ctx2.begin_frame(0, 0, False, keys_down=("z",))
+    tu.draw_instruments_view(ctx2, st, rect, [(0, 0, "Piano")], sel)
+    fills = [c for c in ctx2.commands if c[0] == "fill"
+             and c[2] == (120, 180, 255)]
+    assert fills
