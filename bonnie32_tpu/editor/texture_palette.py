@@ -120,6 +120,7 @@ class TexturePalette:
     thumb_size: float = 48.0
     scroll: float = 0.0
     selected: Optional[TextureRef] = None
+    user_mode: bool = False   # Source|User toggle (texture_palette.rs:65)
 
     def grid_layout(self, rect: Rect, n: int
                     ) -> List[Tuple[int, Rect]]:
@@ -179,3 +180,75 @@ class TexturePalette:
                             f"selection{'s' if n_applied != 1 else ''}",
                             1.5)
         return clicked_idx
+
+
+# ---------------------------------------------------------------------------
+# Source / User mode toggle (texture_palette.rs:59-110)
+# ---------------------------------------------------------------------------
+
+def draw_mode_toggle(ctx: UiContext, rect: Rect,
+                     palette: "TexturePalette") -> None:
+    """Two-tab Source|User strip; flips palette.user_mode."""
+    half = rect.w / 2.0
+    for i, label in enumerate(("Source", "User")):
+        r = Rect(rect.x + i * half, rect.y, half, rect.h)
+        active = palette.user_mode == (i == 1)
+        hovered = r.contains(ctx.mouse.x, ctx.mouse.y)
+        ctx.fill(r, (50, 60, 75) if active
+                 else (40, 40, 48) if hovered else (28, 28, 34))
+        ctx.text(r.x + 6, r.center_y, label,
+                 (255, 255, 255) if active else (150, 150, 160))
+        if hovered and ctx.mouse.pressed and not active:
+            palette.user_mode = (i == 1)
+            palette.scroll = 0.0
+
+
+def draw_user_grid(ctx: UiContext, state: EditorState, rect: Rect,
+                   palette: "TexturePalette", user_textures
+                   ) -> Optional[str]:
+    """User-texture thumbnails + the New button (texture_palette.rs:65-110).
+    Applies the clicked texture to the selection by user id and returns
+    "edit:<name>" / "new" actions for the caller to open the paint editor."""
+    ctx.fill(rect, (22, 22, 26))
+    action: Optional[str] = None
+    new_r = Rect(rect.x + 2, rect.y + 2, 48, 18)
+    hovered = new_r.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.fill(new_r, (50, 70, 55) if hovered else (38, 52, 42))
+    ctx.text(new_r.x + 6, new_r.center_y, "+ New")
+    if hovered and ctx.mouse.pressed:
+        action = "new"
+    grid = Rect(rect.x, new_r.bottom + 2, rect.w,
+                rect.bottom - new_r.bottom - 2)
+    texs = list(user_textures)
+    clicked_idx = None
+    for i, cell in palette.grid_layout(grid, len(texs)):
+        t = texs[i]
+        words = thumbnail_words(np.asarray(t.to_texture15()),
+                                int(palette.thumb_size))
+        ctx.commands.append(("image", (cell.x, cell.y), words))
+        is_sel = (palette.selected is not None
+                  and palette.selected.is_user_texture
+                  and palette.selected.name == t.name)
+        ctx.outline(cell, (255, 200, 60) if is_sel else (60, 60, 70))
+        if ctx.clicked(f"upal.{i}", cell):
+            clicked_idx = i
+        # right-click opens the paint editor on it (Edit flow)
+        if cell.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.right_down:
+            action = f"edit:{t.name}"
+    if clicked_idx is not None:
+        t = texs[clicked_idx]
+        palette.selected = TextureRef.user(t.name)
+        state.selected_texture = palette.selected
+        targets = [state.selection] + state.multi_selection
+        if any(s.kind in ("sector", "sector_face") for s in targets):
+            state.save_undo()
+            n = 0
+            for sel in targets:
+                if apply_texture_to_selection(state.level, sel,
+                                              palette.selected,
+                                              state.triangle_selection):
+                    n += 1
+            if n:
+                state.set_status(f"Applied {t.name} to {n} "
+                                 f"selection{'s' if n != 1 else ''}", 1.5)
+    return action

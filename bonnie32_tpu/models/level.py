@@ -97,9 +97,20 @@ class TextureRef:
     pack: str = ""
     name: str = ""
 
+    USER_PACK = "_USER"   # geometry.rs USER_TEXTURE_PACK
+
     @property
     def is_valid(self) -> bool:
         return bool(self.pack and self.name)
+
+    @classmethod
+    def user(cls, name) -> "TextureRef":
+        """geometry.rs:38 — reference into textures-user/."""
+        return cls(pack=cls.USER_PACK, name=str(name))
+
+    @property
+    def is_user_texture(self) -> bool:
+        return self.pack == self.USER_PACK
 
     @classmethod
     def from_ron(cls, d):

@@ -99,3 +99,13 @@ def make_resolver(textures: Sequence[PackTexture]):
         return by_name.get(tex_ref.name)
 
     return resolve
+
+
+def with_user_textures(textures: Sequence[PackTexture],
+                       user_textures) -> List[PackTexture]:
+    """main.rs:495-507 — pack textures first, user textures appended
+    (resolved by name; live edits show in the 3D view on recompile)."""
+    out = list(textures)
+    for t in user_textures:
+        out.append(PackTexture(t.name, np.asarray(t.to_texture15())))
+    return out

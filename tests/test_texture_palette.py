@@ -108,3 +108,89 @@ def test_palette_click_applies_with_undo_and_raster():
     out = ctx.paint(fb)
     w = np.asarray(out.color)
     assert (w != 0).mean() > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Source|User mode + user grid (texture_palette.rs:59-110)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from bonnie32_tpu.editor.texture_palette import (TexturePalette,
+                                                 draw_mode_toggle,
+                                                 draw_user_grid)
+from bonnie32_tpu.models.user_texture import UserTexture
+
+
+def _user_tex(i, name):
+    return UserTexture(id=i, name=name, width=8, height=8, depth=0,
+                       indices=np.arange(64, dtype=np.uint8) % 4,
+                       palette=[0, 0x1F, 0x3E0, 0x7C00])
+
+
+def test_mode_toggle_flips_user_mode():
+    pal = TexturePalette()
+    ctx = UiContext()
+    r = Rect(0, 0, 100, 16)
+    ctx.begin_frame(75, 8, True)          # click "User"
+    draw_mode_toggle(ctx, r, pal)
+    assert pal.user_mode is True
+    ctx.begin_frame(0, 0, False)
+    ctx.begin_frame(25, 8, True)          # back to "Source"
+    draw_mode_toggle(ctx, r, pal)
+    assert pal.user_mode is False
+
+
+def test_user_grid_apply_and_actions():
+    state = _state()
+    state.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                                face=SectorFace(kind="floor"))
+    pal = TexturePalette()
+    texs = [_user_tex(1, "bricks"), _user_tex(2, "moss")]
+    rect = Rect(0, 0, 160, 200)
+    ctx = UiContext()
+    # click the New button
+    ctx.begin_frame(10, 10, True)
+    assert draw_user_grid(ctx, state, rect, pal, texs) == "new"
+    # click the first thumbnail (grid starts at y=22)
+    ctx.begin_frame(0, 0, False)
+    ctx.begin_frame(10, 30, True)
+    draw_user_grid(ctx, state, rect, pal, texs)
+    ctx.begin_frame(10, 30, False)
+    draw_user_grid(ctx, state, rect, pal, texs)
+    assert pal.selected is not None and pal.selected.is_user_texture
+    assert pal.selected.name == "bricks"
+    floor = state.level.rooms[0].get_sector(1, 1).floor
+    assert floor.texture == pal.selected
+    # right-click requests the paint editor
+    ctx.begin_frame(10, 30, False, right_down=True)
+    assert draw_user_grid(ctx, state, rect, pal, texs) == "edit:bricks"
+
+
+def test_user_texture_renders_in_level():
+    # a floor painted with a TextureRef.user resolves through the combined
+    # texture list (main.rs:495-507) and renders its texels
+    import jax.numpy as jnp
+
+    from bonnie32_tpu.config import RasterSettings
+    from bonnie32_tpu.models import scene as scene_mod
+    from bonnie32_tpu.models import texture_pack as tp
+    from bonnie32_tpu.ops import raster_ref
+    from bonnie32_tpu.types import CameraArrays
+    from bonnie32_tpu.models import build
+
+    state = _state()
+    room = state.level.rooms[0]
+    ut = _user_tex(1, "bricks")
+    room.get_sector(1, 1).floor.texture = TextureRef.user("bricks")
+
+    textures = tp.with_user_textures(_pack(), [ut])
+    resolve = tp.make_resolver(textures)
+    assert resolve(TextureRef.user("bricks")) is not None
+    scene = scene_mod.compile_level(state.level, textures, resolve)
+    cam = CameraArrays(
+        position=jnp.asarray([1536.0, 2500.0, 1400.0], jnp.float32),
+        basis=jnp.asarray(build.camera_basis(1.2, 0.0), jnp.float32))
+    fb = raster_ref.new_framebuffer(120, 160, depth_mode="inv")
+    fb = scene_mod.render_level(fb, scene, cam, RasterSettings.game())
+    assert int((np.asarray(fb.color) != 0).sum()) > 200
