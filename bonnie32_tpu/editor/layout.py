@@ -44,6 +44,10 @@ class EditorLayout:
         default_factory=lambda: [False, False])
     room_scroll: float = 0.0
     properties_ui: dict = dataclasses.field(default_factory=dict)
+    # texture palette + paint-editor session state
+    palette: "object" = None            # TexturePalette (lazy)
+    editing_texture: Optional[str] = None
+    paint_state: "object" = None        # TextureEditorState (lazy)
 
 
 def _collapsible_stack(ctx, rect, names, collapsed, bg) -> Dict[str, Rect]:
@@ -70,7 +74,8 @@ def _collapsible_stack(ctx, rect, names, collapsed, bg) -> Dict[str, Rect]:
 
 
 def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
-                bounds: Rect, dt: float = 1.0 / 60.0) -> Dict[str, Rect]:
+                bounds: Rect, dt: float = 1.0 / 60.0,
+                textures=()) -> Dict[str, Rect]:
     """One editor frame's chrome; returns named rects so the caller can
     render the 3D viewport / grid views into them and route input."""
     screen = bounds
@@ -113,14 +118,20 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
     # --- right sidebar: Textures + Properties ---
     right_content = _collapsible_stack(ctx, right_rect, RIGHT_PANELS,
                                        layout.right_collapsed, PANEL_BG)
+    if "Textures" in right_content:
+        _textures_panel(ctx, right_content["Textures"], state, layout,
+                        textures)
     if "Properties" in right_content:
         from .properties import draw_properties
 
         draw_properties(ctx, right_content["Properties"], state,
                         ui=layout.properties_ui)
 
-    # --- viewport frame ---
+    # --- viewport frame; the paint editor takes it over while a user
+    # texture is being edited (texture_editor.rs draws over the tool area)
     draw_panel(ctx, center_rect, None, (12, 12, 16))
+    if layout.editing_texture is not None:
+        _paint_editor_overlay(ctx, center_rect, state, layout)
 
     # --- status bar (state.set_status toasts) ---
     ctx.fill(status_rect, (24, 24, 28))
@@ -139,3 +150,73 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
         **{f"left:{k}": v for k, v in left_content.items()},
         **{f"right:{k}": v for k, v in right_content.items()},
     }
+
+
+def _textures_panel(ctx: UiContext, body: Rect, state: EditorState,
+                    layout: EditorLayout, textures) -> None:
+    """Textures sidebar: Source|User toggle + the active grid
+    (texture_palette.rs:59-110)."""
+    from .texture_palette import (TexturePalette, draw_mode_toggle,
+                                  draw_user_grid)
+
+    if layout.palette is None:
+        layout.palette = TexturePalette()
+    pal = layout.palette
+    toggle = Rect(body.x, body.y, body.w, 16)
+    draw_mode_toggle(ctx, toggle, pal)
+    grid = Rect(body.x, toggle.bottom + 2, body.w,
+                body.bottom - toggle.bottom - 2)
+    if not pal.user_mode:
+        if textures:
+            pal.draw(ctx, state, grid, textures)
+            if pal.selected is not None:
+                state.selected_texture = pal.selected
+        else:
+            ctx.text(grid.x + 4, grid.y + 4, "(no packs loaded)",
+                     (110, 110, 120))
+        return
+    action = draw_user_grid(ctx, state, grid, pal,
+                            list(state.user_textures.values()))
+    if action == "new":
+        import numpy as np
+
+        from ..models.user_texture import UserTexture
+
+        existing = set(state.user_textures)
+        for i in range(1, 100):
+            name = f"texture_{i:02d}"
+            if name not in existing:
+                break
+        tex = UserTexture(id=max([t.id for t in
+                                  state.user_textures.values()] or [0]) + 1,
+                          name=name, width=32, height=32, depth=0,
+                          indices=np.zeros(32 * 32, np.uint8),
+                          palette=[0] + [0x7FFF] * 15)
+        state.user_textures[name] = tex
+        layout.editing_texture = name
+        layout.paint_state = None
+        state.set_status(f"Created {name}", 2.0)
+    elif action is not None and action.startswith("edit:"):
+        layout.editing_texture = action[5:]
+        layout.paint_state = None
+
+
+def _paint_editor_overlay(ctx: UiContext, rect: Rect, state: EditorState,
+                          layout: EditorLayout) -> None:
+    """The composed paint editor over the viewport while editing."""
+    from ..texture.editor import TextureEditorState, draw_texture_editor
+
+    tex = state.user_textures.get(layout.editing_texture)
+    if tex is None:
+        layout.editing_texture = None
+        return
+    if layout.paint_state is None:
+        layout.paint_state = TextureEditorState()
+    close = Rect(rect.right - 54, rect.y + 2, 50, 16)
+    hovered = close.contains(ctx.mouse.x, ctx.mouse.y)
+    body = Rect(rect.x, rect.y + 20, rect.w, rect.h - 20)
+    draw_texture_editor(ctx, body, tex, layout.paint_state)
+    ctx.fill(close, (90, 50, 50) if hovered else (60, 40, 40))
+    ctx.text(close.x + 6, close.center_y, "Close")
+    if (hovered and ctx.mouse.pressed) or ctx.key_pressed("escape"):
+        layout.editing_texture = None

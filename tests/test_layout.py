@@ -139,3 +139,31 @@ def test_tracker_grid_click_and_raster():
     out = ctx.paint(fb)
     w = np.asarray(out.color)
     assert (w != 0).mean() > 0.5
+
+
+def test_textures_panel_user_flow_opens_paint_editor():
+    from bonnie32_tpu.editor.layout import EditorLayout, draw_editor
+
+    state = _state()
+    layout = EditorLayout()
+    ctx = UiContext()
+    bounds = Rect(0, 0, 640, 480)
+    ctx.begin_frame(0, 0, False)
+    rects = draw_editor(ctx, layout, state, bounds)
+    tex_body = rects["right:Textures"]
+    # switch the palette to User mode (right half of the toggle strip)
+    tx = tex_body.x + tex_body.w * 0.75
+    ctx.begin_frame(tx, tex_body.y + 8, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert layout.palette.user_mode is True
+    # click "+ New" in the user grid (top-left of the grid area)
+    ctx.begin_frame(0, 0, False)
+    draw_editor(ctx, layout, state, bounds)
+    ctx.begin_frame(tex_body.x + 10, tex_body.y + 18 + 10, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert layout.editing_texture is not None
+    assert layout.editing_texture in state.user_textures
+    # the paint editor composes over the viewport; Escape closes it
+    ctx.begin_frame(0, 0, False, keys_pressed=("escape",))
+    draw_editor(ctx, layout, state, bounds)
+    assert layout.editing_texture is None
