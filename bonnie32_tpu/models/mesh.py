@@ -360,3 +360,64 @@ class MeshPart:
         if self.default_bone_index is not None:
             out["default_bone_index"] = ron.wrap_some(self.default_bone_index)
         return out
+
+
+@dataclasses.dataclass
+class MeshProject:
+    """mesh_editor.rs:306 — multi-part model + shared CLUT pool."""
+
+    name: str = ""
+    objects: List[MeshPart] = dataclasses.field(default_factory=list)
+    clut_pool: ClutPool = dataclasses.field(default_factory=ClutPool)
+    preview_clut: Optional[int] = None     # not serialized
+    selected_object: Optional[int] = None  # not serialized
+
+    @classmethod
+    def new(cls, name: str) -> "MeshProject":
+        """mesh_editor.rs:326 — a default cube part linked to the pool's
+        first CLUT."""
+        pool = ClutPool()
+        cube = MeshPart(name="Cube.00", mesh=EditableMesh.cube(1024.0))
+        return cls(name=name, objects=[cube], clut_pool=pool,
+                   selected_object=0)
+
+    def add_object(self, obj: MeshPart) -> int:
+        self.objects.append(obj)
+        return len(self.objects) - 1
+
+    def selected(self) -> Optional[MeshPart]:
+        if self.selected_object is None:
+            return None
+        if 0 <= self.selected_object < len(self.objects):
+            return self.objects[self.selected_object]
+        return None
+
+    def total_vertices(self) -> int:
+        return sum(len(o.mesh.vertices) for o in self.objects)
+
+    def total_faces(self) -> int:
+        return sum(len(o.mesh.faces) for o in self.objects)
+
+    def effective_clut(self) -> Optional[Clut]:
+        """mesh_editor.rs:372 — preview override > first object's default >
+        first in pool."""
+        if self.preview_clut is not None:
+            c = self.clut_pool.get(self.preview_clut)
+            if c is not None:
+                return c
+        return self.clut_pool.get(self.clut_pool.first_id())
+
+    @classmethod
+    def from_ron(cls, d):
+        return cls(
+            name=d.get("name", ""),
+            objects=[MeshPart.from_ron(o) for o in d.get("objects", [])],
+            clut_pool=(ClutPool.from_ron(d["clut_pool"])
+                       if d.get("clut_pool") else ClutPool()),
+            selected_object=0 if d.get("objects") else None,
+        )
+
+    def to_ron(self):
+        return {"name": self.name,
+                "objects": [o.to_ron() for o in self.objects],
+                "clut_pool": self.clut_pool.to_ron()}

@@ -352,7 +352,17 @@ class ModelerState(SkeletonMixin):
     MAX_UNDO = 50  # state.rs:1439
 
     def __init__(self, mesh: Optional[EditableMesh] = None):
-        self.mesh = mesh if mesh is not None else EditableMesh.cube(512.0)
+        from .mesh import MeshPart, MeshProject
+
+        # multi-part project (mesh_editor.rs:306); `mesh` delegates to the
+        # active part so the single-mesh editing core is untouched
+        self.project = MeshProject(
+            name="model",
+            objects=[MeshPart(name="Part.00",
+                              mesh=(mesh if mesh is not None
+                                    else EditableMesh.cube(512.0)))],
+            selected_object=0)
+        self.active_part = 0
         self.select_mode = SelectMode.FACE
         self.selected_faces: Set[int] = set()
         self.selected_vertices: Set[int] = set()
@@ -376,6 +386,51 @@ class ModelerState(SkeletonMixin):
         self.bone_rename_active = False
         self.bone_rename_buffer = ""
         self.skeleton_undo: List = []
+
+    @property
+    def mesh(self) -> EditableMesh:
+        """The active part's geometry (MeshProject.selected)."""
+        return self.project.objects[self.active_part].mesh
+
+    @mesh.setter
+    def mesh(self, m: EditableMesh) -> None:
+        self.project.objects[self.active_part].mesh = m
+
+    def set_active_part(self, idx: int) -> None:
+        """Switching parts clears the selection (the reference's
+        selected_object switch)."""
+        if 0 <= idx < len(self.project.objects) \
+                and idx != self.active_part:
+            self.active_part = idx
+            self.project.selected_object = idx
+            self.selection = []
+
+    def add_part(self) -> int:
+        """MeshProject::add_object with a Part.NN name."""
+        from .mesh import MeshPart
+
+        existing = {o.name for o in self.project.objects}
+        for i in range(100):
+            name = f"Part.{i:02d}"
+            if name not in existing:
+                break
+        idx = self.project.add_object(MeshPart(name=name))
+        self.set_active_part(idx)
+        self.dirty = True
+        return idx
+
+    def delete_part(self, idx: int) -> bool:
+        """Remove a part (at least one always remains)."""
+        objs = self.project.objects
+        if len(objs) <= 1 or not (0 <= idx < len(objs)):
+            return False
+        objs.pop(idx)
+        if self.active_part >= len(objs):
+            self.active_part = len(objs) - 1
+        self.project.selected_object = self.active_part
+        self.selection = []
+        self.dirty = True
+        return True
 
     @property
     def selection(self) -> List:

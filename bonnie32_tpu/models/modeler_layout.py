@@ -286,13 +286,52 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
     ctx.text(left_rect.x + 6, y, "Overview")
     y += 14
     tris = sum(max(len(f.vertices) - 2, 0) for f in mesh.faces)
-    ctx.text(left_rect.x + 6, y, f"V {len(mesh.vertices)}  F "
-             f"{len(mesh.faces)}  T {tris}",
+    ctx.text(left_rect.x + 6, y, f"V {state.project.total_vertices()}  F "
+             f"{state.project.total_faces()}  T {tris}",
              poly_count_color(len(mesh.faces)))
     y += 16
     ctx.text(left_rect.x + 6, y, f"Mode: {state.select_mode.value}",
              (150, 150, 160))
     y += 16
+
+    # --- part list (mesh_editor.rs:306 MeshProject; layout.rs:464-705
+    # object rows: eye toggle, active highlight, add/delete) ---
+    parts = state.project.objects
+    ctx.text(left_rect.x + 6, y, "Parts", (170, 170, 180))
+    addr = Rect(left_rect.right - 22, y - 1, 16, 14)
+    ah = addr.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.fill(addr, (60, 80, 65) if ah else (42, 54, 46))
+    ctx.text(addr.x + 5, addr.y + 2, "+")
+    if ah and ctx.mouse.pressed:
+        state.add_part()
+    y += 14
+    for pi, part in enumerate(parts):
+        row = Rect(left_rect.x + 4, y, left_rect.w - 8, 15)
+        active = pi == state.active_part
+        hov = row.contains(ctx.mouse.x, ctx.mouse.y)
+        if active:
+            ctx.fill(row, (60, 80, 100))
+        elif hov:
+            ctx.fill(row, (48, 48, 55))
+        eye = Rect(row.x + 1, y + 2, 12, 12)
+        ctx.fill(eye, (120, 180, 255) if part.visible else (50, 50, 58))
+        if eye.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed:
+            part.visible = not part.visible
+        ctx.text(row.x + 17, y + 3, part.name,
+                 (230, 230, 235) if active else (160, 160, 170))
+        if len(parts) > 1 and (active or hov):
+            dr = Rect(row.right - 14, y + 2, 12, 12)
+            dh = dr.contains(ctx.mouse.x, ctx.mouse.y)
+            ctx.fill(dr, (90, 50, 50) if dh else (55, 42, 42))
+            ctx.text(dr.x + 3, dr.y + 1, "x")
+            if dh and ctx.mouse.pressed:
+                state.delete_part(pi)
+                break
+        name_r = Rect(row.x + 15, y, row.w - 32, 15)
+        if name_r.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed:
+            state.set_active_part(pi)
+        y += 15
+    y += 4
     avail = max(left_rect.bottom - y - 6, 40)
     parts_h = avail * 0.5 if state.rigged is not None else avail
     parts_rect = Rect(left_rect.x + 4, y, left_rect.w - 8, parts_h)

@@ -225,7 +225,9 @@ def test_skeleton_rename_flow():
     st.bone_rename_buffer = "Arm"
     rect = Rect(0, 0, 160, 240)
     ctx = UiContext()
-    ctx.begin_frame(0, 0, False, keys_pressed=("l", "enter"))
+    ctx.begin_frame(0, 0, False, keys_pressed=("l",))
+    draw_skeleton_panel(ctx, rect, st)
+    ctx.begin_frame(0, 0, False, keys_pressed=("enter",))
     draw_skeleton_panel(ctx, rect, st)
     assert st.skeleton()[1].name == "Arml"
     assert st.bone_rename_active is False
@@ -244,3 +246,34 @@ def test_skeleton_empty_state_button():
     ctx.begin_frame(30, 2 + 14 + 14 + 8, False)
     draw_skeleton_panel(ctx, rect, st)
     assert len(st.skeleton()) == 1 and st.skeleton()[0].name == "Root"
+
+
+def test_part_list_add_switch_delete():
+    st = ModelerState()
+    layout = ModelerLayout()
+    bounds = Rect(0, 0, 640, 480)
+    ctx = UiContext()
+    ctx.begin_frame(0, 0, False)
+    rects = draw_modeler(ctx, layout, st, bounds)
+    left_w = rects["left"].w
+    # the "+" add button: top-right of the Parts header (y = toolbar +
+    # 6 + 14 + 16 + 16)
+    from bonnie32_tpu.models.modeler_layout import TOOLBAR_HEIGHT
+    py = TOOLBAR_HEIGHT + 6 + 14 + 16 + 16
+    ctx.begin_frame(rects["left"].right - 22 + 5, py - 1 + 7, True)
+    draw_modeler(ctx, layout, st, bounds)
+    assert len(st.project.objects) == 2
+    assert st.active_part == 1          # new part becomes active
+    # click the first part's name row to switch back
+    ctx.begin_frame(0, 0, False)
+    draw_modeler(ctx, layout, st, bounds)
+    row_y = py + 14 + 3
+    ctx.begin_frame(rects["left"].x + 30, row_y + 4, True)
+    draw_modeler(ctx, layout, st, bounds)
+    assert st.active_part == 0
+    # eye toggles visibility of part 0
+    ctx.begin_frame(0, 0, False)
+    draw_modeler(ctx, layout, st, bounds)
+    ctx.begin_frame(rects["left"].x + 4 + 6, row_y + 4, True)
+    draw_modeler(ctx, layout, st, bounds)
+    assert st.project.objects[0].visible is False
