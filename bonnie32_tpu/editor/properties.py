@@ -94,22 +94,52 @@ def _face_colors_section(ctx: UiContext, x: float, y: float, w: float,
     return y + max(2 * sw + gap, 56.0) + 6.0
 
 
+def _multi_selected_faces(state: EditorState):
+    """Faces referenced by the multi-selection (apply_normal_mode_to_face /
+    apply_black_transparent_to_face walk these, layout.rs:637-667)."""
+    out = []
+    for sel in state.multi_selection:
+        if sel.kind not in ("sector_face", "vertex") or sel.face is None:
+            continue
+        if not (0 <= sel.room < len(state.level.rooms)):
+            continue
+        sector = state.level.rooms[sel.room].get_sector(sel.x, sel.z)
+        if sector is None:
+            continue
+        f = sel.face
+        if f.kind == "floor":
+            if sector.floor is not None:
+                out.append(sector.floor)
+        elif f.kind == "ceiling":
+            if sector.ceiling is not None:
+                out.append(sector.ceiling)
+        else:
+            walls = sector.walls(f.direction)
+            if 0 <= f.wall_index < len(walls):
+                out.append(walls[f.wall_index])
+    return out
+
+
 def _face_flags_section(ctx: UiContext, x: float, y: float, w: float,
                         state: EditorState, face, wid: str,
                         ui: Dict) -> float:
-    """Normal mode + black-transparent (layout.rs:4620-4680)."""
+    """Normal mode + black-transparent, applied to the primary face AND
+    every multi-selected face (layout.rs:4620-4680, :637-667)."""
+    targets = [face] + _multi_selected_faces(state)
     new_mode = three_way_toggle(ctx, Rect(x, y, min(w, 150.0), 16.0),
                                 _NORMAL_LABELS, face.normal_mode)
     if new_mode is not None:
         state.save_undo()
-        face.normal_mode = new_mode
+        for f in targets:
+            f.normal_mode = new_mode
         state.dirty = True
     y += 20.0
     new_bt = checkbox(ctx, f"{wid}.bt", Rect(x, y, 14, 14),
                       face.black_transparent, "Black transparent")
     if new_bt != face.black_transparent:
         state.save_undo()
-        face.black_transparent = new_bt
+        for f in targets:
+            f.black_transparent = new_bt
         state.dirty = True
     return y + 20.0
 

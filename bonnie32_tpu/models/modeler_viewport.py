@@ -215,3 +215,44 @@ def render_view_with_skeleton(viewports: ModelerViewports, view: ViewportId,
     camera = view_camera(viewports, view)
     return render_mesh_15(fb, smesh, sfaces, satlas, camera, lights,
                           no_fog(), s, depth_mode="harmonic")
+
+
+def project_arrays(project, resolve_texture15=None):
+    """Merge every VISIBLE part of a MeshProject into one device mesh for
+    the pane renders (the reference renders parts in order into the same
+    framebuffer, modeler/viewport.rs:1376).  Hidden parts are excluded;
+    untextured parts render with vertex colors only."""
+    from . import build
+
+    pos, uv, normal, color, cblend, vidx = [], [], [], [], [], []
+    base = 0
+    for part in project.objects:
+        if not part.visible:
+            continue
+        verts, faces = part.mesh.to_render_data_textured()
+        if not verts:
+            continue
+        for v in verts:
+            pos.append(v["pos"])
+            uv.append(v["uv"])
+            normal.append(v["normal"])
+            color.append(v["color"])
+            cblend.append(v.get("color_blend", 0))
+        for f in faces:
+            vidx.append((f["v0"] + base, f["v1"] + base, f["v2"] + base))
+        base += len(verts)
+    if not vidx:
+        pos = [(0.0, 0.0, 0.0)]
+        uv = [(0.0, 0.0)]
+        normal = [(0.0, 0.0, 0.0)]
+        color = [(128, 128, 128)]
+        cblend = [0]
+        vidx = [(0, 0, 0)]
+    mesh = build.make_mesh_arrays(
+        np.asarray(pos, np.float32), uv=np.asarray(uv, np.float32),
+        normal=np.asarray(normal, np.float32),
+        color=np.asarray(color, np.int32),
+        color_blend=np.asarray(cblend, np.int32))
+    fa = build.make_face_arrays(np.asarray(vidx, np.int32))
+    atlas = build.build_atlas([(np.full((1, 1), 0x7FFF, np.uint16), 0)])
+    return mesh, fa, atlas

@@ -102,3 +102,25 @@ def test_skeleton_overlay_renders_over_mesh():
         RasterSettings.modeler(), 120, 160, st.skeleton())
     changed = int((np.asarray(fb.color) != np.asarray(base.color)).sum())
     assert changed > 5      # bone octahedrons composited on top
+
+
+def test_project_arrays_merges_visible_parts():
+    from bonnie32_tpu.models.modeler import ModelerState
+
+    st = ModelerState()
+    st.add_part()
+    # second part: a shifted cube
+    from bonnie32_tpu.models.mesh import EditableMesh
+    st.project.objects[1].mesh = EditableMesh.cube(256.0)
+    mesh, fa, atlas = mv.project_arrays(st.project)
+    v_all = int(mesh.pos.shape[0])
+    st.project.objects[1].visible = False
+    mesh2, fa2, _ = mv.project_arrays(st.project)
+    assert v_all > int(mesh2.pos.shape[0])      # hidden part excluded
+    # renders through the pipeline
+    vp = mv.ModelerViewports()
+    vp.perspective.distance = 1500.0
+    lights = build.lights_from_list([])
+    fb = mv.render_view(vp, mv.ViewportId.PERSPECTIVE, mesh, fa, atlas,
+                        lights, RasterSettings.modeler(), 120, 160)
+    assert int((np.asarray(fb.color) != 0).sum()) > 50

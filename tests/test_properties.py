@@ -140,3 +140,22 @@ def test_corner_color_multi_select_edit():
     floor = s.level.rooms[0].get_sector(1, 1).floor
     assert floor.colors[0][0][0] == 255 and floor.colors[1][0][0] == 255
     assert floor.colors[2][0][0] == 128   # unselected corners untouched
+
+
+def test_flags_apply_to_multi_selection():
+    s = _state()
+    room = s.level.rooms[0]
+    room.set_floor(2, 2, 0.0, TEX)
+    room.recalculate_bounds()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    s.multi_selection = [Selection(kind="sector_face", room=0, x=2, z=2,
+                                   face=SectorFace(kind="floor"))]
+    ui = {}
+    # black-transparent checkbox: colors section bottom + 20 + 7
+    y0 = 4 + 22 + 18 + 20 + 36 + 18 + 4            # colors section top
+    colors_h = max(2 * 18.0 + 3.0, 56.0) + 6.0
+    cy = y0 + colors_h + 20 + 7
+    _click(s, ui, 8, cy)
+    assert room.get_sector(1, 1).floor.black_transparent is False
+    assert room.get_sector(2, 2).floor.black_transparent is False
