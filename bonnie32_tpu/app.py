@@ -146,6 +146,15 @@ class AppState:
         self.pending_ops = PendingOps()
         from .ui.landing import LandingState
         self.landing = LandingState()
+        # per-tool screen layout state (main.rs keeps these on the app)
+        from .editor.layout import EditorLayout
+        from .models.modeler_layout import ModelerLayout
+        from .audio.tracker_ui import TrackerTab
+        self.editor_layout = EditorLayout()
+        self.modeler_layout = ModelerLayout()
+        self.tracker_tab = TrackerTab.PATTERN
+        self.tracker_sel: dict = {}
+        self.tracker_presets: list = []
 
     def update_auth(self) -> bool:
         """app.rs:209 — returns True when the auth state flipped (and the

@@ -85,20 +85,29 @@ def draw_frame(app: AppState, ctx: UiContext, bounds: Rect,
                 game_overlay.draw_debug_menu(ctx, game, content, inp)
 
     elif tool == Tool.MODELER:
+        from .models.modeler_layout import draw_modeler
+
+        mrects = draw_modeler(ctx, app.modeler_layout, app.modeler,
+                              content)
+        rects.update({f"modeler:{k}": v for k, v in mrects.items()})
         views = modeler_views or mv.ModelerViewports()
+        vp = mrects["viewport"]
         if modeler_frames is not None:
-            mv.composite_views(ctx, views, modeler_frames, content)
+            mv.composite_views(ctx, views, modeler_frames, vp)
         else:
-            for view, rect in views.pane_rects(content).items():
+            for view, rect in views.pane_rects(vp).items():
                 ctx.fill(rect, (14, 14, 18))
                 ctx.outline(rect, (70, 70, 80))
                 ctx.text(rect.x + 3, rect.y + 3, view.value.upper(),
                          (160, 160, 170))
         rects.update({f"pane:{v.value}": r for v, r
-                      in views.pane_rects(content).items()})
+                      in views.pane_rects(vp).items()})
 
     elif tool == Tool.TRACKER:
-        rects.update(tracker_ui.draw_tracker(ctx, app.tracker, content))
+        app.tracker_tab = tracker_ui.draw_tracker_screen(
+            ctx, app.tracker, content, tab=app.tracker_tab,
+            presets=app.tracker_presets, sel=app.tracker_sel)
+        rects["tracker"] = content
 
     elif tool == Tool.INPUT_TEST:
         if inp is not None:
