@@ -155,6 +155,7 @@ class AppState:
         self.tracker_tab = TrackerTab.PATTERN
         self.tracker_sel: dict = {}
         self.tracker_presets: list = []
+        self.textures: list = []      # pack textures for the editor palette
 
     def update_auth(self) -> bool:
         """app.rs:209 — returns True when the auth state flipped (and the

@@ -68,9 +68,9 @@ def draw_frame(app: AppState, ctx: UiContext, bounds: Rect,
         draw_landing_ctx(ctx, content, app.landing)
 
     elif tool == Tool.WORLD_EDITOR:
-        layout = editor_layout or EditorLayout()
+        layout = editor_layout or app.editor_layout
         rects.update(draw_editor(ctx, layout, app.world_editor, content,
-                                 dt=dt))
+                                 dt=dt, textures=app.textures))
 
     elif tool == Tool.TEST:
         # the caller blits the rendered game frame into `content`; this
