@@ -501,3 +501,28 @@ def draw_piano(ctx: UiContext, st: TrackerState, x: float, y: float,
         if hovered and ctx.mouse.pressed:
             clicked = min(st.octave * 12 + semi, 127)
     return clicked
+
+
+def handle_midi(st: TrackerState, messages) -> list:
+    """MIDI -> tracker routing (layout.rs:1836-1863): note-on previews and
+    enters in edit mode on the note column, note-off stops the preview,
+    CC1 -> preview modulation, CC7 -> default volume.  `messages` are
+    input.midi events; returns ("note_on"/"note_off", channel, ...) preview
+    emissions for the audio engine."""
+    from ..input.midi import ControlChange, NoteOff, NoteOn
+
+    out = []
+    for msg in messages:
+        if isinstance(msg, NoteOn):
+            out.append(("note_on", st.current_channel, msg.note,
+                        msg.velocity))
+            if st.edit_mode and st.current_column == 0:
+                st.enter_note(msg.note)
+        elif isinstance(msg, NoteOff):
+            out.append(("note_off", st.current_channel, msg.note))
+        elif isinstance(msg, ControlChange):
+            if msg.controller == 1:
+                out.append(("modulation", st.current_channel, msg.value))
+            elif msg.controller == 7:
+                st.default_volume = msg.value
+    return out

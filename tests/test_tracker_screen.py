@@ -177,3 +177,23 @@ def test_piano_click_enters_note_and_held_key_highlight():
     fills = [c for c in ctx2.commands if c[0] == "fill"
              and c[2] == (120, 180, 255)]
     assert fills
+
+
+def test_midi_routing_into_tracker():
+    from bonnie32_tpu.input.midi import (ControlChange, MidiInput, NoteOn,
+                                         NoteOff, VirtualMidiBackend)
+
+    st = TrackerState()
+    st.edit_mode = True
+    st.current_column = 0
+    backend = VirtualMidiBackend()
+    midi = MidiInput(backend)
+    backend.note_on(60, 100)
+    backend.note_off(60)
+    backend.feed([(0xB0, 7, 99)])
+    events = tu.handle_midi(st, midi.poll())
+    kinds = [e[0] for e in events]
+    assert kinds == ["note_on", "note_off"]
+    assert st.default_volume == 99
+    note = st.current_pattern().get(st.current_channel, 0)
+    assert note is not None and note.pitch == 60
