@@ -250,6 +250,33 @@ class TrackerState:
             p.set(self.current_channel, self.current_row, Note())
             self.dirty = True
 
+    def set_volume(self, volume: int):
+        """layout.rs:1880 — write the cursor note's volume column."""
+        p = self.current_pattern()
+        note = p.get(self.current_channel, self.current_row) if p else None
+        if note is not None:
+            note.volume = max(0, min(int(volume), 127))
+            self.dirty = True
+
+    EFFECT_CHARS = {  # pattern.rs:428 Effect::from_char
+        "0": "Arpeggio", "1": "SlideUp", "2": "SlideDown",
+        "3": "Portamento", "4": "Vibrato", "a": "VolumeSlide",
+        "c": "SetVolume", "d": "PatternBreak", "e": "SetExpression",
+        "f": "SetSpeed", "m": "SetModulation", "p": "SetPan"}
+
+    def set_effect_char(self, char: str) -> bool:
+        """Effect-column letter entry: sets the effect kind, keeping the
+        current parameter (layout.rs:1893-1937)."""
+        kind = self.EFFECT_CHARS.get(char.lower())
+        if kind is None:
+            return False
+        p = self.current_pattern()
+        note = p.get(self.current_channel, self.current_row) if p else None
+        if note is None:
+            return False
+        self.set_effect(kind, note.effect.x, note.effect.y)
+        return True
+
     def set_effect(self, kind: str, x: int = 0, y: int = 0):
         p = self.current_pattern()
         note = p.get(self.current_channel, self.current_row) if p else None

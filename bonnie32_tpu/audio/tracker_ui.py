@@ -439,6 +439,26 @@ def handle_pattern_key(st: TrackerState, key: str) -> bool:
         st.octave = max(st.octave - 1, 0)
     elif key == "space":
         st.toggle_playback()
+    elif st.current_column == 1 and key.isdigit():
+        # volume column: 3-digit rolling entry, clamp 127 (layout.rs:1869)
+        p = st.current_pattern()
+        note = p.get(st.current_channel, st.current_row) if p else None
+        cur = note.volume if note is not None and note.volume is not None \
+            else 0
+        st.set_volume(min((cur * 10 + int(key)) % 1000, 127))
+    elif st.current_column == 2 and len(key) == 1:
+        # effect column letters (layout.rs:1893)
+        if not st.set_effect_char(key):
+            return False
+    elif st.current_column == 3 and key.isdigit():
+        # effect parameter: rolling two-digit hex-free entry
+        p = st.current_pattern()
+        note = p.get(st.current_channel, st.current_row) if p else None
+        if note is None:
+            return False
+        cur = note.effect.x
+        st.set_effect(note.effect.kind, (cur * 10 + int(key)) % 1000,
+                      note.effect.y)
     else:
         pitch = key_to_note(key, st.octave)
         if pitch is None:

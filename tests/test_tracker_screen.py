@@ -197,3 +197,27 @@ def test_midi_routing_into_tracker():
     assert st.default_volume == 99
     note = st.current_pattern().get(st.current_channel, 0)
     assert note is not None and note.pitch == 60
+
+
+def test_column_aware_entry_volume_and_effect():
+    st = TrackerState()
+    st.edit_mode = True
+    st.enter_note(60)
+    st.current_row = 0
+    # volume column rolling digits
+    st.current_column = 1
+    tu.handle_pattern_key(st, "9")
+    tu.handle_pattern_key(st, "9")
+    note = st.current_pattern().get(st.current_channel, 0)
+    assert note.volume == 99
+    tu.handle_pattern_key(st, "9")    # 999 -> clamp 127
+    assert st.current_pattern().get(st.current_channel, 0).volume == 127
+    # effect column letter then parameter digits
+    st.current_column = 2
+    assert tu.handle_pattern_key(st, "p")
+    assert st.current_pattern().get(st.current_channel, 0).effect.kind == \
+        "SetPan"
+    st.current_column = 3
+    tu.handle_pattern_key(st, "6")
+    tu.handle_pattern_key(st, "4")
+    assert st.current_pattern().get(st.current_channel, 0).effect.x == 64
