@@ -279,3 +279,86 @@ def _scale_mesh(mesh: EditableMesh, scale: float) -> None:
     for i, v in enumerate(mesh.vertices):
         mesh.vertices[i] = dataclasses.replace(
             v, pos=tuple(np.float32(c) * np.float32(scale) for c in v.pos))
+
+
+# ---------------------------------------------------------------------------
+# Import dialog state + transforms (obj_importer.rs:180-237, :607-670;
+# accept flow main.rs:1189-1260; flip helpers obj_importer.rs:944-978)
+# ---------------------------------------------------------------------------
+
+def compute_mesh_bounds(mesh: EditableMesh):
+    xs = [v.pos[0] for v in mesh.vertices] or [0.0]
+    ys = [v.pos[1] for v in mesh.vertices] or [0.0]
+    zs = [v.pos[2] for v in mesh.vertices] or [0.0]
+    return ((min(xs), min(ys), min(zs)), (max(xs), max(ys), max(zs)))
+
+
+def apply_mesh_flip_horizontal(mesh: EditableMesh) -> None:
+    """obj_importer.rs:944 — mirror X about the bounds center; winding
+    reverses so normals stay outward."""
+    mn, mx = compute_mesh_bounds(mesh)
+    cx = (mn[0] + mx[0]) / 2.0
+    for v in mesh.vertices:
+        v.pos = (cx - (v.pos[0] - cx), v.pos[1], v.pos[2])
+    for f in mesh.faces:
+        f.vertices.reverse()
+
+
+def apply_mesh_flip_vertical(mesh: EditableMesh) -> None:
+    """obj_importer.rs:963 — mirror Y about the bounds center."""
+    mn, mx = compute_mesh_bounds(mesh)
+    cy = (mn[1] + mx[1]) / 2.0
+    for v in mesh.vertices:
+        v.pos = (v.pos[0], cy - (v.pos[1] - cy), v.pos[2])
+    for f in mesh.faces:
+        f.vertices.reverse()
+
+
+class ObjImportDialog:
+    """obj_importer.rs:180 — the importer's working state: scale in
+    halve/double steps, normal/axis flips, preview mesh."""
+
+    def __init__(self):
+        self.import_scale = 1024.0     # 1024 units = 1 m (:231)
+        self.flip_normals = False
+        self.flip_horizontal = False
+        self.flip_vertical = False
+        self.preview_mesh: Optional[EditableMesh] = None
+        self.clut_depth_override: Optional[int] = None
+
+    def halve_scale(self) -> None:
+        self.import_scale = max(self.import_scale / 2.0, 0.001)
+
+    def double_scale(self) -> None:
+        self.import_scale = min(self.import_scale * 2.0, 1_000_000.0)
+
+    def scale_text(self) -> str:
+        """:614-619 — precision follows magnitude."""
+        s = self.import_scale
+        if s >= 1.0:
+            return f"{s:.0f}"
+        if s >= 0.01:
+            return f"{s:.2f}"
+        return f"{s:.3f}"
+
+    def transform(self, mesh: EditableMesh) -> EditableMesh:
+        """Apply scale + flips in the accept order (main.rs:1193-1220)."""
+        for v in mesh.vertices:
+            v.pos = (v.pos[0] * self.import_scale,
+                     v.pos[1] * self.import_scale,
+                     v.pos[2] * self.import_scale)
+        compute_face_normals(mesh)
+        if self.flip_normals:
+            for v in mesh.vertices:
+                v.normal = (-v.normal[0], -v.normal[1], -v.normal[2])
+            for f in mesh.faces:
+                f.vertices.reverse()
+        if self.flip_horizontal:
+            apply_mesh_flip_horizontal(mesh)
+        if self.flip_vertical:
+            apply_mesh_flip_vertical(mesh)
+        return mesh
+
+    def load_preview(self, path) -> EditableMesh:
+        self.preview_mesh = self.transform(load_obj(path))
+        return self.preview_mesh

@@ -148,3 +148,42 @@ def test_imported_mesh_render_data():
     verts, faces = mesh.to_render_data_textured()
     assert len(verts) == len(mesh.vertices)
     assert len(faces) == len(mesh.faces)  # all tris already
+
+
+# ---------------------------------------------------------------------------
+# Import dialog (obj_importer.rs:180-237; accept flow main.rs:1189-1260)
+# ---------------------------------------------------------------------------
+
+def test_import_dialog_scale_and_flips(tmp_path):
+    from bonnie32_tpu.models.obj_import import (ObjImportDialog,
+                                                apply_mesh_flip_horizontal,
+                                                parse_obj)
+
+    obj = "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+    d = ObjImportDialog()
+    assert d.scale_text() == "1024"
+    d.halve_scale()
+    assert d.import_scale == 512.0
+    d.double_scale()
+    d.flip_normals = True
+    mesh = d.transform(parse_obj(obj))
+    assert mesh.vertices[1].pos[0] == 1024.0          # scaled
+    order = list(mesh.faces[0].vertices)
+    m2 = d.transform(parse_obj(obj))
+    # flip_normals reversed winding relative to a parse without flips
+    d2 = ObjImportDialog()
+    plain = d2.transform(parse_obj(obj))
+    assert list(plain.faces[0].vertices) == list(reversed(order))
+
+    # horizontal mirror recenters X and reverses winding again
+    before = [v.pos[0] for v in plain.vertices]
+    apply_mesh_flip_horizontal(plain)
+    after = [v.pos[0] for v in plain.vertices]
+    assert after[0] == max(before) and after[1] == min(before)
+
+    # tiny scales format with more precision
+    d3 = ObjImportDialog()
+    d3.import_scale = 0.5
+    assert d3.scale_text() == "0.50"
+    d3.import_scale = 0.005
+    assert d3.scale_text() == "0.005"
