@@ -54,10 +54,18 @@ def key_to_note(key: str, octave: int) -> Optional[int]:
     return min(octave * 12 + off, 127)
 
 
+_EFFECT_TO_CHAR = {  # pattern.rs:447 Effect::to_char
+    "Arpeggio": "0", "SlideUp": "1", "SlideDown": "2", "Portamento": "3",
+    "Vibrato": "4", "VolumeSlide": "A", "SetVolume": "C",
+    "PatternBreak": "D", "SetExpression": "E", "SetSpeed": "F",
+    "SetModulation": "M", "SetPan": "P"}
+
+
 def note_text(note: Optional[Note]) -> str:
-    """layout.rs note cell formatting: 'C-4 01 64' / '...' padding."""
+    """layout.rs note cell formatting: 'C-4 01 64 P40' / '...' padding
+    (note, instrument, volume, effect+param columns)."""
     if note is None or note.is_empty:
-        return "... .. .."
+        return "... .. .. ..."
     if note.pitch is not None and note.pitch < 0:
         p = "OFF"
     elif note.pitch is not None:
@@ -66,7 +74,9 @@ def note_text(note: Optional[Note]) -> str:
         p = "..."
     i = f"{note.instrument:02d}" if note.instrument is not None else ".."
     v = f"{note.volume:02d}" if note.volume is not None else ".."
-    return f"{p} {i} {v}"
+    ch = _EFFECT_TO_CHAR.get(note.effect.kind)
+    e = f"{ch}{note.effect.x:02X}" if ch is not None else "..."
+    return f"{p} {i} {v} {e}"
 
 
 def draw_tracker(ctx: UiContext, st: TrackerState, bounds: Rect

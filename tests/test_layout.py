@@ -99,8 +99,11 @@ def _song():
 
 
 def test_note_text_formatting():
-    assert tracker_ui.note_text(None) == "... .. .."
-    assert tracker_ui.note_text(Note()) == "... .. .."
+    assert tracker_ui.note_text(None) == "... .. .. ..."
+    assert tracker_ui.note_text(Note()) == "... .. .. ..."
+    from bonnie32_tpu.audio.song import Effect
+    assert tracker_ui.note_text(
+        Note(pitch=60, effect=Effect(kind="SetPan", x=64))).endswith("P40")
     assert tracker_ui.note_text(
         Note(pitch=60, instrument=1, volume=100)) == "C-4 01 100"[:9] \
         or tracker_ui.note_text(
