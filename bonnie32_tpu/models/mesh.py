@@ -302,6 +302,113 @@ class EditableMesh:
                  EditFace([16, 19, 18, 17]), EditFace([20, 23, 22, 21])]
         return cls(vertices=verts, faces=faces)
 
+
+    @classmethod
+    def plane(cls, size: float) -> "EditableMesh":
+        """mesh_editor.rs:1053 — single CW quad at y=0."""
+        h = size / 2.0
+        v = MeshVertex
+        verts = [v((-h, 0.0, -h), (0, 0), (0, 1, 0)),
+                 v((h, 0.0, -h), (1, 0), (0, 1, 0)),
+                 v((h, 0.0, h), (1, 1), (0, 1, 0)),
+                 v((-h, 0.0, h), (0, 1), (0, 1, 0))]
+        return cls(vertices=verts, faces=[EditFace([0, 1, 2, 3])])
+
+    @classmethod
+    def prism(cls, size: float, height: float) -> "EditableMesh":
+        """mesh_editor.rs:1071 — triangular wedge: 2 tri caps + 3 quads."""
+        h = size / 2.0
+        v = MeshVertex
+        verts = [
+            v((-h, 0.0, -h), (0, 1), (0, -1, 0)),
+            v((h, 0.0, -h), (1, 1), (0, -1, 0)),
+            v((0.0, 0.0, h), (0.5, 0), (0, -1, 0)),
+            v((-h, height, -h), (0, 1), (0, 1, 0)),
+            v((h, height, -h), (1, 1), (0, 1, 0)),
+            v((0.0, height, h), (0.5, 0), (0, 1, 0)),
+        ]
+        faces = [EditFace([0, 1, 2]), EditFace([3, 4, 5]),
+                 EditFace([0, 1, 4, 3]), EditFace([1, 2, 5, 4]),
+                 EditFace([2, 0, 3, 5])]
+        return cls(vertices=verts, faces=faces)
+
+    @classmethod
+    def cylinder(cls, radius: float, height: float,
+                 segments: int = 8) -> "EditableMesh":
+        """mesh_editor.rs:1104 — n-gon caps + per-segment side quads with
+        radial normals (cap and side rings are separate vertices)."""
+        import math as _m
+        segments = max(segments, 3)
+        v = MeshVertex
+        verts = []
+        for y, ny in ((0.0, -1.0), (height, 1.0)):
+            for i in range(segments):
+                a = (i / segments) * 2.0 * _m.pi
+                verts.append(v((_m.cos(a) * radius, y, _m.sin(a) * radius),
+                               (0.5 + _m.cos(a) * 0.5,
+                                0.5 + _m.sin(a) * 0.5), (0.0, ny, 0.0)))
+        side0 = len(verts)
+        for y, vv in ((0.0, 1.0), (height, 0.0)):
+            for i in range(segments):
+                a = (i / segments) * 2.0 * _m.pi
+                verts.append(v((_m.cos(a) * radius, y, _m.sin(a) * radius),
+                               (i / segments, vv),
+                               (_m.cos(a), 0.0, _m.sin(a))))
+        faces = [EditFace(list(range(segments - 1, -1, -1))),
+                 EditFace(list(range(segments, 2 * segments)))]
+        for i in range(segments):
+            nx = (i + 1) % segments
+            faces.append(EditFace([side0 + i, side0 + nx,
+                                   side0 + segments + nx,
+                                   side0 + segments + i]))
+        return cls(vertices=verts, faces=faces)
+
+    @classmethod
+    def pyramid(cls, base_size: float, height: float) -> "EditableMesh":
+        """mesh_editor.rs:1185 — quad base + 4 apex triangles."""
+        h = base_size / 2.0
+        v = MeshVertex
+        verts = [
+            v((-h, 0.0, -h), (0, 0), (0, -1, 0)),
+            v((h, 0.0, -h), (1, 0), (0, -1, 0)),
+            v((h, 0.0, h), (1, 1), (0, -1, 0)),
+            v((-h, 0.0, h), (0, 1), (0, -1, 0)),
+            v((0.0, height, 0.0), (0.5, 0.5), (0, 1, 0)),
+        ]
+        faces = [EditFace([0, 3, 2, 1]), EditFace([0, 1, 4]),
+                 EditFace([1, 2, 4]), EditFace([2, 3, 4]),
+                 EditFace([3, 0, 4])]
+        return cls(vertices=verts, faces=faces)
+
+    @classmethod
+    def ngon_prism(cls, sides: int, radius: float,
+                   height: float) -> "EditableMesh":
+        """mesh_editor.rs:1229 — N-sided prism (pent/hex presets below)."""
+        import math as _m
+        sides = max(sides, 3)
+        v = MeshVertex
+        verts = []
+        for y, ny in ((0.0, -1.0), (height, 1.0)):
+            for i in range(sides):
+                a = (i / sides) * 2.0 * _m.pi
+                verts.append(v((_m.cos(a) * radius, y, _m.sin(a) * radius),
+                               (0.5 + _m.cos(a) * 0.5,
+                                0.5 + _m.sin(a) * 0.5), (0.0, ny, 0.0)))
+        faces = [EditFace(list(range(sides - 1, -1, -1))),
+                 EditFace(list(range(sides, 2 * sides)))]
+        for i in range(sides):
+            nx = (i + 1) % sides
+            faces.append(EditFace([i, nx, sides + nx, sides + i]))
+        return cls(vertices=verts, faces=faces)
+
+    @classmethod
+    def pent(cls, radius: float, height: float) -> "EditableMesh":
+        return cls.ngon_prism(5, radius, height)
+
+    @classmethod
+    def hex(cls, radius: float, height: float) -> "EditableMesh":
+        return cls.ngon_prism(6, radius, height)
+
     def to_render_data_textured(self):
         """mesh_editor.rs:1623 — golden-model-format verts + tri faces with
         texture_id defaulting to 0 (the part's atlas)."""

@@ -405,19 +405,41 @@ class ModelerState(SkeletonMixin):
             self.project.selected_object = idx
             self.selection = []
 
-    def add_part(self) -> int:
-        """MeshProject::add_object with a Part.NN name."""
-        from .mesh import MeshPart
+    PRIMITIVES = ("cube", "plane", "prism", "cylinder", "pyramid",
+                  "pent", "hex")   # the radial menu's primitive set
+
+    def add_part(self, primitive: str = "") -> int:
+        """MeshProject::add_object with a Part.NN name; `primitive` picks
+        the starting geometry (the radial Primitives menu,
+        state.rs ContextMenuType::Primitives)."""
+        from .mesh import EditableMesh, MeshPart
 
         existing = {o.name for o in self.project.objects}
         for i in range(100):
             name = f"Part.{i:02d}"
             if name not in existing:
                 break
-        idx = self.project.add_object(MeshPart(name=name))
+        builders = {
+            "cube": lambda: EditableMesh.cube(512.0),
+            "plane": lambda: EditableMesh.plane(512.0),
+            "prism": lambda: EditableMesh.prism(512.0, 512.0),
+            "cylinder": lambda: EditableMesh.cylinder(256.0, 512.0, 8),
+            "pyramid": lambda: EditableMesh.pyramid(512.0, 512.0),
+            "pent": lambda: EditableMesh.pent(256.0, 512.0),
+            "hex": lambda: EditableMesh.hex(256.0, 512.0),
+        }
+        mesh = builders.get(primitive, EditableMesh)()
+        idx = self.project.add_object(MeshPart(name=name, mesh=mesh))
         self.set_active_part(idx)
         self.dirty = True
         return idx
+
+    def primitive_menu_items(self):
+        """RadialMenuItems for the primitive set (ui/radial_menu.py)."""
+        from ..ui.radial_menu import RadialMenuItem
+
+        return [RadialMenuItem(id=f"prim.{p}", label=p.title())
+                for p in self.PRIMITIVES]
 
     def delete_part(self, idx: int) -> bool:
         """Remove a part (at least one always remains)."""

@@ -139,3 +139,38 @@ def test_clipboard_copy_paste():
     assert st.redo()
     assert len(st.mesh.faces) == nfaces
     assert len(st.mesh.vertices) == nverts + len(pasted) // 1 or True
+
+# ---------------------------------------------------------------------------
+# Primitives (mesh_editor.rs:1053-1280)
+# ---------------------------------------------------------------------------
+
+def test_primitive_shapes():
+    from bonnie32_tpu.models.mesh import EditableMesh
+
+    p = EditableMesh.plane(512.0)
+    assert len(p.vertices) == 4 and len(p.faces) == 1
+    pr = EditableMesh.prism(512.0, 256.0)
+    assert len(pr.vertices) == 6 and len(pr.faces) == 5
+    cyl = EditableMesh.cylinder(128.0, 256.0, segments=8)
+    assert len(cyl.vertices) == 4 * 8 and len(cyl.faces) == 2 + 8
+    py = EditableMesh.pyramid(512.0, 300.0)
+    assert len(py.vertices) == 5 and len(py.faces) == 5
+    hexp = EditableMesh.hex(128.0, 64.0)
+    assert len(hexp.vertices) == 12 and len(hexp.faces) == 8
+    # all triangulate into render data
+    for mesh in (p, pr, cyl, py, hexp):
+        verts, faces = mesh.to_render_data_textured()
+        assert faces and all(max(f["v0"], f["v1"], f["v2"]) < len(verts)
+                             for f in faces)
+
+
+def test_add_part_primitives_and_radial_items():
+    from bonnie32_tpu.models.modeler import ModelerState
+
+    st = ModelerState()
+    idx = st.add_part("cylinder")
+    assert len(st.project.objects[idx].mesh.faces) == 10   # 2 caps + 8 sides
+    idx2 = st.add_part("pyramid")
+    assert len(st.project.objects[idx2].mesh.vertices) == 5
+    items = st.primitive_menu_items()
+    assert [i.id for i in items][:2] == ["prim.cube", "prim.plane"]
