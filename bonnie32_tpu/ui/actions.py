@@ -341,6 +341,11 @@ def create_editor_actions() -> ActionRegistry:
     r.register(Action("object.delete").with_label("Delete Object")
                .with_category("Object")
                .enabled_when(_flag("object_selected")))
+    r.register(Action("view.center_selection")
+               .with_label("Center Camera on Selection")
+               .with_shortcut(Shortcut(".", ()))
+               .with_tip("Orbit/look at the selection (viewport_3d.rs:507)")
+               .with_category("View"))
     r.register(Action("view.toggle_grid").with_label("Toggle Grid")
                .with_category("View"))
     r.register(Action("view.zoom_in").with_label("Zoom In")
