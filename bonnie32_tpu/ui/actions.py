@@ -343,7 +343,7 @@ def create_editor_actions() -> ActionRegistry:
                .enabled_when(_flag("object_selected")))
     r.register(Action("view.center_selection")
                .with_label("Center Camera on Selection")
-               .with_shortcut(Shortcut(".", ()))
+               .with_shortcut(Shortcut("."))
                .with_tip("Orbit/look at the selection (viewport_3d.rs:507)")
                .with_category("View"))
     r.register(Action("view.toggle_grid").with_label("Toggle Grid")

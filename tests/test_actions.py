@@ -72,7 +72,7 @@ def test_editor_actions_flags_and_predicates():
                                          create_editor_actions)
 
     r = create_editor_actions()
-    assert len(r.actions) == 23
+    assert len(r.actions) == 24
     ctx = ActionContext()
     # predicates gate correctly
     assert not r.is_enabled("edit.undo", ctx)
