@@ -543,8 +543,42 @@ def _hover_overlay(batch: _Batch, state: EditorState, hover) -> None:
                 HOVER_COLOR)
 
 
+PASTE_PREVIEW = (150, 255, 150)   # viewport_3d.rs paste ghost (green)
+
+
+def _paste_preview(batch: _Batch, state: EditorState, paste_hover) -> None:
+    """viewport_3d.rs:4660 — the geometry clipboard's ghost wireframe at
+    the hovered cell: each copied face outlines at its transformed offset
+    (quad + split diagonal for horizontal faces, quads for walls)."""
+    if paste_hover is None or not state.geometry_clipboard.faces:
+        return
+    room = state.current_room_ref()
+    if room is None:
+        return
+    hx, hz = paste_hover
+    y = float(room.position[1])
+    s = SECTOR_SIZE
+    for cf in state.geometry_clipboard.faces:
+        ox, oz = state.geometry_clipboard.transformed_offset(cf.rel_x,
+                                                             cf.rel_z)
+        gx, gz = hx + ox, hz + oz
+        bx = float(room.position[0]) + gx * s
+        bz = float(room.position[2]) + gz * s
+        if cf.kind in ("floor", "ceiling"):
+            h = [y + float(v) for v in cf.face.heights]
+            pts = [(bx, h[0], bz), (bx + s, h[1], bz),
+                   (bx + s, h[2], bz + s), (bx, h[3], bz + s)]
+            batch.quad(pts, PASTE_PREVIEW)
+            d = ((0, 2) if cf.face.split_direction == 0 else (1, 3))
+            batch.line(pts[d[0]], pts[d[1]], PASTE_PREVIEW)
+        else:
+            corners = _wall_edge_corners(room, gx, gz, cf.direction,
+                                         cf.face.heights)
+            batch.quad(corners, PASTE_PREVIEW)
+
+
 def draw_viewport_overlays(fb: FrameBuffers, state: EditorState,
-                           editor=None, hover=None,
+                           editor=None, hover=None, paste_hover=None,
                            depth_mode: str = "inv") -> FrameBuffers:
     """Compose every overlay onto a rendered viewport framebuffer."""
     camera = _camera(state)
@@ -555,6 +589,7 @@ def draw_viewport_overlays(fb: FrameBuffers, state: EditorState,
     fb = _asset_gizmos(fb, batch, state, camera)
     _selection_overlays(batch, state)
     _hover_overlay(batch, state, hover)
+    _paste_preview(batch, state, paste_hover)
     return batch.flush(fb, camera, depth_mode)
 
 

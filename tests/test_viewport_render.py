@@ -213,3 +213,16 @@ def test_scene_render_options_skip_rooms_and_fog():
     assert int((np.asarray(skipped.color) != 0).sum()) == 0
     nofog = scene_mod.render_level(fb, scene, cam, settings, use_fog=False)
     assert nofog.color.shape == full.color.shape
+
+
+def test_paste_preview_ghost():
+    s = _state()
+    # copy the floor at (1,1) into the geometry clipboard
+    s.selection = Selection(kind="sector", room=0, x=1, z=1)
+    assert s.copy_selected_geometry() >= 1
+    fb = vr.draw_viewport_overlays(_fb(), s, paste_hover=(2, 2))
+    assert _count(fb, vr.PASTE_PREVIEW) > 20
+    # no clipboard, no ghost
+    s.geometry_clipboard.faces = []
+    fb2 = vr.draw_viewport_overlays(_fb(), s, paste_hover=(2, 2))
+    assert _count(fb2, vr.PASTE_PREVIEW) == 0
