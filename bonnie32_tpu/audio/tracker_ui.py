@@ -350,11 +350,11 @@ def draw_instruments_view(ctx: UiContext, st: TrackerState, rect: Rect,
     # persist in ChannelSettings (pattern.rs:9)
     from ..ui.widgets import knob, mini_knob
 
+    from .song import ChannelSettings
+
     ch = st.current_channel
     while len(st.song.channel_settings) <= ch:
-        st.song.channel_settings.append(type(st.song.channel_settings[0])()
-                                        if st.song.channel_settings
-                                        else None)
+        st.song.channel_settings.append(ChannelSettings())
     cs = st.song.channel_settings[ch]
     if cs is not None:
         fy = chn.y + st.num_channels() * ROW24 + 8
@@ -467,7 +467,8 @@ def handle_pattern_key(st: TrackerState, key: str) -> bool:
         if note is None:
             return False
         cur = note.effect.x
-        st.set_effect(note.effect.kind, (cur * 10 + int(key)) % 1000,
+        st.set_effect(note.effect.kind,
+                      min((cur * 10 + int(key)) % 1000, 127),
                       note.effect.y)
     else:
         pitch = key_to_note(key, st.octave)

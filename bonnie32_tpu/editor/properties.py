@@ -215,7 +215,8 @@ def _horizontal_container(ctx: UiContext, x: float, y: float, w: float,
 
     y = _face_colors_section(ctx, x, y, w, state, face, "colors", "h", ui)
     y = _face_flags_section(ctx, x, y, w, state, face, "h", ui)
-    room.recalculate_bounds()
+    if state.dirty:
+        room.recalculate_bounds()
     return y
 
 
@@ -278,7 +279,8 @@ def _wall_container(ctx: UiContext, x: float, y: float, w: float,
 
     y = _face_colors_section(ctx, x, y, w, state, wall, "colors", "w", ui)
     y = _face_flags_section(ctx, x, y, w, state, wall, "w", ui)
-    room.recalculate_bounds()
+    if state.dirty:
+        room.recalculate_bounds()
     return y
 
 

@@ -305,8 +305,10 @@ class EditorState:
         if s.kind == "portal":
             if not (0 <= s.index < len(room.portals)):
                 return None
-            return np.mean(np.asarray(room.portals[s.index].vertices,
-                                      np.float32), axis=0)
+            # portal vertices are room-relative (level.py Portal docstring)
+            return (np.mean(np.asarray(room.portals[s.index].vertices,
+                                       np.float32), axis=0)
+                    + np.asarray(room.position, np.float32))
         if s.kind == "object":
             if not (0 <= s.index < len(room.objects)):
                 return None

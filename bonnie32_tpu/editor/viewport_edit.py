@@ -357,12 +357,27 @@ class ViewportEditor:
             cells = [(start[0], start[1])]
         placed = 0
         snapshot_done = False
+        # expand the grid ONCE for the whole drag, then offset every cell —
+        # expanding per-cell would shift the origin mid-loop and land later
+        # cells in the wrong columns (grid_view._release_drag's approach)
+        min_gx = min(c[0] for c in cells)
+        min_gz = min(c[1] for c in cells)
+        max_gx = max(c[0] for c in cells)
+        max_gz = max(c[1] for c in cells)
+        off_x = off_z = 0
+        if not (0 <= min_gx and 0 <= min_gz
+                and max_gx < room.width and max_gz < room.depth):
+            self.state.save_undo()
+            snapshot_done = True
+            ax, az = _expand_room_for(room, min_gx, min_gz)
+            off_x, off_z = ax - min_gx, az - min_gz
+            _expand_room_for(room, max_gx + off_x, max_gz + off_z)
         for gx, gz in cells:
+            gx += off_x
+            gz += off_z
             if not snapshot_done:
                 self.state.save_undo()
                 snapshot_done = True
-            if not (0 <= gx < room.width and 0 <= gz < room.depth):
-                gx, gz = _expand_room_for(room, gx, gz)
             sector = room.ensure_sector(gx, gz)
             bottom, top = room.effective_height_bounds()
             gap_y = self._gap_select_y(room)

@@ -447,6 +447,8 @@ class ModelerState(SkeletonMixin):
         if len(objs) <= 1 or not (0 <= idx < len(objs)):
             return False
         objs.pop(idx)
+        if self.active_part > idx:
+            self.active_part -= 1          # keep the same part active
         if self.active_part >= len(objs):
             self.active_part = len(objs) - 1
         self.project.selected_object = self.active_part

@@ -217,3 +217,17 @@ def test_toggle_multi_selection_keeps_primary():
     assert a in s.multi_selection and b in s.multi_selection
     s.toggle_multi_selection(b)
     assert b not in s.multi_selection
+
+
+def test_portal_center_is_world_space():
+    s = _state_with_floor()
+    room = s.level.rooms[0]
+    room.position = np.array([4096.0, 0.0, 2048.0], np.float32)
+    room.portals.append(Portal(
+        target_room=1,
+        vertices=np.array([[0, 0, 0], [4, 0, 0], [4, 4, 0], [0, 4, 0]],
+                          np.float32),
+        normal=np.array([0, 0, 1], np.float32)))
+    s.selection = Selection(kind="portal", room=0, index=0)
+    np.testing.assert_allclose(s.get_selection_center(),
+                               [4098.0, 2.0, 2048.0])

@@ -174,3 +174,15 @@ def test_add_part_primitives_and_radial_items():
     assert len(st.project.objects[idx2].mesh.vertices) == 5
     items = st.primitive_menu_items()
     assert [i.id for i in items][:2] == ["prim.cube", "prim.plane"]
+
+
+def test_delete_lower_part_keeps_active():
+    from bonnie32_tpu.models.modeler import ModelerState
+
+    st = ModelerState()
+    st.add_part()          # Part.00 at 0, new at 1 (active)
+    st.add_part()          # index 2 active
+    st.set_active_part(1)
+    target = st.project.objects[1]
+    st.delete_part(0)
+    assert st.project.objects[st.active_part] is target

@@ -452,3 +452,21 @@ def test_release_wall_diagonal_and_normal_mode():
     assert w.normal_mode == 0     # Front: camera on the normal's side
     bottom, top = room.effective_height_bounds()
     assert w.heights == [bottom, bottom, top, top]
+
+
+def test_release_wall_negative_boundary_drag():
+    # a multi-cell drag crossing the room's -x edge must expand ONCE and
+    # land every wall on the dragged line (review finding: per-cell
+    # expansion shifted the origin mid-loop)
+    ed = _editor(width=2, depth=2, with_floors=[(0, 0)])
+    room = ed.state.level.rooms[0]
+    orig_x = float(room.position[0])
+    ed.state.tool = EditorTool.DRAW_WALL
+    ed.wall_direction = NORTH
+    ed.wall_drag_start = (-2, 0, NORTH)
+    ed.wall_drag_current = (1, 0, NORTH)
+    placed = ed.release_wall(TEX)
+    assert placed == 4
+    assert float(room.position[0]) == orig_x - 2 * SECTOR_SIZE
+    for gx in range(4):
+        assert len(room.get_sector(gx, 0).walls(NORTH)) == 1, gx
