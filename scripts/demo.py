@@ -124,9 +124,14 @@ def main():
     es.orbit_distance = 5000.0
     es.center_camera_on_selection()
 
+    from bonnie32_tpu.models import texture_pack as tp
+    packs = tp.load_texture_packs(
+        "/root/reference/assets/samples/texture-packs")
+
     def draw_editor_screen(ctx):
         layout = EditorLayout()
-        rects = draw_editor(ctx, layout, es, Rect(0, 0, 640, 480))
+        rects = draw_editor(ctx, layout, es, Rect(0, 0, 640, 480),
+                            textures=packs)
         vp = rects["viewport"]
         vfb = vr.render_editor_viewport(es, env.scene, int(vp.w),
                                         int(vp.h))
