@@ -408,8 +408,11 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
     py = canvas.bottom + 8
     ctx.text(right_rect.x + 6, py, "Palette")
     py += 12
-    if clut_pool is not None and clut_pool.cluts:
-        clut = clut_pool.cluts[0]
+    if clut_pool is None:
+        clut_pool = state.project.clut_pool
+    clut = (clut_pool.cluts[0] if getattr(clut_pool, "cluts", None)
+            else state.project.effective_clut())
+    if clut is not None:
         sw = 10.0
         per_row = max(int((right_rect.w - 12) // sw), 1)
         for i, c15 in enumerate(clut.colors):
