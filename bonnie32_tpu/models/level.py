@@ -429,6 +429,34 @@ class Sector:
                                   floor_right, ceiling_left, ceiling_right,
                                   mouse_y)
 
+    def extrude_floor(self, amount: float, wall_texture) -> bool:
+        """geometry.rs:1986 — raise the floor by `amount` and connect the
+        perimeter: existing edge walls get their bottoms raised to the new
+        floor, otherwise a new Back-facing wall spans old->new heights."""
+        if self.floor is None:
+            return False
+        old = list(self.floor.heights)
+        self.floor.heights = [h + amount for h in old]
+        new = self.floor.heights
+        # per edge: (stack, bottom corner idx pair (BL, BR), top pair)
+        edges = [
+            (self.walls_north, (0, 1)),   # BL=NW, BR=NE
+            (self.walls_east, (1, 2)),    # BL=NE, BR=SE
+            (self.walls_south, (2, 3)),   # BL=SE, BR=SW
+            (self.walls_west, (3, 0)),    # BL=SW, BR=NW
+        ]
+        for stack, (bl, br) in edges:
+            if stack:
+                stack[-1].heights[0] = new[bl]
+                stack[-1].heights[1] = new[br]
+            else:
+                wall = VerticalFace(
+                    heights=[old[bl], old[br], new[br], new[bl]],
+                    texture=wall_texture)
+                wall.normal_mode = 2    # FaceNormalMode::Back
+                stack.append(wall)
+        return True
+
     def next_diagonal_wall_position(self, is_nwse: bool,
                                     fallback_bottom: float,
                                     fallback_top: float, mouse_y=None):

@@ -470,3 +470,30 @@ def test_release_wall_negative_boundary_drag():
     assert float(room.position[0]) == orig_x - 2 * SECTOR_SIZE
     for gx in range(4):
         assert len(room.get_sector(gx, 0).walls(NORTH)) == 1, gx
+
+
+def test_extrude_floor_creates_and_extends_walls():
+    # geometry.rs:1986 — perimeter walls connect old->new floor heights
+    from bonnie32_tpu.models.level import Sector, VerticalFace
+
+    s = Sector()
+    s.floor = HorizontalFace(heights=[0.0, 0.0, 256.0, 256.0], texture=TEX)
+    assert s.extrude_floor(512.0, TEX)
+    assert s.floor.heights == [512.0, 512.0, 768.0, 768.0]
+    # north edge: new Back wall from old (NW,NE) to new heights
+    n = s.walls_north[0]
+    assert n.heights == [0.0, 0.0, 512.0, 512.0]
+    assert n.normal_mode == 2
+    # east edge spans NE->SE
+    e = s.walls_east[0]
+    assert e.heights == [0.0, 256.0, 768.0, 512.0]
+    # an existing wall gets its bottom raised instead of a new wall
+    s2 = Sector()
+    s2.floor = HorizontalFace.flat(0.0, TEX)
+    s2.walls_north.append(VerticalFace(heights=[-512.0, -512.0, 1024.0,
+                                                1024.0], texture=TEX))
+    s2.extrude_floor(256.0, TEX)
+    assert len(s2.walls_north) == 1
+    assert s2.walls_north[0].heights[:2] == [256.0, 256.0]
+    # no floor -> no-op
+    assert Sector().extrude_floor(100.0, TEX) is False
