@@ -196,6 +196,18 @@ def _horizontal_container(ctx: UiContext, x: float, y: float, w: float,
         state.save_undo()
         face.heights_2 = None if not hlinked else list(face.heights)
         state.dirty = True
+    if is_floor:
+        # Extrude button (layout.rs:4362-4402): +256, walls connect
+        er = Rect(x + w - 70, y, 64, 16)
+        hovered = er.contains(ctx.mouse.x, ctx.mouse.y)
+        ctx.fill(er, (60, 80, 100) if hovered else (40, 45, 55))
+        ctx.outline(er, (80, 90, 100))
+        ctx.text(er.x + 4, er.center_y, "Extrude")
+        if hovered and ctx.mouse.pressed:
+            state.save_undo()
+            if sector.extrude_floor(CLICK_HEIGHT, state.selected_texture):
+                state.set_status("Extruded floor by 256 units", 2.0)
+                state.dirty = True
     rows = ((("", "heights"),) if hlinked
             else (("Tri1", "heights"), ("Tri2", "heights_2")))
     hx = x + 46

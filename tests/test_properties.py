@@ -159,3 +159,17 @@ def test_flags_apply_to_multi_selection():
     _click(s, ui, 8, cy)
     assert room.get_sector(1, 1).floor.black_transparent is False
     assert room.get_sector(2, 2).floor.black_transparent is False
+
+
+def test_extrude_button_in_floor_container():
+    s = _state()
+    s.selection = Selection(kind="sector_face", room=0, x=1, z=1,
+                            face=SectorFace(kind="floor"))
+    ui = {}
+    # Extrude button: right side of the heights row, y = 4+22+18+20+36+8
+    ey = 4 + 22 + 18 + 20 + 36 + 8
+    _click(s, ui, RECT.w - 8 - 40, ey)
+    sector = s.level.rooms[0].get_sector(1, 1)
+    assert sector.floor.heights == [CLICK_HEIGHT] * 4
+    assert len(sector.walls_north) == 1
+    assert "Extruded" in s.status_message
