@@ -108,12 +108,7 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
     left_content = _collapsible_stack(ctx, left_rect, LEFT_PANELS,
                                       layout.left_collapsed, PANEL_BG)
     if "Room" in left_content:
-        rooms = [f"Room {r.id}" for r in state.level.rooms]
-        sel, layout.room_scroll = vlist(
-            ctx, "rooms", left_content["Room"], rooms,
-            state.current_room, scroll=layout.room_scroll)
-        if sel is not None and sel != state.current_room:
-            state.current_room = sel
+        _room_list(ctx, left_content["Room"], state)
 
     # --- right sidebar: Textures + Properties ---
     right_content = _collapsible_stack(ctx, right_rect, RIGHT_PANELS,
@@ -220,3 +215,76 @@ def _paint_editor_overlay(ctx: UiContext, rect: Rect, state: EditorState,
     ctx.text(close.x + 6, close.center_y, "Close")
     if (hovered and ctx.mouse.pressed) or ctx.key_pressed("escape"):
         layout.editing_texture = None
+
+
+def _room_list(ctx: UiContext, body: Rect, state: EditorState) -> None:
+    """The room list rows (layout.rs:3012-3134): visibility eye, click to
+    switch, trash delete with index bookkeeping, and the Add Room button
+    that places a fresh 1x1 room east of the last one."""
+    from ..models.level import SECTOR_SIZE, Room
+
+    line_h = 16.0
+    btn = 12.0
+    y = body.y + 2
+    to_delete = None
+    for i, room in enumerate(state.level.rooms):
+        if y + line_h > body.bottom - line_h:
+            break
+        hidden = i in state.hidden_rooms
+        selected = i == state.current_room
+        eye = Rect(body.x + 2, y + 1, btn, btn)
+        eh = eye.contains(ctx.mouse.x, ctx.mouse.y)
+        ctx.fill(eye, (50, 50, 58) if hidden else (120, 180, 255))
+        if eh and ctx.mouse.pressed:
+            if hidden:
+                state.hidden_rooms.discard(i)
+            else:
+                state.hidden_rooms.add(i)
+        dr = Rect(body.right - btn - 4, y + 1, btn, btn)
+        dh = dr.contains(ctx.mouse.x, ctx.mouse.y)
+        ctx.fill(dr, (90, 50, 50) if dh else (55, 42, 42))
+        ctx.text(dr.x + 3, dr.y, "x")
+        if dh and ctx.mouse.pressed:
+            to_delete = i
+        row = Rect(body.x + btn + 4, y, body.w - 2 * btn - 12, line_h)
+        if selected:
+            ctx.fill(row, (60, 80, 60))
+        if row.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed \
+                and to_delete is None:
+            state.current_room = i
+        n_sectors = sum(1 for _ in room.iter_sectors())
+        ctx.text(row.x + 2, y + 3, f"Room {room.id} ({n_sectors} sectors)",
+                 (100, 200, 100) if selected
+                 else (130, 130, 140) if hidden else (210, 210, 215))
+        y += line_h
+
+    if to_delete is not None:
+        i = to_delete
+        state.save_undo()
+        state.level.rooms.pop(i)
+        if state.current_room >= len(state.level.rooms) \
+                and state.level.rooms:
+            state.current_room = len(state.level.rooms) - 1
+        state.hidden_rooms = {idx - 1 if idx > i else idx
+                              for idx in state.hidden_rooms if idx != i}
+        if state.selection.kind != "none" and state.selection.room == i:
+            state.clear_selection()
+        state.multi_selection = []
+        state.mark_portals_dirty()
+        state.set_status(f"Deleted Room {i}", 2.0)
+
+    add = Rect(body.x + 2, body.bottom - line_h, min(body.w - 4, 80),
+               line_h - 2)
+    ah = add.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.fill(add, (42, 54, 46) if not ah else (60, 80, 65))
+    ctx.text(add.x + 4, add.center_y, "+ Add Room")
+    if ah and ctx.mouse.pressed:
+        rooms = state.level.rooms
+        new_id = len(rooms)
+        off_x = (float(rooms[-1].position[0])
+                 + rooms[-1].width * SECTOR_SIZE + SECTOR_SIZE
+                 if rooms else 0.0)
+        state.save_undo()
+        rooms.append(Room.new(new_id, (off_x, 0.0, 0.0), 1, 1))
+        state.current_room = new_id
+        state.set_status(f"Created Room {new_id}", 2.0)

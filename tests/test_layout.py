@@ -60,11 +60,11 @@ def test_editor_room_list_and_status_toast():
     assert "left:Room" in rects          # Room panel expanded by default
     assert state.status_message == "Hello toast"
 
-    # click the second room row
+    # click the second room row (right of the visibility eye column)
     rr = rects["left:Room"]
-    ctx.begin_frame(rr.x + 10, rr.y + 18 + 9, True)
+    ctx.begin_frame(rr.x + 30, rr.y + 2 + 16 + 8, True)
     draw_editor(ctx, layout, state, Rect(0, 0, 640, 480))
-    ctx.begin_frame(rr.x + 10, rr.y + 18 + 9, False)
+    ctx.begin_frame(rr.x + 30, rr.y + 2 + 16 + 8, False)
     draw_editor(ctx, layout, state, Rect(0, 0, 640, 480))
     assert state.current_room == 1
 
@@ -170,3 +170,42 @@ def test_textures_panel_user_flow_opens_paint_editor():
     ctx.begin_frame(0, 0, False, keys_pressed=("escape",))
     draw_editor(ctx, layout, state, bounds)
     assert layout.editing_texture is None
+
+
+def test_room_list_add_hide_delete():
+    from bonnie32_tpu.editor.layout import EditorLayout, draw_editor
+
+    state = _state()                      # 3 rooms
+    layout = EditorLayout()
+    layout.left_collapsed = [True, True, False, True]   # expand Room only
+    ctx = UiContext()
+    bounds = Rect(0, 0, 640, 480)
+    ctx.begin_frame(0, 0, False)
+    rects = draw_editor(ctx, layout, state, bounds)
+    body = rects["left:Room"]
+    # hide room 0 via its eye button
+    ctx.begin_frame(body.x + 2 + 6, body.y + 2 + 7, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert 0 in state.hidden_rooms
+    # click room 1's row to select it
+    ctx.begin_frame(0, 0, False)
+    draw_editor(ctx, layout, state, bounds)
+    ctx.begin_frame(body.x + 40, body.y + 2 + 16 + 8, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert state.current_room == 1
+    # delete room 1: hidden index 0 stays, current clamps
+    ctx.begin_frame(0, 0, False)
+    draw_editor(ctx, layout, state, bounds)
+    ctx.begin_frame(body.right - 12 - 4 + 6, body.y + 2 + 16 + 8, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert len(state.level.rooms) == 2
+    assert 0 in state.hidden_rooms
+    # add a room: placed east of the last, becomes current
+    ctx.begin_frame(0, 0, False)
+    draw_editor(ctx, layout, state, bounds)
+    ctx.begin_frame(body.x + 2 + 10, body.bottom - 16 + 6, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert len(state.level.rooms) == 3
+    assert state.current_room == 2
+    assert float(state.level.rooms[2].position[0]) > \
+        float(state.level.rooms[1].position[0])
