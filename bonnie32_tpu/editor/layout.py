@@ -107,6 +107,8 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
     # --- left sidebar: 4 collapsible panels ---
     left_content = _collapsible_stack(ctx, left_rect, LEFT_PANELS,
                                       layout.left_collapsed, PANEL_BG)
+    if "Skybox" in left_content:
+        _skybox_panel(ctx, left_content["Skybox"], state)
     if "Room" in left_content:
         _room_list(ctx, left_content["Room"], state)
 
@@ -288,3 +290,53 @@ def _room_list(ctx: UiContext, body: Rect, state: EditorState) -> None:
         rooms.append(Room.new(new_id, (off_x, 0.0, 0.0), 1, 1))
         state.current_room = new_id
         state.set_status(f"Created Room {new_id}", 2.0)
+
+
+def _skybox_panel(ctx: UiContext, body: Rect, state: EditorState) -> None:
+    """Skybox panel (layout.rs:1879-1980 + preset row :2687-2712):
+    ON/OFF toggle creating/clearing level.skybox, a vertical gradient
+    preview sampled from the config, and the four preset buttons."""
+    from ..models.skybox import Skybox
+
+    has = state.level.skybox is not None
+    tr = Rect(body.x + 2, body.y + 2, 44, 16)
+    th = tr.contains(ctx.mouse.x, ctx.mouse.y)
+    ctx.fill(tr, (60, 110, 70) if has else (60, 60, 65))
+    if th:
+        ctx.outline(tr, (255, 255, 255))
+    ctx.text(tr.x + 8, tr.center_y, "ON" if has else "OFF")
+    if th and ctx.mouse.pressed:
+        state.save_undo()
+        state.level.skybox = None if has else Skybox().to_ron()
+        state.dirty = True
+        has = not has
+    y = tr.bottom + 4
+
+    if has:
+        sb = Skybox.from_ron(state.level.skybox)
+        # gradient preview strip: zenith -> horizon sky | ground -> nadir
+        strip = Rect(body.x + 2, y, body.w - 8, 28)
+        half = strip.h / 2
+        for i in range(int(half)):
+            t = i / max(half - 1, 1)
+            from ..models.skybox import _lerp_rgb
+            ctx.fill(Rect(strip.x, strip.y + i, strip.w, 1),
+                     _lerp_rgb(sb.zenith_color, sb.horizon_sky_color, t))
+            ctx.fill(Rect(strip.x, strip.y + half + i, strip.w, 1),
+                     _lerp_rgb(sb.horizon_ground_color, sb.nadir_color, t))
+        y = strip.bottom + 4
+        presets = (("Sunset", Skybox.preset_sunset),
+                   ("Twilight", Skybox.preset_twilight),
+                   ("Night", Skybox.preset_night),
+                   ("Arctic", Skybox.preset_arctic))
+        bw = (body.w - 8 - 3 * 4) / 4
+        for i, (name, builder) in enumerate(presets):
+            r = Rect(body.x + 2 + i * (bw + 4), y, bw, 14)
+            hov = r.contains(ctx.mouse.x, ctx.mouse.y)
+            ctx.fill(r, (58, 58, 70) if hov else (40, 40, 48))
+            ctx.text(r.x + 2, r.center_y, name[:6], (200, 200, 210))
+            if hov and ctx.mouse.pressed:
+                state.save_undo()
+                state.level.skybox = builder().to_ron()
+                state.dirty = True
+                state.set_status(f"Skybox: {name}", 1.5)

@@ -27,10 +27,31 @@ PI = math.pi
 _DIR_ANGLES = {"East": 0.0, "North": PI / 2, "West": PI, "South": 3 * PI / 2}
 
 
+def _unwrap(v):
+    """Unwrap a Some(...) tag — in-memory to_ron dicts carry them; the RON
+    parser unwraps on load."""
+    if isinstance(v, Tag) and v.name == "Some":
+        return v.value
+    return v
+
+
 def _rgb(d, default):
     if d is None:
         return default
     return (int(d["r"]), int(d["g"]), int(d["b"]))
+
+
+def _rgb_ron(c):
+    return {"r": int(c[0]), "g": int(c[1]), "b": int(c[2])}
+
+
+def _dir_ron(angle: float) -> Tag:
+    """Nearest cardinal Direction tag for a tint angle (inverts
+    _DIR_ANGLES for serialization)."""
+    best = min(_DIR_ANGLES.items(),
+               key=lambda kv: abs((kv[1] - float(angle) + PI)
+                                  % (2 * PI) - PI))
+    return Tag(best[0])
 
 
 def _lerp_rgb(a, b, t):
@@ -62,6 +83,13 @@ class CelestialBody:
                    glow_color=_rgb(d.get("glow_color"), (255, 200, 100)),
                    glow_falloff=float(d.get("glow_falloff", 2.5)))
 
+    def to_ron(self):
+        return {"enabled": self.enabled, "azimuth": F32(self.azimuth),
+                "elevation": F32(self.elevation), "size": F32(self.size),
+                "color": _rgb_ron(self.color),
+                "glow_color": _rgb_ron(self.glow_color),
+                "glow_falloff": F32(self.glow_falloff)}
+
 
 @dataclasses.dataclass
 class CloudLayer:
@@ -76,6 +104,7 @@ class CloudLayer:
 
     @classmethod
     def from_ron(cls, d):
+        d = _unwrap(d)
         if d is None:
             return None
         return cls(height=float(d.get("height", 0.42)),
@@ -86,6 +115,15 @@ class CloudLayer:
                    wispiness=float(d.get("wispiness", 0.7)),
                    density=float(d.get("density", 1.0)),
                    phase=float(d.get("phase", 0.0)))
+
+    def to_ron(self):
+        return {"height": F32(self.height),
+                "thickness": F32(self.thickness),
+                "color": _rgb_ron(self.color),
+                "opacity": F32(self.opacity),
+                "scroll_speed": F32(self.scroll_speed),
+                "wispiness": F32(self.wispiness),
+                "density": F32(self.density), "phase": F32(self.phase)}
 
 
 @dataclasses.dataclass
@@ -100,6 +138,7 @@ class MountainRange:
 
     @classmethod
     def from_ron(cls, d):
+        d = _unwrap(d)
         if d is None:
             return None
         return cls(lit_color=_rgb(d.get("lit_color"), (140, 120, 160)),
@@ -109,6 +148,13 @@ class MountainRange:
                    depth=float(d.get("depth", 0.5)),
                    jaggedness=float(d.get("jaggedness", 0.5)),
                    seed=int(d.get("seed", 12345)))
+
+    def to_ron(self):
+        return {"lit_color": _rgb_ron(self.lit_color),
+                "shadow_color": _rgb_ron(self.shadow_color),
+                "highlight_color": _rgb_ron(self.highlight_color),
+                "height": F32(self.height), "depth": F32(self.depth),
+                "jaggedness": F32(self.jaggedness), "seed": self.seed}
 
 
 @dataclasses.dataclass
@@ -131,6 +177,12 @@ class StarField:
                    twinkle_speed=float(d.get("twinkle_speed", 0.0)),
                    seed=int(d.get("seed", 42)))
 
+    def to_ron(self):
+        return {"enabled": self.enabled, "color": _rgb_ron(self.color),
+                "count": self.count, "size": F32(self.size),
+                "twinkle_speed": F32(self.twinkle_speed),
+                "seed": self.seed}
+
 
 @dataclasses.dataclass
 class HorizonHaze:
@@ -147,6 +199,11 @@ class HorizonHaze:
                    color=_rgb(d.get("color"), (200, 180, 160)),
                    intensity=float(d.get("intensity", 0.25)),
                    extent=float(d.get("extent", 0.12)))
+
+    def to_ron(self):
+        return {"enabled": self.enabled, "color": _rgb_ron(self.color),
+                "intensity": F32(self.intensity),
+                "extent": F32(self.extent)}
 
 
 @dataclasses.dataclass
@@ -205,6 +262,34 @@ class Skybox:
             stars=StarField.from_ron(d.get("stars")),
             horizon_haze=HorizonHaze.from_ron(d.get("horizon_haze")),
         )
+
+    def to_ron(self) -> dict:
+        """Serialize back to the level's RON schema (wrap_some handled by
+        the Level writer; editor-created skyboxes persist through this)."""
+        from ..io import ron as ron_mod
+
+        def opt(v):
+            return ron_mod.wrap_some(v.to_ron()) if v is not None else None
+
+        return {
+            "zenith_color": _rgb_ron(self.zenith_color),
+            "horizon_sky_color": _rgb_ron(self.horizon_sky_color),
+            "horizon_ground_color": _rgb_ron(self.horizon_ground_color),
+            "nadir_color": _rgb_ron(self.nadir_color),
+            "horizontal_tint_enabled": self.horizontal_tint_enabled,
+            "horizontal_tint_color": _rgb_ron(self.horizontal_tint_color),
+            "horizontal_tint_direction": _dir_ron(
+                self.horizontal_tint_direction),
+            "horizontal_tint_intensity": F32(self.horizontal_tint_intensity),
+            "horizontal_tint_spread": F32(self.horizontal_tint_spread),
+            "horizon": F32(self.horizon),
+            "sun": self.sun.to_ron(), "moon": self.moon.to_ron(),
+            "cloud_layers": tuple(opt(c) for c in self.cloud_layers),
+            "mountain_ranges": tuple(opt(m) for m in self.mountain_ranges),
+            "mountain_light_direction": F32(self.mountain_light_direction),
+            "stars": self.stars.to_ron(),
+            "horizon_haze": self.horizon_haze.to_ron(),
+        }
 
     # ------------------------------------------------------------------
     # Sampling (geometry.rs:400-527), vectorized numpy over arrays

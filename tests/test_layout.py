@@ -209,3 +209,32 @@ def test_room_list_add_hide_delete():
     assert state.current_room == 2
     assert float(state.level.rooms[2].position[0]) > \
         float(state.level.rooms[1].position[0])
+
+
+def test_skybox_panel_toggle_and_preset():
+    from bonnie32_tpu.editor.layout import EditorLayout, draw_editor
+    from bonnie32_tpu.models.skybox import Skybox
+
+    state = _state()
+    layout = EditorLayout()
+    layout.left_collapsed = [False, True, True, True]   # expand Skybox
+    ctx = UiContext()
+    bounds = Rect(0, 0, 640, 480)
+    ctx.begin_frame(0, 0, False)
+    rects = draw_editor(ctx, layout, state, bounds)
+    body = rects["left:Skybox"]
+    assert state.level.skybox is None
+    # toggle ON
+    ctx.begin_frame(body.x + 10, body.y + 2 + 8, True)
+    draw_editor(ctx, layout, state, bounds)
+    assert state.level.skybox is not None
+    # click the Night preset (3rd button under the 28px preview)
+    ctx.begin_frame(0, 0, False)
+    draw_editor(ctx, layout, state, bounds)
+    bw = (body.w - 8 - 12) / 4
+    py = body.y + 2 + 16 + 4 + 28 + 4 + 7
+    ctx.begin_frame(body.x + 2 + 2 * (bw + 4) + 4, py, True)
+    draw_editor(ctx, layout, state, bounds)
+    night = Skybox.from_ron(state.level.skybox)
+    assert night.stars.enabled == Skybox.preset_night().stars.enabled
+    assert night.zenith_color == Skybox.preset_night().zenith_color
