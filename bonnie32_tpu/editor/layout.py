@@ -340,3 +340,39 @@ def _skybox_panel(ctx: UiContext, body: Rect, state: EditorState) -> None:
                 state.level.skybox = builder().to_ron()
                 state.dirty = True
                 state.set_status(f"Skybox: {name}", 1.5)
+        y += 18
+
+        # body/star toggles + sliders (the panel's collapsible sections'
+        # core controls, layout.rs:2060-2400)
+        from ..ui.widgets import checkbox, slider
+
+        changed = False
+        new_sun = checkbox(ctx, "sky.sun", Rect(body.x + 2, y, 12, 12),
+                           sb.sun.enabled, "Sun")
+        if new_sun != sb.sun.enabled:
+            sb.sun.enabled = new_sun
+            changed = True
+        new_moon = checkbox(ctx, "sky.moon",
+                            Rect(body.x + 70, y, 12, 12),
+                            sb.moon.enabled, "Moon")
+        if new_moon != sb.moon.enabled:
+            sb.moon.enabled = new_moon
+            changed = True
+        y += 16
+        if sb.sun.enabled:
+            ctx.text(body.x + 2, y + 1, "Elev", (130, 130, 140))
+            new_e = slider(ctx, "sky.sunelev",
+                           Rect(body.x + 34, y, body.w - 44, 10),
+                           sb.sun.elevation, 0.0, 1.5)
+            if new_e != sb.sun.elevation:
+                sb.sun.elevation = new_e
+                changed = True
+            y += 14
+        new_st = checkbox(ctx, "sky.stars", Rect(body.x + 2, y, 12, 12),
+                          sb.stars.enabled, "Stars")
+        if new_st != sb.stars.enabled:
+            sb.stars.enabled = new_st
+            changed = True
+        if changed:
+            state.level.skybox = sb.to_ron()
+            state.dirty = True

@@ -238,3 +238,25 @@ def test_skybox_panel_toggle_and_preset():
     night = Skybox.from_ron(state.level.skybox)
     assert night.stars.enabled == Skybox.preset_night().stars.enabled
     assert night.zenith_color == Skybox.preset_night().zenith_color
+
+
+def test_skybox_panel_sun_toggle_persists():
+    from bonnie32_tpu.editor.layout import EditorLayout, draw_editor
+    from bonnie32_tpu.models.skybox import Skybox
+
+    state = _state()
+    state.level.skybox = Skybox().to_ron()      # sun disabled by default
+    layout = EditorLayout()
+    layout.left_collapsed = [False, True, True, True]
+    ctx = UiContext()
+    bounds = Rect(0, 0, 640, 480)
+    ctx.begin_frame(0, 0, False)
+    rects = draw_editor(ctx, layout, state, bounds)
+    body = rects["left:Skybox"]
+    # Sun checkbox row: toggle + preview + presets + 18
+    sy = body.y + 2 + 16 + 4 + 28 + 4 + 18 + 6
+    ctx.begin_frame(body.x + 2 + 6, sy, True)
+    draw_editor(ctx, layout, state, bounds)
+    ctx.begin_frame(body.x + 2 + 6, sy, False)
+    draw_editor(ctx, layout, state, bounds)
+    assert Skybox.from_ron(state.level.skybox).sun.enabled is True
