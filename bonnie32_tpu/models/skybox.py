@@ -286,7 +286,7 @@ class Skybox:
             "sun": self.sun.to_ron(), "moon": self.moon.to_ron(),
             "cloud_layers": tuple(opt(c) for c in self.cloud_layers),
             "mountain_ranges": tuple(opt(m) for m in self.mountain_ranges),
-            "mountain_light_direction": F32(self.mountain_light_direction),
+            "mountain_light_direction": _dir_ron(self.mountain_light_direction),
             "stars": self.stars.to_ron(),
             "horizon_haze": self.horizon_haze.to_ron(),
         }
