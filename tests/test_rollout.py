@@ -95,3 +95,38 @@ def test_step_and_render_flat_path_matches_sequential():
     diff = (a != b).sum()
     budget = 0 if jax.devices()[0].platform in ("tpu", "axon") else 40
     assert diff <= budget, f"flat rollout path: {diff} diffs"
+
+
+def test_skybox_level_uses_dma_path_and_matches_sequential():
+    # Dungeon ships a skybox: step_and_render must take the per-pixel-sky
+    # (framebuffer DMA) branch, not the constant-background fast path, and
+    # still match the sequential per-instance renderer bit-for-bit.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from bonnie32_tpu import rollout
+    from bonnie32_tpu.config import RasterSettings
+    from bonnie32_tpu.game import step as stp
+    from bonnie32_tpu.models import scene as scene_mod
+    from bonnie32_tpu.ops import raster_ref
+    from bonnie32_tpu.ops import skybox as sky_ops
+
+    level, env, spawn = rollout.demo_env(
+        "/root/reference/assets/samples/levels/Dungeon.ron", flat=True)
+    assert env.sky is not None
+    n = 2
+    states = rollout.initial_states(level, spawn, n)
+    acts = stp.Actions(move_x=jnp.zeros(n), move_y=jnp.zeros(n),
+                       cam_x=jnp.zeros(n), cam_y=jnp.zeros(n),
+                       sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
+    s2, fbs = rollout.step_and_render(states, env, acts,
+                                      RasterSettings.game())
+    cams = jax.vmap(lambda st: stp.character_camera(st, env.params))(s2)
+    cam0 = jax.tree_util.tree_map(lambda x: x[0], cams)
+    fb = raster_ref.new_framebuffer(240, 320, depth_mode="inv")
+    fb = sky_ops.render_skybox(fb, env.sky, cam0)
+    ref = scene_mod.render_level(fb, env.scene, cam0,
+                                 RasterSettings.game(), depth_mode="inv")
+    diffs = int((np.asarray(fbs.color[0]) != np.asarray(ref.color)).sum())
+    assert diffs == 0
