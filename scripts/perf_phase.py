@@ -116,6 +116,16 @@ def main():
 
         add_chain(name, frame)
 
+    # constant-background path A/B (round-3 clear_color change): same
+    # render with the framebuffer DMAs + layout transposes skipped
+    def frame_bg(t):
+        out = scene_flat.render_level_flat(
+            fbs0, flat, static, perturb(t), settings,
+            height=HEIGHT, width=WIDTH, background=0)
+        return out.color[0, 0, 0].astype(jnp.float32)
+
+    add_chain("render_bg", frame_bg)
+
     def frame_prep(t):
         cams = perturb(t)
         surf = jax.vmap(lambda c: scene_flat.build_surfaces_flat(
