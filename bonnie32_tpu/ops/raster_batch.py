@@ -225,7 +225,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
     hi = jax.lax.Precision.HIGHEST
     attrs_c = jnp.einsum("pt,tc->pc", m, attrs, precision=hi)
     ctrl_c = jnp.einsum("pt,tc->pc", m, ctrl_f, precision=hi).astype(_I32)
-    count = jnp.sum(keep_i)
+    count = jnp.sum(keep_i, dtype=_I32)  # x64 would promote to i64 -> scatter warning
     pad_cols = jnp.zeros((t_pad, N_CTRL - ctrl_c.shape[1]), _I32)
     pad_cols = pad_cols.at[:, 0].set(count)   # K_COUNT broadcast per row
     ctrl_c = jnp.concatenate([ctrl_c, pad_cols], axis=1)
