@@ -27,7 +27,15 @@ TERMINAL_VELOCITY = 4000.0  # game/components.rs:39
 
 
 class CollisionGrid(NamedTuple):
-    """Padded per-room sector tables."""
+    """Padded per-room sector tables.
+
+    The hot-path layout is the two PACKED tables: XLA gather dispatch is
+    the dominant cost of a floor query (PLAN_PERF round-4: steponly
+    scaled with level size through ~10 separate table gathers per probe
+    point), so every per-sector scalar lives in one (R*GX*GZ, 16) f32
+    row and every per-room scalar in one (R, 8) row — a query is then
+    exactly two fused gathers.  The unpacked fields are kept for editor
+    and debug consumers."""
 
     room_pos: jnp.ndarray      # (R, 3) f32
     bounds_min: jnp.ndarray    # (R, 3) f32 room-relative
@@ -41,6 +49,24 @@ class CollisionGrid(NamedTuple):
     has_ceiling: jnp.ndarray   # (R, GX, GZ) bool
     ceil_heights: jnp.ndarray  # (R, GX, GZ, 4) f32
     ceil_split: jnp.ndarray    # (R, GX, GZ) i32
+    # packed hot-path tables (see _SEC_* / _ROOM_* column constants)
+    sector_tab: jnp.ndarray    # (R*GX*GZ, 16) f32
+    room_tab: jnp.ndarray      # (R, 8) f32
+
+
+# sector_tab columns
+_SC_HAS_SECTOR = 0
+_SC_HAS_FLOOR = 1
+_SC_FH = slice(2, 6)
+_SC_FSPLIT = 6
+_SC_HAS_CEIL = 7
+_SC_CH = slice(8, 12)
+_SC_CSPLIT = 12
+
+# room_tab columns
+_RC_POS = slice(0, 3)
+_RC_WIDTH = 3
+_RC_DEPTH = 4
 
 
 class PlayerParams(NamedTuple):
@@ -110,6 +136,20 @@ def compile_collision(level: Level) -> CollisionGrid:
                 ch[i, x, z] = sector.ceiling.heights
                 cs[i, x, z] = sector.ceiling.split_direction
 
+    sector_tab = np.zeros((r * gx * gz, 16), np.float32)
+    flat = lambda a: a.reshape(r * gx * gz, -1)  # noqa: E731
+    sector_tab[:, _SC_HAS_SECTOR] = flat(has_sector)[:, 0]
+    sector_tab[:, _SC_HAS_FLOOR] = flat(has_floor)[:, 0]
+    sector_tab[:, _SC_FH] = flat(fh)
+    sector_tab[:, _SC_FSPLIT] = flat(fs)[:, 0]
+    sector_tab[:, _SC_HAS_CEIL] = flat(has_ceil)[:, 0]
+    sector_tab[:, _SC_CH] = flat(ch)
+    sector_tab[:, _SC_CSPLIT] = flat(cs)[:, 0]
+    room_tab = np.zeros((r, 8), np.float32)
+    room_tab[:, _RC_POS] = room_pos
+    room_tab[:, _RC_WIDTH] = width
+    room_tab[:, _RC_DEPTH] = depth
+
     return CollisionGrid(
         room_pos=jnp.asarray(room_pos), bounds_min=jnp.asarray(bmin),
         bounds_max=jnp.asarray(bmax), width=jnp.asarray(width),
@@ -117,6 +157,7 @@ def compile_collision(level: Level) -> CollisionGrid:
         has_floor=jnp.asarray(has_floor), floor_heights=jnp.asarray(fh),
         floor_split=jnp.asarray(fs), has_ceiling=jnp.asarray(has_ceil),
         ceil_heights=jnp.asarray(ch), ceil_split=jnp.asarray(cs),
+        sector_tab=jnp.asarray(sector_tab), room_tab=jnp.asarray(room_tab),
     )
 
 
@@ -161,31 +202,40 @@ class FloorQuery(NamedTuple):
 
 
 def get_floor_info(grid: CollisionGrid, point, hint) -> FloorQuery:
-    """Level::get_floor_info (geometry.rs:3597-3643) on device tables."""
+    """Level::get_floor_info (geometry.rs:3597-3643) on device tables.
+
+    Exactly two gathers per query (room row, sector row) — the packed
+    tables make the whole probe one fused lookup + elementwise math,
+    instead of ~10 separate XLA gathers whose dispatch dominated the
+    game-step cost (PLAN_PERF round-4 steponly line)."""
     room = find_room_at(grid, point, hint)
     safe = jnp.maximum(room, 0)
-    rp = grid.room_pos[safe]
+    rrow = grid.room_tab[safe]                      # (8,) gather 1
+    rp = rrow[_RC_POS]
     local_x = point[0] - rp[0]
     local_z = point[2] - rp[2]
     sx = jnp.floor(local_x / SECTOR_SIZE).astype(_I32)
     sz = jnp.floor(local_z / SECTOR_SIZE).astype(_I32)
 
+    # width/depth are small ints, exact in f32
     in_grid = ((sx >= 0) & (sz >= 0)
-               & (sx < grid.width[safe]) & (sz < grid.depth[safe]))
-    gx = jnp.clip(sx, 0, grid.has_sector.shape[1] - 1)
-    gz = jnp.clip(sz, 0, grid.has_sector.shape[2] - 1)
-    has_sec = grid.has_sector[safe, gx, gz]
+               & (sx.astype(_F32) < rrow[_RC_WIDTH])
+               & (sz.astype(_F32) < rrow[_RC_DEPTH]))
+    n_gx = grid.has_sector.shape[1]
+    n_gz = grid.has_sector.shape[2]
+    gx = jnp.clip(sx, 0, n_gx - 1)
+    gz = jnp.clip(sz, 0, n_gz - 1)
+    srow = grid.sector_tab[(safe * n_gx + gx) * n_gz + gz]  # (16,) gather 2
+    has_sec = srow[_SC_HAS_SECTOR] > 0.5
     found = (room >= 0) & in_grid & has_sec
 
     u = (local_x - sx.astype(_F32) * SECTOR_SIZE) / SECTOR_SIZE
     v = (local_z - sz.astype(_F32) * SECTOR_SIZE) / SECTOR_SIZE
 
-    fl = _interpolate_height(grid.floor_heights[safe, gx, gz],
-                             grid.floor_split[safe, gx, gz], u, v)
-    floor_y = jnp.where(grid.has_floor[safe, gx, gz], rp[1] + fl, rp[1])
-    cl = _interpolate_height(grid.ceil_heights[safe, gx, gz],
-                             grid.ceil_split[safe, gx, gz], u, v)
-    ceil_y = jnp.where(grid.has_ceiling[safe, gx, gz], rp[1] + cl,
+    fl = _interpolate_height(srow[_SC_FH], srow[_SC_FSPLIT], u, v)
+    floor_y = jnp.where(srow[_SC_HAS_FLOOR] > 0.5, rp[1] + fl, rp[1])
+    cl = _interpolate_height(srow[_SC_CH], srow[_SC_CSPLIT], u, v)
+    ceil_y = jnp.where(srow[_SC_HAS_CEIL] > 0.5, rp[1] + cl,
                        rp[1] + 2048.0)
     return FloorQuery(found=found, room=room, floor=floor_y, ceiling=ceil_y,
                       sector_x=sx, sector_z=sz)

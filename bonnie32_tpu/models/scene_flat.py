@@ -74,6 +74,16 @@ class FlatScene(NamedTuple):
     texmeta: jnp.ndarray    # (4, 128) i32 rows: width, height, offset, 0
     tex_pack: jnp.ndarray   # (Rp, 128) i32 — per-texture packed planes
     tex_pal: jnp.ndarray    # (Pp, 128) i32 — per-texture palettes
+    # Pre-gathered per-face corner attributes: the vertex->corner gathers
+    # are camera-independent, so they happen ONCE at compile time instead
+    # of per instance per frame (round-4: vmapped XLA gathers made surf
+    # ~44 us/inst on Cathedral).  Transforming corner copies is bit-exact
+    # vs transform-then-gather (same elementwise math on the same values).
+    cpos: jnp.ndarray       # (T, 3, 3) f32 world corner positions
+    cnorm: jnp.ndarray      # (T, 3, 3) f32 world corner normals
+    cuv: jnp.ndarray        # (T, 3, 2) f32
+    cvcol: jnp.ndarray      # (T, 3, 3) i32
+    cvblend: jnp.ndarray    # (T, 3) i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -301,13 +311,24 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
     last_start = t - len(groups[-1][1]) if groups else 0
     tr_last = all(i >= last_start for i in tr_idx)
 
+    vidx_np = np.asarray(fa.vidx)
+    pos_np = np.asarray(mesh.pos)
+    norm_np = np.asarray(mesh.normal)
+    uv_np = np.asarray(mesh.uv)
+    vcol_np = np.asarray(mesh.color)
+    vblend_np = np.asarray(mesh.color_blend)
     scene = FlatScene(mesh=mesh, faces=fa, fog=fog, ambient=ambient,
                       lights=lights, atlas=atlas,
                       tex_lo=tex_lo, tex_hi=tex_hi,
                       keyrows=jnp.asarray(keyrows),
                       texmeta=jnp.asarray(texmeta),
                       tex_pack=jnp.asarray(texpack),
-                      tex_pal=jnp.asarray(texpal))
+                      tex_pal=jnp.asarray(texpal),
+                      cpos=jnp.asarray(pos_np[vidx_np]),
+                      cnorm=jnp.asarray(norm_np[vidx_np]),
+                      cuv=jnp.asarray(uv_np[vidx_np]),
+                      cvcol=jnp.asarray(vcol_np[vidx_np]),
+                      cvblend=jnp.asarray(vblend_np[vidx_np]))
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
         atlas_rows=ra, atlas_rows_data=ra_data,
@@ -325,28 +346,30 @@ def build_surfaces_flat(scene: FlatScene, camera: CameraArrays,
     broadcast per face instead of being scalars, which is exact because a
     face's corners are always in its own room.
     """
-    mesh, faces, fog = scene.mesh, scene.faces, scene.fog
+    faces, fog = scene.faces, scene.fog
     atlas, lights = scene.atlas, scene.lights
-    tv = transform_vertices(mesh.pos, mesh.normal, camera, settings,
-                            width, height)
+    # Transform the pre-gathered corner copies directly: zero per-instance
+    # gathers (the vertex->corner indexing happened once at compile time),
+    # bit-exact vs transform-then-gather.
+    tv = transform_vertices(scene.cpos, scene.cnorm, camera, settings,
+                            width, height, with_normals=False)
 
-    vi = faces.vidx
-    c_sx = tv.sx[vi]
-    c_sy = tv.sy[vi]
-    c_sz = tv.sz[vi]
-    c_cam = tv.cam[vi]
-    c_wpos = mesh.pos[vi]
-    c_wnorm = mesh.normal[vi]
-    c_uv = mesh.uv[vi]
-    c_vcol = mesh.color[vi]
-    c_vblend = mesh.color_blend[vi]
+    c_sx = tv.sx            # (T, 3)
+    c_sy = tv.sy
+    c_sz = tv.sz
+    c_cam = tv.cam          # (T, 3, 3)
+    c_wpos = scene.cpos
+    c_wnorm = scene.cnorm
+    c_uv = scene.cuv
+    c_vcol = scene.cvcol
+    c_vblend = scene.cvblend
 
     cam_z = c_cam[..., 2]
 
     if settings.ortho_projection is None:
         near_ok = jnp.all(cam_z > NEAR_PLANE, axis=-1)
     else:
-        near_ok = jnp.ones(vi.shape[0], bool)
+        near_ok = jnp.ones(c_sx.shape[0], bool)
 
     v1x, v2x, v3x = c_sx[:, 0], c_sx[:, 1], c_sx[:, 2]
     v1y, v2y, v3y = c_sy[:, 0], c_sy[:, 1], c_sy[:, 2]

@@ -78,7 +78,7 @@ N_COLS = 32
 
 # ctrl column layout (i32, SMEM).
 K_XLO, K_XHI, K_YLO, K_YHI, K_YB0, K_NBLK, K_G0, K_NG = 0, 1, 2, 3, 4, 5, 6, 7
-K_TID, K_KEY, K_COUNT = 8, 9, 10
+K_TID, K_KEY, K_COUNT, K_ORDER = 8, 9, 10, 11
 N_CTRL = 16
 
 FLAG_DITHER = 1
@@ -212,22 +212,50 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         jnp.zeros_like(v3x), jnp.zeros_like(v3x),
     ], axis=1)  # (T, N_COLS)
 
-    ctrl_f = jnp.stack([
+    ctrl_i = jnp.stack([
         x_lo, x_hi, y_lo, y_hi, yb0, nblk, g0, ng,
-        surfaces.tex_id, jnp.where(keyable, 1, 0),
-    ], axis=1).astype(_F32)  # (T, 10)
+        surfaces.tex_id, jnp.where(keyable, _I32(1), _I32(0)),
+    ], axis=1).astype(_I32)  # (T, 10)
 
-    # Exact one-hot compaction (preserves face order => draw order).
+    t = attrs.shape[0]
     keep_i = keep.astype(_I32)
-    pos = jnp.cumsum(keep_i) - keep_i
-    dest = jnp.arange(t_pad, dtype=_I32)
-    m = ((pos[None, :] == dest[:, None]) & keep[None, :]).astype(_F32)
-    hi = jax.lax.Precision.HIGHEST
-    attrs_c = jnp.einsum("pt,tc->pc", m, attrs, precision=hi)
-    ctrl_c = jnp.einsum("pt,tc->pc", m, ctrl_f, precision=hi).astype(_I32)
-    count = jnp.sum(keep_i, dtype=_I32)  # x64 would promote to i64 -> scatter warning
+    count = jnp.sum(keep_i, dtype=_I32)  # i32: x64 sum would promote -> i64
+
+    def pad_rows(arr):
+        if t == t_pad:
+            return arr
+        fill = jnp.zeros((t_pad - t,) + arr.shape[1:], arr.dtype)
+        return jnp.concatenate([arr, fill], axis=0)
+
+    if t_pad <= SEG:
+        # ORDER-INDIRECT compaction (round 4): the tables stay in original
+        # face order; only a (t_pad,) index column compacts — a stable
+        # sort on ~keep lists kept faces first in draw order.  The kernel
+        # indirects f -> order[f].  This replaces the exact one-hot
+        # einsum, whose (t_pad, T, 42-col) matmul was 123 M MAC/inst at
+        # Cathedral scale (prep 61 us/inst, PLAN_PERF round-4).
+        _, order = jax.lax.sort(
+            (1 - keep_i, jnp.arange(t, dtype=_I32)),
+            is_stable=True, num_keys=1)
+        order = pad_rows(order)
+        attrs_c = pad_rows(attrs)
+        ctrl_c = pad_rows(ctrl_i)
+    else:
+        # Multi-segment levels keep the einsum compaction (the SMEM
+        # windows stream SEG-row slices, so phase 1 can only address
+        # rows inside its own segment) with an identity order column.
+        pos = jnp.cumsum(keep_i) - keep_i
+        dest = jnp.arange(t_pad, dtype=_I32)
+        m = ((pos[None, :] == dest[:, None]) & keep[None, :]).astype(_F32)
+        hi = jax.lax.Precision.HIGHEST
+        attrs_c = jnp.einsum("pt,tc->pc", m, attrs, precision=hi)
+        ctrl_c = jnp.einsum("pt,tc->pc", m, ctrl_i.astype(_F32),
+                            precision=hi).astype(_I32)
+        order = jnp.arange(t_pad, dtype=_I32)
+
     pad_cols = jnp.zeros((t_pad, N_CTRL - ctrl_c.shape[1]), _I32)
     pad_cols = pad_cols.at[:, 0].set(count)   # K_COUNT broadcast per row
+    pad_cols = pad_cols.at[:, K_ORDER - ctrl_c.shape[1]].set(order)
     ctrl_c = jnp.concatenate([ctrl_c, pad_cols], axis=1)
     count = count[None]
 
@@ -307,12 +335,19 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         lane8 = jax.lax.broadcasted_iota(_I32, (wb, 128), 1)
         wsh = wb.bit_length() - 1     # wb is a power of two
 
-        # ---- PHASE 1: visibility over compacted faces ----
+        # ---- PHASE 1: visibility in compacted draw order.  The loop
+        # counter f walks the order column; the face's scalars live at
+        # row (order[f] - seg_base) of the (possibly uncompacted) tables.
+        # Single-segment levels store original-order tables + a compacted
+        # order; multi-segment levels store compacted tables + identity
+        # order — this code path is the same for both. ----
         def face_body(f, carry):
-            x_lo = ctrl_ref[0, K_XLO, f]
-            x_hi = ctrl_ref[0, K_XHI, f]
-            y_lo = ctrl_ref[0, K_YLO, f]
-            y_hi = ctrl_ref[0, K_YHI, f]
+            fo = ctrl_ref[0, K_ORDER, f]     # global face id (draw order)
+            fr = fo - seg_base               # row within this segment
+            x_lo = ctrl_ref[0, K_XLO, fr]
+            x_hi = ctrl_ref[0, K_XHI, fr]
+            y_lo = ctrl_ref[0, K_YLO, fr]
+            y_hi = ctrl_ref[0, K_YHI, fr]
             # window base/count derived in-kernel so the wb tile size is
             # free to change without touching the prepass ctrl table
             wsh_c = jnp.int32(wsh)
@@ -320,21 +355,21 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 jax.lax.shift_right_arithmetic(y_lo, wsh_c), wsh_c)
             nblk = jax.lax.shift_right_arithmetic(
                 y_hi - yb0 + jnp.int32(wb - 1), wsh_c)
-            g0 = ctrl_ref[0, K_G0, f]
-            ngr = ctrl_ref[0, K_NG, f]
-            tid = ctrl_ref[0, K_TID, f]
-            keyable = ctrl_ref[0, K_KEY, f]
+            g0 = ctrl_ref[0, K_G0, fr]
+            ngr = ctrl_ref[0, K_NG, fr]
+            tid = ctrl_ref[0, K_TID, fr]
+            keyable = ctrl_ref[0, K_KEY, fr]
 
-            v3x = fscal_ref[0, C_V3X, f]
-            v3y = fscal_ref[0, C_V3Y, f]
-            a0 = fscal_ref[0, C_A0, f]
-            b0 = fscal_ref[0, C_B0, f]
-            a1 = fscal_ref[0, C_A1, f]
-            b1 = fscal_ref[0, C_B1, f]
-            ia = fscal_ref[0, C_IA, f]
-            iza = fscal_ref[0, C_IZA, f]
-            izb = fscal_ref[0, C_IZB, f]
-            izc = fscal_ref[0, C_IZC, f]
+            v3x = fscal_ref[0, C_V3X, fr]
+            v3y = fscal_ref[0, C_V3Y, fr]
+            a0 = fscal_ref[0, C_A0, fr]
+            b0 = fscal_ref[0, C_B0, fr]
+            a1 = fscal_ref[0, C_A1, fr]
+            b1 = fscal_ref[0, C_B1, fr]
+            ia = fscal_ref[0, C_IA, fr]
+            iza = fscal_ref[0, C_IZA, fr]
+            izb = fscal_ref[0, C_IZB, fr]
+            izc = fscal_ref[0, C_IZC, fr]
 
             def block(g, k):
                 yb = yb0 + k * wb
@@ -357,7 +392,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 izi = (bcx * iza + bcy * izb) + bcz * izc
                 return row0, cov, izi, bcx, bcy, bcz
 
-            fg = seg_base + f   # global face id (idx_scr indexes attrsT)
+            fg = fo             # global face id (idx_scr indexes attrsT)
 
             def merge(row0, cov, izi):
                 win = depth_ref[0, pl.ds(row0, wb), :]
@@ -378,12 +413,12 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 k = jax.lax.rem(q, nblk)
                 row0, cov, izi, bcx, bcy, bcz = block(g, k)
                 # UV at pixel (render.rs:1563-1579) + keying bit
-                u0 = fscal_ref[0, C_U0, f]
-                vv0 = fscal_ref[0, C_VV0, f]
-                u1 = fscal_ref[0, C_U1, f]
-                vv1 = fscal_ref[0, C_VV1, f]
-                u2 = fscal_ref[0, C_U2, f]
-                vv2 = fscal_ref[0, C_VV2, f]
+                u0 = fscal_ref[0, C_U0, fr]
+                vv0 = fscal_ref[0, C_VV0, fr]
+                u1 = fscal_ref[0, C_U1, fr]
+                vv1 = fscal_ref[0, C_VV1, fr]
+                u2 = fscal_ref[0, C_U2, fr]
+                vv2 = fscal_ref[0, C_VV2, fr]
                 if affine:
                     u = _interp3(bcx, bcy, bcz, u0, u1, u2)
                     v = _interp3(bcx, bcy, bcz, vv0, vv1, vv2)
@@ -513,7 +548,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     gmin = jnp.min(jnp.where(has, grp,
                                              _I32(n_groups_static - 1)))
                     gmax = jnp.max(jnp.where(has, grp, _I32(0)))
-                    gmax = jnp.minimum(jnp.maximum(gmax, gmin), ngroups - 1)
+                    if t_pad <= SEG:
+                        # order-indirect mode: winner ids are ORIGINAL face
+                        # ids, which can exceed count — bound statically
+                        gmax = jnp.minimum(jnp.maximum(gmax, gmin),
+                                           _I32(n_groups_static - 1))
+                    else:
+                        gmax = jnp.minimum(jnp.maximum(gmax, gmin),
+                                           ngroups - 1)
                     vals = jax.lax.fori_loop(
                         gmin, gmax + 1, gather_body,
                         tuple(jnp.zeros((ch, 128), _F32) for _ in cols))

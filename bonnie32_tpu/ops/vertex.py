@@ -88,8 +88,12 @@ def normalize_rows(v):
 
 def transform_vertices(pos, normal, camera: CameraArrays,
                        settings: RasterSettings,
-                       width: int, height: int) -> TransformedVerts:
-    """The full TRANSFORM phase (render.rs:2321-2360), batched over verts."""
+                       width: int, height: int,
+                       with_normals: bool = True) -> TransformedVerts:
+    """The full TRANSFORM phase (render.rs:2321-2360), batched over any
+    (..., 3) leading shape.  `with_normals=False` skips the camera-space
+    normal transform+normalize (exact sqrt/div per vertex) — the 15-bit
+    pipeline shades from WORLD normals and never reads cam_normal."""
     rel = pos - camera.position
     cam = perspective_transform(rel, camera.basis)
 
@@ -108,5 +112,6 @@ def transform_vertices(pos, normal, camera: CameraArrays,
     else:
         sx, sy, sz = project_float(cam, width, height)
 
-    cam_normal = normalize_rows(perspective_transform(normal, camera.basis))
+    cam_normal = (normalize_rows(perspective_transform(normal, camera.basis))
+                  if with_normals else None)
     return TransformedVerts(sx=sx, sy=sy, sz=sz, cam=cam, cam_normal=cam_normal)
