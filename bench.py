@@ -165,6 +165,41 @@ def main():
         n_transp, transp_ifps = 0, 0.0
         print(f"# transparent config failed: {e!r}", file=sys.stderr)
 
+    # ---- config #2 proper: mixed flat + textured triangle batch with
+    # vertex snapping (use_fixed_point) and RGB555 dithering toggles ----
+    mverts, mfaces = scenes.cube_scene(tex_ids=(0, 0, 0, None, None, 0))
+    mixed_ifps = {}
+    for tag, s2 in (("snap_dither", settings),
+                    ("float_nodither",
+                     RasterSettings.game(use_fixed_point=False,
+                                         dithering=False))):
+        try:
+            mflat, mstatic = scene_flat.compile_scene_flat(
+                mverts, mfaces, tex, scenes.DEFAULT_LIGHT_SPECS)
+
+            def mixed_frame(t, mflat=mflat, mstatic=mstatic, s2=s2):
+                cams = cam_ops.orbit_cameras(
+                    jnp.asarray(base_angles) + t * 0.031, 0.35, 3.5)
+                return scene_flat.render_level_flat(
+                    fbs0, mflat, mstatic, cams, s2,
+                    height=HEIGHT, width=WIDTH).color
+
+            mixed_frame = jax.jit(mixed_frame)
+
+            def run_mixed(k, mixed_frame=mixed_frame):
+                t = jnp.float32(0)
+                acc = jnp.float32(0)
+                for _ in range(k):
+                    color = mixed_frame(t + acc * 1e-30)
+                    t = t + 1.0
+                    acc = acc + color[0, 0, 0]
+                return float(acc)
+
+            mixed_ifps[tag] = round(n / slope_time(run_mixed, k2=k_long), 1)
+        except Exception as e:
+            mixed_ifps[tag] = 0.0
+            print(f"# mixed config {tag} failed: {e!r}", file=sys.stderr)
+
     # ---- config #3: Cathedral (largest multi-room sample) ----
     cathedral = "/root/reference/assets/samples/levels/Cathedral.ron"
     n3 = min(n, 256)
@@ -174,6 +209,24 @@ def main():
     except Exception as e:  # keep the headline even if the level changes
         cath_ifps, dt_cath, cath_tris = 0.0, 0.0, 0
         print(f"# cathedral config failed: {e!r}", file=sys.stderr)
+
+    # ---- with-skybox datagen: Dungeon ships a real skybox, so this row
+    # cannot ride the constant-background shortcut (VERDICT r03 §5) ----
+    dungeon = "/root/reference/assets/samples/levels/Dungeon.ron"
+    n4 = min(n, 256)
+    try:
+        dun_ifps, _, dun_tris = datagen_rate(dungeon, n4, settings, k_long)
+    except Exception as e:
+        dun_ifps, dun_tris = 0.0, 0
+        print(f"# dungeon config failed: {e!r}", file=sys.stderr)
+
+    # ---- config #4: full game-loop frame at N=1 (end-to-end single
+    # instance: souls-like tick + camera + level render), fps ----
+    try:
+        single_ifps, _, _ = datagen_rate(cave, 1, settings, k_long)
+    except Exception as e:
+        single_ifps = 0.0
+        print(f"# single-instance config failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "game_instance_frames_per_sec_320x240",
@@ -190,9 +243,14 @@ def main():
             "transparent_cube_ifps": round(transp_ifps, 1),
             "transparent_faces": n_transp,
             "transparent_n_instances": n2,
+            "mixed_batch_ifps": mixed_ifps,
             "cathedral_ifps": round(cath_ifps, 1),
             "cathedral_n_instances": n3,
             "cathedral_triangles": cath_tris,
+            "dungeon_skybox_ifps": round(dun_ifps, 1),
+            "dungeon_n_instances": n4,
+            "dungeon_triangles": dun_tris,
+            "single_instance_fps": round(single_ifps, 1),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -75,7 +75,7 @@ def _collapsible_stack(ctx, rect, names, collapsed, bg) -> Dict[str, Rect]:
 
 def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
                 bounds: Rect, dt: float = 1.0 / 60.0,
-                textures=()) -> Dict[str, Rect]:
+                textures=(), scene=None) -> Dict[str, Rect]:
     """One editor frame's chrome; returns named rects so the caller can
     render the 3D viewport / grid views into them and route input."""
     screen = bounds
@@ -122,7 +122,7 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
         from .properties import draw_properties
 
         draw_properties(ctx, right_content["Properties"], state,
-                        ui=layout.properties_ui)
+                        ui=layout.properties_ui, scene=scene)
 
     # --- viewport frame; the paint editor takes it over while a user
     # texture is being edited (texture_editor.rs draws over the tool area)

@@ -296,9 +296,57 @@ def _wall_container(ctx: UiContext, x: float, y: float, w: float,
     return y
 
 
+_SECTION = (120, 150, 180)
+
+
+def _player_spawn_section(ctx: UiContext, x: float, y: float, w: float,
+                          state: EditorState, room, obj, ui: Dict,
+                          scene=None) -> float:
+    """layout.rs:5878-5996 — a player-spawn object edits the level's
+    PlayerSettings in place: Collision / Movement / Camera prop fields
+    plus a live rendered camera preview."""
+    ps = state.level.player_settings
+    groups = (("Collision", (("Radius", "radius", 4.0),
+                             ("Height", "height", 8.0),
+                             ("Step", "step_height", 4.0))),
+              ("Movement", (("Walk", "walk_speed", 20.0),
+                            ("Run", "run_speed", 20.0),
+                            ("Gravity", "gravity", 20.0))),
+              ("Camera", (("Distance", "camera_distance", 20.0),
+                          ("Y Offset", "camera_vertical_offset", 10.0))))
+    for title, fields in groups:
+        ctx.text(x, y, title, _SECTION)
+        y += 18.0
+        for label, attr, speed in fields:
+            ctx.text(x, y + 3, label, FAINT)
+            st = ui.setdefault(f"ps.{attr}", {})
+            new = drag_value(ctx, f"ps.{attr}", Rect(x + 60, y, 80, 16),
+                             getattr(ps, attr), speed=speed, state=st)
+            if new != getattr(ps, attr):
+                _undo_once(state, ctx, f"ps.{attr}", ui)
+                setattr(ps, attr, new)
+                state.dirty = True
+            y += 20.0
+        y += 6.0
+
+    ctx.text(x, y, "Preview", _SECTION)
+    y += 18.0
+    pw = min(w - 8.0, 160.0)
+    ph = pw * 0.75
+    if pw >= 16:
+        from .viewport_render import render_player_camera_preview
+
+        words = render_player_camera_preview(state, room, obj, int(pw),
+                                             int(ph), scene=scene)
+        ctx.outline(Rect(x - 1, y - 1, pw + 2, ph + 2), (60, 60, 65))
+        ctx.commands.append(("image", (x, y), words))
+    y += ph + 8.0
+    return y
+
+
 def _object_container(ctx: UiContext, x: float, y: float, w: float,
                       state: EditorState, room, idx: int,
-                      ui: Dict) -> float:
+                      ui: Dict, scene=None) -> float:
     if not (0 <= idx < len(room.objects)):
         return y
     obj = room.objects[idx]
@@ -323,6 +371,11 @@ def _object_container(ctx: UiContext, x: float, y: float, w: float,
             setattr(obj, attr, new)
             state.dirty = True
         y += 18.0
+    lib = state.asset_library
+    asset = lib.get_by_id(obj.asset_id) if lib is not None else None
+    if asset is not None and asset.has_spawn_point(True):
+        y = _player_spawn_section(ctx, x, y + 4.0, w, state, room, obj,
+                                  ui, scene=scene)
     return y + 4.0
 
 
@@ -373,8 +426,10 @@ def _room_container(ctx: UiContext, x: float, y: float, w: float,
 
 
 def draw_properties(ctx: UiContext, rect: Rect, state: EditorState,
-                    ui: Optional[Dict] = None) -> None:
-    """The panel body (layout.rs:5204), scrolled by the mouse wheel."""
+                    ui: Optional[Dict] = None, scene=None) -> None:
+    """The panel body (layout.rs:5204), scrolled by the mouse wheel.
+    `scene` (a models.scene.CompiledScene) enables the live level render
+    inside the player-spawn camera preview."""
     if ui is None:
         ui = {}
     scroll = ui.get("scroll", 0.0)
@@ -396,7 +451,7 @@ def draw_properties(ctx: UiContext, rect: Rect, state: EditorState,
         ctx.text(x, y, f"Portal {sel.index} in Room {sel.room}", HEADER)
     elif sel.kind == "object" and 0 <= sel.room < len(rooms):
         _object_container(ctx, x, y, w, state, rooms[sel.room], sel.index,
-                          ui)
+                          ui, scene=scene)
     elif sel.kind in ("sector", "sector_face", "vertex", "edge") \
             and 0 <= sel.room < len(rooms):
         room = rooms[sel.room]

@@ -132,15 +132,78 @@ class GeometryClipboard:
         return (min(xs), max(xs), min(zs), max(zs))
 
     def transformed_offset(self, rel_x: int, rel_z: int) -> Tuple[int, int]:
-        """Apply flips then rotation to a relative sector offset."""
-        x, z = rel_x, rel_z
-        if self.flip_h:
-            x = -x
-        if self.flip_v:
-            z = -z
-        for _ in range(self.rotation % 4):
-            x, z = -z, x    # 90 deg clockwise in sector space
-        return x, z
+        """Rotation-then-flips against the clipboard bounds
+        (layout.rs:1461-1483 transform_clipboard_position)."""
+        mn_x, mx_x, mn_z, mx_z = self.bounds()
+        return transform_clipboard_position(
+            rel_x, rel_z, mx_x - mn_x, mx_z - mn_z,
+            self.rotation, self.flip_h, self.flip_v)
+
+
+def transform_clipboard_position(rel_x: int, rel_z: int, width: int,
+                                 depth: int, rotation: int, flip_h: bool,
+                                 flip_v: bool) -> Tuple[int, int]:
+    """layout.rs:1461-1483 — rotate about the clipboard extents FIRST,
+    then flip within the rotated extents."""
+    rotation %= 4
+    if rotation == 1:       # 90 deg CW
+        rx, rz, rw, rd = depth - rel_z, rel_x, depth, width
+    elif rotation == 2:     # 180
+        rx, rz, rw, rd = width - rel_x, depth - rel_z, width, depth
+    elif rotation == 3:     # 270 CW
+        rx, rz, rw, rd = rel_z, width - rel_x, depth, width
+    else:
+        rx, rz, rw, rd = rel_x, rel_z, width, depth
+    if flip_h:
+        rx = rw - rx
+    if flip_v:
+        rz = rd - rz
+    return rx, rz
+
+
+def rotate_quad(vals, rotation: int):
+    """layout.rs:1486-1509 rotate_heights / rotate_colors — 90 deg CW per
+    step over the [NW, NE, SE, SW] corner order."""
+    vals = list(vals)
+    rotation %= 4
+    if rotation == 1:
+        return [vals[3], vals[0], vals[1], vals[2]]
+    if rotation == 2:
+        return [vals[2], vals[3], vals[0], vals[1]]
+    if rotation == 3:
+        return [vals[1], vals[2], vals[3], vals[0]]
+    return vals
+
+
+def _flip_quad(vals, flip_h: bool, flip_v: bool):
+    """Corner swaps for already-rotated [NW, NE, SE, SW] quads
+    (layout.rs:1680-1699)."""
+    vals = list(vals)
+    if flip_h:
+        vals = [vals[1], vals[0], vals[3], vals[2]]
+    if flip_v:
+        vals = [vals[3], vals[2], vals[1], vals[0]]
+    return vals
+
+
+def transform_wall_direction(direction: int, rotation: int, flip_h: bool,
+                             flip_v: bool) -> int:
+    """layout.rs:1511-1566 — wall list retargeting under paste
+    transforms.  Directions are level.py's NORTH..NESW codes."""
+    from ..models.level import EAST, NESW, NORTH, NWSE, SOUTH, WEST
+
+    rot_cards = {NORTH: EAST, EAST: SOUTH, SOUTH: WEST, WEST: NORTH}
+    d = direction
+    r = rotation % 4
+    for _ in range(r):
+        d = rot_cards.get(d, NWSE if d == NESW else NESW)
+    if flip_h and flip_v:
+        d = {NORTH: SOUTH, SOUTH: NORTH, EAST: WEST, WEST: EAST}.get(d, d)
+    elif flip_h:
+        d = {EAST: WEST, WEST: EAST, NWSE: NESW, NESW: NWSE}.get(d, d)
+    elif flip_v:
+        d = {NORTH: SOUTH, SOUTH: NORTH, NWSE: NESW, NESW: NWSE}.get(d, d)
+    return d
 
 
 @dataclasses.dataclass
@@ -513,30 +576,82 @@ class EditorState:
         return len(faces)
 
     def paste_geometry(self, room_idx: int, at_x: int, at_z: int) -> int:
-        """Paste at (at_x, at_z), applying the clipboard's flip/rotation to
-        offsets.  Saves a level undo snapshot first.  Returns faces pasted."""
+        """layout.rs:1574-1878 paste_geometry_at_impl: rotate/flip the
+        face offsets AND contents (corner heights, corner colors, split
+        direction with tri1/tri2 swap, wall list retargeting), expanding
+        the room grid to fit.  Saves a level undo snapshot first.
+        Returns faces pasted."""
         clip = self.geometry_clipboard
         if not clip.faces or room_idx >= len(self.level.rooms):
             return 0
         self.save_undo()
         room = self.level.rooms[room_idx]
+        mn_x, mx_x, mn_z, mx_z = clip.bounds()
+        width, depth = mx_x - mn_x, mx_z - mn_z
+        rot = clip.rotation % 4
+        fh, fv = clip.flip_h, clip.flip_v
+        # odd rotation flips the diagonal; flip_h XOR flip_v also does
+        should_flip_split = (rot % 2 == 1) != (fh != fv)
+
+        rels = [transform_clipboard_position(cf.rel_x, cf.rel_z, width,
+                                             depth, rot, fh, fv)
+                for cf in clip.faces]
+        txs = [at_x + rx for rx, _ in rels]
+        tzs = [at_z + rz for _, rz in rels]
+        # expand the grid for the full target bounds (layout.rs:1597-1636)
+        from .grid_view import _expand_room_for
+        gx0, gz0 = _expand_room_for(room, min(txs), min(tzs))
+        offset_x, offset_z = gx0 - min(txs), gz0 - min(tzs)
+        _expand_room_for(room, max(txs) + offset_x, max(tzs) + offset_z)
+
         pasted = 0
-        for cf in clip.faces:
-            ox, oz = clip.transformed_offset(cf.rel_x, cf.rel_z)
-            x, z = at_x + ox, at_z + oz
-            if not (0 <= x < room.width and 0 <= z < room.depth):
-                continue
-            if room.sectors[x][z] is None:
-                room.sectors[x][z] = Sector()
-            sec = room.sectors[x][z]
+        for cf, (rx, rz) in zip(clip.faces, rels):
+            x, z = at_x + rx + offset_x, at_z + rz + offset_z
+            sec = room.ensure_sector(x, z)
             face = copy.deepcopy(cf.face)
-            if cf.kind == "floor":
-                sec.floor = face
-            elif cf.kind == "ceiling":
-                sec.ceiling = face
+            if cf.kind in ("floor", "ceiling"):
+                face.heights = _flip_quad(rotate_quad(face.heights, rot),
+                                          fh, fv)
+                if face.heights_2 is not None:
+                    face.heights_2 = _flip_quad(
+                        rotate_quad(face.heights_2, rot), fh, fv)
+                face.colors = _flip_quad(rotate_quad(face.colors, rot),
+                                         fh, fv)
+                if face.colors_2 is not None:
+                    face.colors_2 = _flip_quad(
+                        rotate_quad(face.colors_2, rot), fh, fv)
+                if should_flip_split:
+                    face.split_direction = 1 - face.split_direction
+                    # tri 1 and 2 switch positions (layout.rs:1702-1720)
+                    tex1 = face.texture
+                    tex2 = (face.texture_2 if face.texture_2 is not None
+                            else copy.deepcopy(tex1))
+                    face.texture, face.texture_2 = tex2, tex1
+                    face.uv, face.uv_2 = face.uv_2, face.uv
+                    c1 = face.colors
+                    c2 = face.colors_2 if face.colors_2 is not None else c1
+                    face.colors, face.colors_2 = c2, c1
+                    h1 = face.heights
+                    h2 = (face.heights_2 if face.heights_2 is not None
+                          else h1)
+                    face.heights, face.heights_2 = h2, h1
+                if cf.kind == "floor":
+                    sec.floor = face
+                else:
+                    sec.ceiling = face
             else:
-                sec.walls(cf.direction).append(face)
+                tgt = transform_wall_direction(cf.direction, rot, fh, fv)
+                wl = sec.walls(tgt)
+                if cf.wall_index < len(wl):
+                    wl[cf.wall_index] = face
+                else:
+                    wl.append(face)
             pasted += 1
+        room.recalculate_bounds()
+        if pasted:
+            self.set_status(f"Pasted {pasted} faces", 2.0)
+        else:
+            self.set_status("No faces pasted (out of bounds?)", 2.0)
         self.dirty = True
         return pasted
 

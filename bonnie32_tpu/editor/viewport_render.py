@@ -332,8 +332,10 @@ def _rotated_box(batch, mn, mx, world_pos, facing, rgb):
 
 
 def _octahedron(fb, batch, camera, center, size, rgb):
-    """draw_filled_octahedron (viewport_3d.rs:6223): 8 same-color filled
-    faces (the union is the silhouette) + 3/4-bright edges."""
+    """draw_filled_octahedron (viewport_3d.rs:6223-6293): 8 same-color
+    scanline-filled faces (not z-tested, as in the reference) + 3/4-bright
+    edges.  A face is drawn iff all three of ITS vertices project
+    (per-face Option check, :6270-6274) — not all six."""
     height, width = fb.color.shape
     verts = np.array([
         [center[0], center[1] + size, center[2]],   # top
@@ -344,14 +346,17 @@ def _octahedron(fb, batch, camera, center, size, rgb):
         [center[0] + size, center[1], center[2]],   # right
     ], F32)
     sx, sy, _, ok = _w2s(verts, camera, width, height)
-    if not bool(np.asarray(ok).all()):
+    ok = np.asarray(ok)
+    if not ok.any():
         return fb
     sx = np.asarray(sx)
     sy = np.asarray(sy)
     for a, b, c in ((0, 2, 5), (0, 5, 3), (0, 3, 4), (0, 4, 2),
                     (1, 5, 2), (1, 3, 5), (1, 4, 3), (1, 2, 4)):
-        fb = draw2d.draw_filled_triangle(fb, sx[a], sy[a], sx[b], sy[b],
-                                         sx[c], sy[c], rgb)
+        if not (ok[a] and ok[b] and ok[c]):
+            continue
+        fb = draw2d.draw_filled_triangle_scanline(
+            fb, (sx[a], sy[a]), (sx[b], sy[b]), (sx[c], sy[c]), rgb)
     edge = tuple(int(v) * 3 // 4 for v in rgb)
     for i, j in ((0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3), (1, 4),
                  (1, 5), (2, 5), (5, 3), (3, 4), (4, 2)):
@@ -591,6 +596,52 @@ def draw_viewport_overlays(fb: FrameBuffers, state: EditorState,
     _hover_overlay(batch, state, hover)
     _paste_preview(batch, state, paste_hover)
     return batch.flush(fb, camera, depth_mode)
+
+
+def render_player_camera_preview(state: EditorState, room, obj,
+                                 width: int, height: int,
+                                 scene=None):
+    """layout.rs:6311-6440 draw_player_camera_preview: the level rendered
+    from an orbit-style camera behind/above the player spawn, plus the
+    green player collision cylinder (draw_preview_wireframe_cylinder,
+    :6444-6487; 12 segments, no depth test, no fog).  Returns the packed
+    (height, width) i32 color words for a ui "image" command.  With
+    scene=None only the cylinder is drawn over the clear color."""
+    import math
+
+    from ..config import RasterSettings
+    from ..models import build
+    from ..ops import draw2d, raster_ref
+
+    ps = state.level.player_settings
+    wp = np.asarray(obj.world_position(room), np.float32)
+    look = np.array([wp[0], wp[1] + ps.camera_vertical_offset, wp[2]], F32)
+    cam_pos = np.array(
+        [wp[0],
+         wp[1] + ps.camera_vertical_offset + ps.camera_distance * 0.2,
+         wp[2] - ps.camera_distance], F32)
+    d = look - cam_pos
+    ln = float(np.sqrt((d * d).sum()))
+    if ln > 1e-3:
+        nx, ny, nz = (d / ln).tolist()
+        rot_x = math.asin(max(-1.0, min(1.0, -ny)))
+        rot_y = math.atan2(nx, nz)
+    else:
+        rot_x = rot_y = 0.0
+    basis = build.camera_basis(rot_x, rot_y)
+    cam = CameraArrays(position=jnp.asarray(cam_pos),
+                       basis=jnp.asarray(basis))
+    fb = raster_ref.new_framebuffer(height, width)
+    fb = draw2d.clear(fb, (20, 20, 25))
+    if scene is not None:
+        from ..models import scene as scene_mod
+        fb = scene_mod.render_level(
+            fb, scene, cam, RasterSettings(), use_fog=False,
+            render_assets=True)
+    fb = draw2d.draw_wireframe_cylinder(
+        fb, cam, wp, ps.radius, ps.height, segments=12,
+        rgb=(100, 255, 100), depth_test="none")
+    return np.asarray(fb.color)
 
 
 def render_editor_viewport(state: EditorState, scene, width: int,

@@ -386,6 +386,9 @@ class ModelerState(SkeletonMixin):
         self.bone_rename_active = False
         self.bone_rename_buffer = ""
         self.skeleton_undo: List = []
+        # --- asset components being edited (layout.rs:723
+        # draw_components_section; the asset's non-mesh behavior) ---
+        self.components: List = []
 
     @property
     def mesh(self) -> EditableMesh:

@@ -233,6 +233,7 @@ class ModelerLayout:
     uv: UvEditorState = dataclasses.field(default_factory=UvEditorState)
     parts_scroll: float = 0.0
     clut_scroll: float = 0.0
+    components_ui: dict = dataclasses.field(default_factory=dict)
 
 
 def draw_modeler(ctx: UiContext, layout: ModelerLayout,
@@ -332,6 +333,15 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
             state.set_active_part(pi)
         y += 15
     y += 4
+
+    # --- components section (layout.rs:723 draw_components_section:
+    # per-kind editors for the asset's behavior components) ---
+    from .modeler_components import draw_components_section
+    comp_rect = Rect(left_rect.x + 4, y, left_rect.w - 8, 0)
+    y = draw_components_section(ctx, comp_rect, state.components,
+                                layout.components_ui)
+    y += 4
+
     avail = max(left_rect.bottom - y - 6, 40)
     parts_h = avail * 0.5 if state.rigged is not None else avail
     parts_rect = Rect(left_rect.x + 4, y, left_rect.w - 8, parts_h)

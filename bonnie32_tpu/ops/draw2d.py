@@ -127,6 +127,42 @@ def draw_filled_triangle(fb: FrameBuffers, x0, y0, x1, y1, x2, y2, rgb,
     return FrameBuffers(color=color, depth=fb.depth)
 
 
+def draw_filled_triangle_scanline(fb: FrameBuffers, p0, p1, p2,
+                                  rgb) -> FrameBuffers:
+    """Gizmo triangle fill (editor/viewport_3d.rs:6295-6356
+    draw_filled_triangle_3d): y-sorted scanline fill over integer screen
+    coordinates, intentionally NOT z-tested ("ignore z, we don't z-test
+    gizmos").  Per-row ax/bx use the reference's alpha/beta edge
+    interpolation and `as i32` truncation, vectorized over rows."""
+    pts = sorted([(int(p0[0]), int(p0[1])), (int(p1[0]), int(p1[1])),
+                  (int(p2[0]), int(p2[1]))], key=lambda p: p[1])
+    (x0, y0), (x1, y1), (x2, y2) = pts
+    if y2 == y0:
+        return fb
+    xs, ys = _grid(fb)
+    height, width = fb.color.shape
+    yv = jnp.arange(height, dtype=_F32)
+    total = _F32(y2 - y0)
+    second = (yv > _F32(y1)) if y1 != y0 else jnp.ones(height, bool)
+    seg = jnp.where(second, _F32(y2 - y1), _F32(y1 - y0))
+    safe_seg = jnp.where(seg == 0.0, _F32(1.0), seg)
+    alpha_t = (yv - _F32(y0)) / total
+    beta = jnp.where(second, yv - _F32(y1), yv - _F32(y0)) / safe_seg
+    ax = _F32(x0) + _F32(x2 - x0) * alpha_t
+    bx = jnp.where(second, _F32(x1) + _F32(x2 - x1) * beta,
+                   _F32(x0) + _F32(x1 - x0) * beta)
+    lo = jnp.minimum(ax, bx)
+    hi = jnp.maximum(ax, bx)
+    x_start = jnp.maximum(jnp.trunc(lo).astype(_I32), 0)
+    x_end = jnp.minimum(jnp.trunc(hi).astype(_I32), width - 1)
+    row_ok = ((yv >= _F32(max(y0, 0))) & (yv <= _F32(min(y2, height - 1)))
+              & (seg != 0.0))
+    inside = (row_ok[:, None] & (xs >= x_start[:, None])
+              & (xs <= x_end[:, None]))
+    color = jnp.where(inside, _full(fb, _pack_rgb(tuple(rgb))), fb.color)
+    return FrameBuffers(color=color, depth=fb.depth)
+
+
 def draw_rect(fb: FrameBuffers, x0: int, y0: int, x1: int, y1: int,
               rgb) -> FrameBuffers:
     """render.rs:941 — outline (four axis-aligned 1px edges)."""
@@ -428,10 +464,14 @@ def draw_wireframe_cylinder(fb: FrameBuffers, camera: CameraArrays,
                             center, radius: float, height: float,
                             segments: int = 12,
                             rgb=(80, 255, 120),
-                            depth_mode: str = "harmonic") -> FrameBuffers:
+                            depth_mode: str = "harmonic",
+                            depth_test: str = "strict") -> FrameBuffers:
     """Player collision-cylinder debug overlay (game/renderer.rs:984):
     depth-tested bottom/top circles + vertical lines every other segment
-    (every segment when <= 8).  Lines never write depth."""
+    (every segment when <= 8).  Lines never write depth.  depth_test
+    "none" gives the editor camera-preview variant
+    (editor/layout.rs:6444-6487 draw_preview_wireframe_cylinder, plain
+    unclipped lines)."""
     import numpy as np
     from .wireframe import _scatter_lines, _pack_rgb
 
@@ -473,7 +513,7 @@ def draw_wireframe_cylinder(fb: FrameBuffers, camera: CameraArrays,
     for sx, sy, sz, ok in (ring(bsx, bsy, bz_, bok),
                            ring(tsx, tsy, tz_, tok)):
         fb = _scatter_lines(fb, sx, sy, sz, ok, word, 384, depth_mode,
-                            depth_test="strict")
+                            depth_test=depth_test)
 
     skip = 2 if segments > 8 else 1
     sel = jnp.arange(0, segments, skip, dtype=_I32)
@@ -481,7 +521,7 @@ def draw_wireframe_cylinder(fb: FrameBuffers, camera: CameraArrays,
     vey = jnp.stack([bsy[sel], tsy[sel]], axis=-1)
     vez = jnp.stack([bz_[sel], tz_[sel]], axis=-1)
     fb = _scatter_lines(fb, vex, vey, vez, bok[sel] & tok[sel], word, 384,
-                        depth_mode, depth_test="strict")
+                        depth_mode, depth_test=depth_test)
     return fb
 
 

@@ -4,13 +4,17 @@ The reference clears the frame by rasterizing a vertex-colored sky sphere
 mesh with mountains, then draws star sparkles (`/root/reference/src/
 rasterizer/render.rs:81-299`).  TPU equivalents:
 
-  * Sphere: the mesh is a regular (phi, theta) grid, so instead of
-    rasterizing ~3k triangles we invert the projection per pixel — each
-    pixel's view ray maps to exactly one grid cell, whose triangle's
-    Gouraud interpolation is evaluated in cell space.  (Divergence: the
-    reference interpolates in screen space and resolves seam pixels by
-    draw order; cell-space interpolation differs by <1 color step on a
-    smooth gradient — documented approximation.)
+  * Sphere: the reference's mesh is itself a discretization of the
+    ground-truth sky function `Skybox::sample_at_direction`
+    (`world/geometry.rs:400-527`).  The fast path samples that function
+    directly: a dense per-direction LUT is built ON THE HOST by the same
+    vectorized transcription that colors the mesh vertices
+    (models/skybox.py:sample_at_direction), and the device does only an
+    integer bin lookup per pixel ray — every emitted color is bit-for-bit
+    a `sample_at_direction` value at the pixel's quantized direction.
+    (The mesh path Gouraud-interpolates BETWEEN coarse vertex samples of
+    the same function, so the two paths agree to within the mesh's own
+    discretization error; `exact=True` keeps strict mesh parity.)
   * Mountains: a small chunked last-covering-wins reduction over the peak
     triangles (order-independent replacement for overwrite compositing of
     opaque triangles drawn after the sphere).
@@ -39,7 +43,8 @@ TWO_PI = 2.0 * math.pi
 
 
 class SkyTables(NamedTuple):
-    grid_colors: jnp.ndarray   # (Vseg+1, Hseg+1, 3) i32
+    sky_lut: jnp.ndarray       # (LV, LH) i32 packed r|g<<8|b<<16 —
+                               # sample_at_direction at bin centers
     mtn_dirs: jnp.ndarray      # (M, 3) f32 unit*scale directions
     mtn_colors: jnp.ndarray    # (M, 3) i32
     mtn_faces: jnp.ndarray     # (MF, 3) i32 (padded; valid mask)
@@ -59,11 +64,25 @@ class SkyTables(NamedTuple):
 
 
 def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
-                     mtn_pad=128) -> SkyTables:
-    """Host: models.skybox.Skybox -> device tables."""
+                     mtn_pad=128, lut_h=2048, lut_v=1024) -> SkyTables:
+    """Host: models.skybox.Skybox -> device tables.
+
+    The (lut_v, lut_h) direction LUT holds `sample_at_direction` evaluated
+    at bin centers with the same host code that colors the mesh vertices,
+    so the fast path's sphere colors are true samples of the reference's
+    sky function (geometry.rs:400-527) — not an interpolation scheme of
+    our own."""
     sdirs_m, colors, sfaces_m = skybox.generate_sphere(time, h_segments,
                                                        v_segments)
-    grid = colors.reshape(v_segments + 1, h_segments + 1, 3)
+
+    th = (np.arange(lut_h, dtype=np.float64) + 0.5) * (TWO_PI / lut_h)
+    ph = (np.arange(lut_v, dtype=np.float64) + 0.5) * (math.pi / lut_v)
+    PH, TH = np.meshgrid(ph.astype(np.float32), th.astype(np.float32),
+                         indexing="ij")
+    lut_rgb = np.clip(skybox.sample_at_direction(TH, PH, time),
+                      0, 255).astype(np.int32)
+    sky_lut = (lut_rgb[..., 0] | (lut_rgb[..., 1] << 8)
+               | (lut_rgb[..., 2] << 16)).astype(np.int32)
 
     mdirs, mcolors, mfaces = skybox.generate_mountains(time)
 
@@ -107,7 +126,7 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
         sphase.append(next_rand() * TWO_PI if stars.twinkle_speed > 0 else 0.0)
 
     return SkyTables(
-        grid_colors=jnp.asarray(grid),
+        sky_lut=jnp.asarray(sky_lut),
         mtn_dirs=jnp.asarray(mdirs),
         mtn_colors=jnp.asarray(mcolors),
         mtn_faces=jnp.asarray(mf),
@@ -130,15 +149,15 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
                   time=0.0, exact: bool = False) -> FrameBuffers:
     """fb.render_skybox (render.rs:81-145) + stars (:149-237).
 
-    exact=False (default, the datagen hot path): the sphere gradient is
-    sampled analytically per pixel from the vertex-color grid — appearance
-    -faithful, one pass, no 3k-triangle loop.  exact=True rasterizes the
-    generated sphere+mountain mesh triangle-by-triangle with
-    rasterize_skybox_triangle's semantics (render.rs:246-299) for
-    pixel-exact parity (tests/test_skybox.py)."""
+    exact=False (default, the datagen hot path): each pixel ray fetches
+    the host-built `sample_at_direction` LUT (see build_sky_tables) — one
+    gather, no 3k-triangle loop, every color a true sky-function sample.
+    exact=True rasterizes the generated sphere+mountain mesh
+    triangle-by-triangle with rasterize_skybox_triangle's semantics
+    (render.rs:246-299) for pixel-exact parity (tests/test_skybox.py)."""
     height, width = fb.color.shape
-    vseg = sky.grid_colors.shape[0] - 1
-    hseg = sky.grid_colors.shape[1] - 1
+    lut_v = sky.sky_lut.shape[0]
+    lut_h = sky.sky_lut.shape[1]
     time = jnp.asarray(time, _F32)
 
     yi, xi = jnp.meshgrid(jnp.arange(height, dtype=_I32),
@@ -164,31 +183,18 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
         wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
         wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
 
-        # --- sphere cell interpolation ---
+        # --- per-direction LUT fetch: color = sample_at_direction at the
+        # pixel's quantized (theta, phi) bin, computed on the host ---
         phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
         theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
-        fv = phi / _F32(math.pi) * vseg
-        fh = theta / _F32(TWO_PI) * hseg
-        cv = jnp.clip(fv.astype(_I32), 0, vseg - 1)
-        ch = jnp.clip(fh.astype(_I32), 0, hseg - 1)
-        a = fh - ch.astype(_F32)
-        bb = fv - cv.astype(_F32)
-
-        g = sky.grid_colors
-        c00 = g[cv, ch].astype(_F32)
-        c01 = g[cv, ch + 1].astype(_F32)
-        c10 = g[cv + 1, ch].astype(_F32)
-        c11 = g[cv + 1, ch + 1].astype(_F32)
-
-        in_t1 = (a + bb) <= 1.0
-        w0 = jnp.where(in_t1, 1.0 - a - bb, 0.0)[..., None]
-        w1 = jnp.where(in_t1, a, 1.0 - bb)[..., None]
-        w2 = jnp.where(in_t1, bb, 1.0 - a)[..., None]
-        w3 = jnp.where(in_t1, 0.0, a + bb - 1.0)[..., None]
-        rgbf = c00 * w0 + c01 * w1 + c10 * w2 + c11 * w3
-        r = jnp.clip(jnp.trunc(rgbf[..., 0]), 0, 255).astype(_I32)
-        gch = jnp.clip(jnp.trunc(rgbf[..., 1]), 0, 255).astype(_I32)
-        bch = jnp.clip(jnp.trunc(rgbf[..., 2]), 0, 255).astype(_I32)
+        vbin = jnp.clip((phi * _F32(lut_v / math.pi)).astype(_I32),
+                        0, lut_v - 1)
+        hbin = jnp.clip((theta * _F32(lut_h / TWO_PI)).astype(_I32),
+                        0, lut_h - 1)
+        word = sky.sky_lut[vbin, hbin]
+        r = word & 0xFF
+        gch = (word >> 8) & 0xFF
+        bch = (word >> 16) & 0xFF
 
     # --- triangle pass: last-covering-wins (render.rs:111-139) ---
     # exact mode walks the FULL generated mesh (sphere + mountains, in

@@ -209,3 +209,44 @@ def test_wireframe_cylinder():
                        depth=jnp.zeros((H, W), jnp.float32))
     out2 = draw_wireframe_cylinder(fb2, cam, (0.0, -1.0, 0.0), 0.8, 2.0)
     assert int(out2.color.sum()) == 0
+
+
+def test_scanline_triangle_matches_scalar():
+    """draw_filled_triangle_scanline vs a literal scalar transcription of
+    draw_filled_triangle_3d (viewport_3d.rs:6295-6356)."""
+    rng = np.random.default_rng(7)
+
+    def scalar_fill(pix, p0, p1, p2, rgb):
+        pts = sorted([p0, p1, p2], key=lambda p: p[1])
+        (x0, y0), (x1, y1), (x2, y2) = pts
+        if y2 == y0:
+            return
+        total = np.float32(y2 - y0)
+        for y in range(max(y0, 0), min(y2, H - 1) + 1):
+            second = y > y1 or y1 == y0
+            seg = np.float32(y2 - y1) if second else np.float32(y1 - y0)
+            if seg == 0.0:
+                continue
+            alpha = np.float32(y - y0) / total
+            beta = (np.float32(y - y1) / seg if second
+                    else np.float32(y - y0) / seg)
+            ax = np.float32(x0) + np.float32(x2 - x0) * alpha
+            bx = (np.float32(x1) + np.float32(x2 - x1) * beta if second
+                  else np.float32(x0) + np.float32(x1 - x0) * beta)
+            if ax > bx:
+                ax, bx = bx, ax
+            xs = max(int(ax), 0)
+            xe = min(int(bx), W - 1)
+            for x in range(xs, xe + 1):
+                pix[y, x] = rgb
+
+    for _ in range(12):
+        p = [(int(rng.integers(-10, W + 10)), int(rng.integers(-10, H + 10)))
+             for _ in range(3)]
+        fb = fresh()
+        out = draw2d.draw_filled_triangle_scanline(fb, p[0], p[1], p[2],
+                                                   (210, 90, 40))
+        got = unpack(out)[..., :3]
+        want = np.zeros((H, W, 3), np.int32)
+        scalar_fill(want, p[0], p[1], p[2], (210, 90, 40))
+        assert (got == want).all(), f"scanline mismatch for {p}"

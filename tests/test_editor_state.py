@@ -231,3 +231,62 @@ def test_portal_center_is_world_space():
     s.selection = Selection(kind="portal", room=0, index=0)
     np.testing.assert_allclose(s.get_selection_center(),
                                [4098.0, 2.0, 2048.0])
+
+
+def test_paste_transforms_face_contents():
+    """layout.rs:1574-1878 — rotation rotates corner heights/colors, odd
+    rotation flips the split and swaps tri1/tri2, walls retarget lists."""
+    from bonnie32_tpu.editor.state import (rotate_quad,
+                                           transform_clipboard_position,
+                                           transform_wall_direction)
+    from bonnie32_tpu.models.level import (EAST, NESW, NORTH, NWSE, SOUTH,
+                                           WEST)
+
+    # pure helpers against reference-truth cases
+    assert rotate_quad([1, 2, 3, 4], 1) == [4, 1, 2, 3]
+    assert rotate_quad([1, 2, 3, 4], 2) == [3, 4, 1, 2]
+    assert transform_clipboard_position(2, 1, 3, 2, 1, False, False) \
+        == (1, 2)          # 90 CW: (depth - z, x)
+    assert transform_clipboard_position(2, 1, 3, 2, 0, True, False) \
+        == (1, 1)          # flip_h: width - x
+    assert transform_wall_direction(NORTH, 1, False, False) == EAST
+    assert transform_wall_direction(NWSE, 1, False, False) == NESW
+    assert transform_wall_direction(NORTH, 0, False, True) == SOUTH
+    assert transform_wall_direction(NWSE, 2, False, False) == NWSE
+
+    s = EditorState(create_test_level())
+    room = s.level.rooms[0]
+    tex = TextureRef("retro-texture-pack", "WALL_1A")
+    src = room.sectors[1][1]
+    src.floor.heights = [10.0, 20.0, 30.0, 40.0]
+    src.walls_north.append(
+        VerticalFace(heights=[0.0, 0.0, 512.0, 512.0], texture=tex))
+    s.set_selection(sel_sector(0, 1, 1))
+    assert s.copy_selected_geometry() >= 2
+
+    s.geometry_clipboard.rotation = 1
+    pasted = s.paste_geometry(0, 3, 3)
+    assert pasted >= 2
+    sec = room.sectors[3][3]
+    # 90 CW height rotation with odd-rotation tri swap: rotated [NW,NE,
+    # SE,SW] = [40,10,20,30]; heights_2 was None so tri swap keeps them
+    assert sec.floor.heights == [40.0, 10.0, 20.0, 30.0]
+    assert sec.floor.split_direction == 1          # NwSe -> NeSw
+    assert sec.floor.heights_2 == [40.0, 10.0, 20.0, 30.0]
+    # the north wall lands in the EAST list after a 90 CW rotation
+    assert len(sec.walls_east) == 1 and len(sec.walls_north) == 0
+
+
+def test_paste_expands_room():
+    """layout.rs:1597-1636 — pasting past the grid grows the room (and
+    shifts its position for negative targets)."""
+    s = EditorState(create_test_level())
+    room = s.level.rooms[0]
+    s.set_selection(sel_sector(0, 1, 1))
+    s.copy_selected_geometry()
+    w0, d0 = room.width, room.depth
+    px = float(room.position[0])
+    assert s.paste_geometry(0, -1, d0 + 1) >= 1
+    assert room.width == w0 + 1 and room.depth == d0 + 2
+    assert float(room.position[0]) < px      # shifted for negative growth
+    assert room.sectors[0][d0 + 1] is not None

@@ -173,3 +173,43 @@ def test_extrude_button_in_floor_container():
     assert sector.floor.heights == [CLICK_HEIGHT] * 4
     assert len(sector.walls_north) == 1
     assert "Extruded" in s.status_message
+
+
+def test_player_spawn_section_and_preview():
+    """layout.rs:5878-5996 — selecting a player-spawn object shows
+    PlayerSettings fields and a rendered camera preview image."""
+    import numpy as np
+    from bonnie32_tpu.models import asset as A
+    from bonnie32_tpu.models.level import AssetInstance
+
+    s = _state()
+    lib = A.AssetLibrary()
+    lib.assets = {a.id: a for a in A.builtin_assets()}
+    s.asset_library = lib
+    by_name = {a.name: a for a in lib.assets.values()}
+    spawn = by_name.get("Player Spawn") or by_name.get("player_spawn")
+    assert spawn is not None
+    s.level.rooms[0].objects.append(
+        AssetInstance(sector_x=1, sector_z=1, asset_id=spawn.id))
+    s.selection = Selection(kind="object", room=0, index=0)
+
+    ctx = UiContext()
+    ctx.begin_frame(-10, -10, False)
+    ui = {}
+    draw_properties(ctx, RECT, s, ui)
+    texts = [c[2] for c in ctx.commands if c[0] == "text"]
+    for expected in ("Collision", "Movement", "Camera", "Radius", "Walk",
+                     "Distance", "Preview"):
+        assert any(expected in t for t in texts), f"missing {expected}"
+    imgs = [c for c in ctx.commands if c[0] == "image"]
+    assert len(imgs) == 1
+    words = np.asarray(imgs[0][2])
+    assert words.ndim == 2 and words.shape[0] > 0
+    # the preview contains the clear color and the green player cylinder
+    green = (100 | (255 << 8) | (100 << 16) | (255 << 24))
+    bg = (20 | (20 << 8) | (25 << 16) | (255 << 24))
+    w_i64 = words.astype(np.int64) & 0xFFFFFFFF
+    assert (w_i64 == (bg & 0xFFFFFFFF)).sum() > 0
+    assert (w_i64 == (green & 0xFFFFFFFF)).sum() > 5
+    # the field rows registered their drag states
+    assert "ps.radius" in ui and "ps.camera_distance" in ui
