@@ -111,6 +111,8 @@ def draw_editor(ctx: UiContext, layout: EditorLayout, state: EditorState,
         _skybox_panel(ctx, left_content["Skybox"], state)
     if "Room" in left_content:
         _room_list(ctx, left_content["Room"], state)
+    if "Debug" in left_content:
+        _debug_panel(ctx, left_content["Debug"], state)
 
     # --- right sidebar: Textures + Properties ---
     right_content = _collapsible_stack(ctx, right_rect, RIGHT_PANELS,
@@ -290,6 +292,55 @@ def _room_list(ctx: UiContext, body: Rect, state: EditorState) -> None:
         rooms.append(Room.new(new_id, (off_x, 0.0, 0.0), 1, 1))
         state.current_room = new_id
         state.set_status(f"Created Room {new_id}", 2.0)
+
+
+_TIMING_COLORS = {
+    "toolbar": (100, 180, 255), "left": (180, 100, 255),
+    "viewport": (255, 100, 100), "right": (255, 200, 100),
+    "status": (100, 255, 180),
+}
+
+
+def _debug_panel(ctx: UiContext, body: Rect, state: EditorState) -> None:
+    """layout.rs:2816-3012 draw_debug_panel: FPS + per-section frame
+    timing bars + memory accounting (Process RSS / textures /
+    framebuffers).  Timings come from state.frame_timings (section ->
+    ms), populated by the frame driver."""
+    x = body.x + 6
+    y = body.y + 4
+    fps = state.frame_fps
+    fps_rgb = ((100, 255, 100) if fps >= 55 else
+               (255, 220, 100) if fps >= 28 else (255, 100, 100))
+    ctx.text(x, y, f"FPS: {fps:.0f}", fps_rgb)
+    y += 14
+    timings = state.frame_timings
+    total = sum(timings.values())
+    ctx.text(x, y, f"Frame: {total:.2f}ms")
+    y += 14
+    bar_w = max(body.w - 70, 20.0)
+    max_ms = max(total, 1e-6)
+    for name, ms in timings.items():
+        rgb = _TIMING_COLORS.get(name, (150, 150, 160))
+        ctx.text(x, y, name[:9], (150, 150, 160))
+        frac = min(ms / max_ms, 1.0)
+        ctx.fill(Rect(x + 58, y + 2, bar_w * frac, 8), rgb)
+        ctx.text(x + 58 + bar_w * frac + 3, y, f"{ms:.2f}", (200, 200, 210))
+        y += 12
+    y += 4
+    m = state.memory_stats
+    m.update_process_memory()
+    fmt = type(m).format_bytes
+    ctx.text(x, y, "Memory:", (150, 150, 160))
+    y += 12
+    rows = (("Process RSS", fmt(m.physical_bytes)),
+            ("Textures", f"{fmt(m.texture_bytes)} ({m.texture_count})"),
+            ("RGB555 cache", fmt(m.texture15_bytes)),
+            ("Framebuffer", fmt(m.framebuffer_bytes)),
+            ("GPU cache", str(m.gpu_cache_count)))
+    for label, val in rows:
+        ctx.text(x + 8, y, label, (150, 150, 160))
+        ctx.text(x + 100, y, val, (200, 200, 210))
+        y += 12
 
 
 def _skybox_panel(ctx: UiContext, body: Rect, state: EditorState) -> None:

@@ -19,8 +19,11 @@ Continuous drags snapshot undo on the press edge; discrete toggles on
 the click (state.save_undo, state.rs:938).
 """
 
+import dataclasses
+import math
 from typing import Dict, Optional
 
+from ..models.level import UV_SCALE
 from ..ui import Rect, UiContext
 from ..ui.widgets import (button, checkbox, drag_value,
                           ps1_color_picker_with_blend_mode,
@@ -144,6 +147,134 @@ def _face_flags_section(ctx: UiContext, x: float, y: float, w: float,
     return y + 20.0
 
 
+# --- UV parameter editing (layout.rs:4418-4762) ---------------------------
+
+def default_uv():
+    """The identity quad [(0,0),(S,0),(S,S),(0,S)], UV_SCALE=0.5
+    (geometry.rs:15)."""
+    s = float(UV_SCALE)
+    return [(0.0, 0.0), (s, 0.0), (s, s), (0.0, s)]
+
+
+def flip_uv_horizontal(uv):
+    """layout.rs:4418 — mirror X within the UV_SCALE span."""
+    s = float(UV_SCALE)
+    cur = list(uv) if uv is not None else default_uv()
+    return [(s - u, v) for u, v in cur]
+
+
+def flip_uv_vertical(uv):
+    """layout.rs:4436 — mirror Y within the UV_SCALE span."""
+    s = float(UV_SCALE)
+    cur = list(uv) if uv is not None else default_uv()
+    return [(u, s - v) for u, v in cur]
+
+
+def rotate_uv_cw(uv):
+    """layout.rs:4455 — each corner takes the previous corner's UV."""
+    cur = list(uv) if uv is not None else default_uv()
+    return [cur[3], cur[0], cur[1], cur[2]]
+
+
+@dataclasses.dataclass
+class UvParams:
+    """layout.rs:4477 — offset in blocks, scale normalized to UV_SCALE,
+    angle in degrees."""
+
+    x_offset: float = 0.0
+    y_offset: float = 0.0
+    x_scale: float = 1.0
+    y_scale: float = 1.0
+    angle: float = 0.0
+
+
+def extract_uv_params(uv) -> UvParams:
+    """layout.rs:4499-4537 — center offset, NW->NE/NW->SW edge lengths,
+    NW->NE edge angle."""
+    s = float(UV_SCALE)
+    c = list(uv) if uv is not None else default_uv()
+    cx = (c[0][0] + c[1][0] + c[2][0] + c[3][0]) / 4.0
+    cy = (c[0][1] + c[1][1] + c[2][1] + c[3][1]) / 4.0
+    width = math.hypot(c[1][0] - c[0][0], c[1][1] - c[0][1])
+    height = math.hypot(c[3][0] - c[0][0], c[3][1] - c[0][1])
+    angle = math.degrees(math.atan2(c[1][1] - c[0][1], c[1][0] - c[0][0]))
+    return UvParams(x_offset=(cx - s / 2.0) / s,
+                    y_offset=(cy - s / 2.0) / s,
+                    x_scale=width / s, y_scale=height / s, angle=angle)
+
+
+def apply_uv_params(p: UvParams):
+    """layout.rs:4539-4579 — scaled quad rotated about its center, then
+    translated to UV_SCALE/2 + offset blocks."""
+    s = float(UV_SCALE)
+    hw = p.x_scale * s / 2.0
+    hh = p.y_scale * s / 2.0
+    corners = [(-hw, -hh), (hw, -hh), (hw, hh), (-hw, hh)]
+    rad = math.radians(p.angle)
+    ca, sa = math.cos(rad), math.sin(rad)
+    cx = s / 2.0 + p.x_offset * s
+    cy = s / 2.0 + p.y_offset * s
+    return [(px * ca - py * sa + cx, px * sa + py * ca + cy)
+            for px, py in corners]
+
+
+def _uv_controls(ctx: UiContext, wid: str, x: float, y: float, w: float,
+                 state: EditorState, face, attr: str, ui: Dict) -> float:
+    """layout.rs:4581-4762 draw_uv_controls: X/Y pixel offset rows with
+    -32/-1/+1/+32 steppers, scale + angle drags, flip/rotate buttons."""
+    uv = getattr(face, attr)
+    params = extract_uv_params(uv)
+    changed = False
+    ctx.text(x, y + 3, "UV", DIM)
+    y += 16.0
+    for axis, label in (("x_offset", "X:"), ("y_offset", "Y:")):
+        px = int(round(getattr(params, axis) * 32.0)) % 64
+        ctx.text(x, y + 3, label, FAINT)
+        steps = ((f"{wid}.{axis}.c-", "<<", -1.0),
+                 (f"{wid}.{axis}.f-", "<", -1.0 / 32.0),
+                 (None, f"{px}px", 0.0),
+                 (f"{wid}.{axis}.f+", ">", 1.0 / 32.0),
+                 (f"{wid}.{axis}.c+", ">>", 1.0))
+        bx = x + 20
+        for sid, lab, delta in steps:
+            r = Rect(bx, y, 26 if sid is None else 18, 16)
+            if sid is None:
+                ctx.text(r.x + 2, r.center_y, lab, HEADER)
+            elif button(ctx, sid, r, lab):
+                setattr(params, axis, getattr(params, axis) + delta)
+                changed = True
+            bx += r.w + 2
+        y += 18.0
+    for axis, label in (("x_scale", "SX"), ("y_scale", "SY"),
+                        ("angle", "Rot")):
+        ctx.text(x, y + 3, label, FAINT)
+        st = ui.setdefault(f"{wid}.{axis}", {})
+        speed = 0.5 if axis == "angle" else 0.01
+        new = drag_value(ctx, f"{wid}.{axis}", Rect(x + 30, y, 60, 16),
+                         getattr(params, axis), speed=speed, state=st)
+        if new != getattr(params, axis):
+            _undo_once(state, ctx, f"{wid}.{axis}", ui)
+            setattr(params, axis, new)
+            setattr(face, attr, apply_uv_params(params))
+            state.dirty = True
+        y += 18.0
+    bx = x
+    for sid, lab, fn in ((f"{wid}.fh", "FlipH", flip_uv_horizontal),
+                         (f"{wid}.fv", "FlipV", flip_uv_vertical),
+                         (f"{wid}.rot", "RotCW", rotate_uv_cw)):
+        if button(ctx, sid, Rect(bx, y, 46, 16), lab):
+            state.save_undo()
+            setattr(face, attr, fn(getattr(face, attr)))
+            state.dirty = True
+        bx += 50
+    y += 20.0
+    if changed:
+        state.save_undo()
+        setattr(face, attr, apply_uv_params(params))
+        state.dirty = True
+    return y
+
+
 def _horizontal_container(ctx: UiContext, x: float, y: float, w: float,
                           state: EditorState, room, gx: int, gz: int,
                           is_floor: bool, ui: Dict) -> float:
@@ -227,6 +358,7 @@ def _horizontal_container(ctx: UiContext, x: float, y: float, w: float,
 
     y = _face_colors_section(ctx, x, y, w, state, face, "colors", "h", ui)
     y = _face_flags_section(ctx, x, y, w, state, face, "h", ui)
+    y = _uv_controls(ctx, "h.uv", x, y, w, state, face, "uv", ui)
     if state.dirty:
         room.recalculate_bounds()
     return y
@@ -291,6 +423,7 @@ def _wall_container(ctx: UiContext, x: float, y: float, w: float,
 
     y = _face_colors_section(ctx, x, y, w, state, wall, "colors", "w", ui)
     y = _face_flags_section(ctx, x, y, w, state, wall, "w", ui)
+    y = _uv_controls(ctx, "w.uv", x, y, w, state, wall, "uv", ui)
     if state.dirty:
         room.recalculate_bounds()
     return y

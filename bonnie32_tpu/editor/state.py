@@ -310,6 +310,10 @@ class EditorState:
         self.wall_direction: int = 0          # NORTH; state.rs wall tool
         self.portals_dirty = True             # state.rs:616
         self.current_file = None              # state.rs current_file
+        # --- debug HUD inputs (state.rs:52, layout.rs:2816) ---
+        self.memory_stats = MemoryStats()
+        self.frame_timings: Dict[str, float] = {}   # section -> ms
+        self.frame_fps: float = 0.0
         # --- 3D viewport camera (state.rs:418-428, :704-731) ---
         self.camera_pos = np.array([4096.0, 4096.0, 4096.0], np.float32)
         self.camera_rot_x = 0.46

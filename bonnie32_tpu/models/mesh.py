@@ -409,6 +409,113 @@ class EditableMesh:
     def hex(cls, radius: float, height: float) -> "EditableMesh":
         return cls.ngon_prism(6, radius, height)
 
+    # --- topology queries (mesh_editor.rs:2025-2215) -------------------
+
+    def faces_with_edge(self, v0: int, v1: int) -> List[int]:
+        """mesh_editor.rs:2025 — faces containing edge (v0, v1) in either
+        winding."""
+        out = []
+        for i, face in enumerate(self.faces):
+            fv = face.vertices
+            n = len(fv)
+            for k in range(n):
+                a, b = fv[k], fv[(k + 1) % n]
+                if (a == v0 and b == v1) or (a == v1 and b == v0):
+                    out.append(i)
+                    break
+        return out
+
+    def opposite_edge_in_quad(self, face_idx: int, v0: int, v1: int):
+        """mesh_editor.rs:2045 — the edge two positions away in a quad;
+        None for non-quads or faces missing the edge."""
+        fv = self.faces[face_idx].vertices
+        if len(fv) != 4:
+            return None
+        for i in range(4):
+            a, b = fv[i], fv[(i + 1) % 4]
+            if (a == v0 and b == v1) or (a == v1 and b == v0):
+                return (fv[(i + 2) % 4], fv[(i + 3) % 4])
+        return None
+
+    def select_edge_loop(self, v0: int, v1: int) -> List[Tuple[int, int]]:
+        """mesh_editor.rs:2070 — walk perpendicular across quads in both
+        directions from (v0, v1)."""
+        loop_edges = [(v0, v1)]
+        norm = lambda a, b: (a, b) if a < b else (b, a)  # noqa: E731
+        visited = {norm(v0, v1)}
+        for start_v, end_v in ((v0, v1), (v1, v0)):
+            prev_v, curr_v = start_v, end_v
+            while True:
+                next_v = None
+                for face in self.faces:
+                    fv = face.vertices
+                    if len(fv) != 4:
+                        continue
+                    pos = None
+                    for i in range(4):
+                        if fv[i] == curr_v and (fv[(i + 1) % 4] == prev_v
+                                                or fv[(i + 3) % 4] == prev_v):
+                            pos = i
+                            break
+                    if pos is None:
+                        continue
+                    n1 = fv[(pos + 1) % 4]
+                    n2 = fv[(pos + 3) % 4]
+                    cand = n1 if n1 != prev_v else n2
+                    if norm(curr_v, cand) not in visited:
+                        next_v = cand
+                        break
+                if next_v is None:
+                    break
+                visited.add(norm(curr_v, next_v))
+                loop_edges.append((curr_v, next_v))
+                prev_v, curr_v = curr_v, next_v
+        return loop_edges
+
+    def select_face_loop(self, start_face: int, edge_v0: int,
+                         edge_v1: int) -> List[int]:
+        """mesh_editor.rs:2154 — strip of quads through opposite edges,
+        both directions."""
+        loop_faces = [start_face]
+        visited = {start_face}
+        opposite_start = self.opposite_edge_in_quad(start_face, edge_v0,
+                                                    edge_v1)
+        for direction in range(2):
+            current_face = start_face
+            if direction == 0:
+                current_edge = (edge_v0, edge_v1)
+            elif opposite_start is not None:
+                current_edge = opposite_start
+            else:
+                continue
+            while True:
+                opposite = self.opposite_edge_in_quad(
+                    current_face, current_edge[0], current_edge[1])
+                if opposite is None:
+                    break
+                adjacent = self.faces_with_edge(opposite[0], opposite[1])
+                next_face = next((f for f in adjacent
+                                  if f != current_face
+                                  and f not in visited), None)
+                if next_face is None:
+                    break
+                visited.add(next_face)
+                loop_faces.append(next_face)
+                current_face = next_face
+                current_edge = opposite
+        return loop_faces
+
+    def vertices_from_edge_loop(self, edges) -> List[int]:
+        """mesh_editor.rs:2205 — unique vertex ids in first-seen order."""
+        out: List[int] = []
+        seen = set()
+        for v0, v1 in edges:
+            for v in (v0, v1):
+                if v not in seen:
+                    seen.add(v)
+                    out.append(v)
+        return out
+
     def to_render_data_textured(self):
         """mesh_editor.rs:1623 — golden-model-format verts + tri faces with
         texture_id defaulting to 0 (the part's atlas)."""

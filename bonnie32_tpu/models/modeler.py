@@ -371,6 +371,8 @@ class ModelerState(SkeletonMixin):
         self.modal_axis: Optional[Axis] = None
         self.snap = SnapSettings()
         self.mirror = MirrorSettings()
+        self.status_message = ""
+        self.status_seconds = 0.0
         self.clipboard = MeshClipboard()
         self.undo_stack: List[EditableMesh] = []
         self.redo_stack: List[EditableMesh] = []
@@ -614,5 +616,269 @@ class ModelerState(SkeletonMixin):
         new_faces = self.clipboard.paste_into(self.mesh, at)
         self.selected_faces = set(new_faces)
         return new_faces
+
+    # --- selection commands (layout.rs:6977-7113, :6891, :7358) --------
+
+    def set_status(self, message: str, seconds: float = 1.0) -> None:
+        """Status toast shown in the modeler status bar."""
+        self.status_message = message
+        self.status_seconds = seconds
+
+    def select_all(self) -> int:
+        """layout.rs:6977 — everything in the active select mode."""
+        mesh = self.mesh
+        if self.select_mode == SelectMode.VERTEX:
+            items = list(range(len(mesh.vertices)))
+            self.selection = items
+            self.set_status(f"Selected {len(items)} vertices")
+        elif self.select_mode == SelectMode.EDGE:
+            edges = []
+            seen = set()
+            for face in mesh.faces:
+                fv = face.vertices
+                n = len(fv)
+                for i in range(n):
+                    a, b = fv[i], fv[(i + 1) % n]
+                    e = (a, b) if a < b else (b, a)
+                    if e not in seen:
+                        seen.add(e)
+                        edges.append(e)
+            self.selection = edges
+            self.set_status(f"Selected {len(edges)} edges")
+            items = edges
+        else:
+            items = list(range(len(mesh.faces)))
+            self.selection = items
+            self.set_status(f"Selected {len(items)} faces")
+        return len(items)
+
+    def select_loop(self) -> None:
+        """layout.rs:7013 — edge/face loop from the current selection."""
+        mesh = self.mesh
+        if self.select_mode == SelectMode.VERTEX:
+            verts = sorted(self.selected_vertices)
+            if len(verts) == 2:
+                v0, v1 = verts
+                is_edge = any(
+                    (fv[i] == v0 and fv[(i + 1) % len(fv)] == v1)
+                    or (fv[i] == v1 and fv[(i + 1) % len(fv)] == v0)
+                    for f in mesh.faces for fv in (f.vertices,)
+                    for i in range(len(fv)))
+                if is_edge:
+                    loop = mesh.select_edge_loop(v0, v1)
+                    lv = mesh.vertices_from_edge_loop(loop)
+                    self.selection = lv
+                    self.set_status(
+                        f"Selected edge loop ({len(lv)} vertices)", 1.5)
+                else:
+                    self.set_status(
+                        "Selected vertices don't form an edge", 1.5)
+            elif len(verts) == 1:
+                v = verts[0]
+                connected = {v}
+                for face in mesh.faces:
+                    if v in face.vertices:
+                        connected.update(face.vertices)
+                self.selection = sorted(connected)
+                self.set_status(
+                    f"Selected {len(connected)} connected vertices", 1.5)
+            else:
+                self.set_status(
+                    "Select 2 adjacent vertices to select edge loop", 1.5)
+        elif self.select_mode == SelectMode.EDGE:
+            edges = sorted(self.selected_edges)
+            if len(edges) == 1:
+                loop = mesh.select_edge_loop(*edges[0])
+                self.selection = [tuple(sorted(e)) for e in loop]
+                self.set_status(
+                    f"Selected edge loop ({len(loop)} edges)", 1.5)
+            else:
+                self.set_status(
+                    "Select a single edge to select edge loop", 1.5)
+        else:
+            faces = sorted(self.selected_faces)
+            if len(faces) == 1 and len(mesh.faces[faces[0]].vertices) >= 2:
+                fv = mesh.faces[faces[0]].vertices
+                loop = mesh.select_face_loop(faces[0], fv[0], fv[1])
+                self.selection = loop
+                self.set_status(
+                    f"Selected face loop ({len(loop)} faces)", 1.5)
+            else:
+                self.set_status(
+                    "Select a single face to select face loop", 1.5)
+
+    def duplicate_selection(self) -> Optional[int]:
+        """layout.rs:7358 — copy the selected faces (or the whole mesh)
+        into a NEW part, offset (+100, 0, +100)."""
+        import dataclasses as _dc
+
+        from .mesh import MeshPart
+
+        self.save_undo()
+        if self.selected_faces:
+            self.clipboard.copy_faces(self.mesh,
+                                      sorted(self.selected_faces))
+            n = len(self.selected_faces)
+            msg = f"Duplicated {n} face(s)"
+        else:
+            self.clipboard.copy_faces(
+                self.mesh, list(range(len(self.mesh.faces))))
+            msg = "Duplicated mesh"
+        if self.clipboard.mesh is None:
+            return None
+        new_mesh = copy.deepcopy(self.clipboard.mesh)
+        cx, cy, cz = getattr(self.clipboard, "center", (0.0, 0.0, 0.0))
+        for i, v in enumerate(new_mesh.vertices):
+            p = v.pos
+            new_mesh.vertices[i] = _dc.replace(
+                v, pos=(p[0] + cx + 100.0, p[1] + cy, p[2] + cz + 100.0))
+        part = MeshPart(name=f"Duplicate.{len(self.project.objects):02d}",
+                        mesh=new_mesh)
+        idx = self.project.add_object(part)
+        self.set_status(msg)
+        return idx
+
+    def nudge_selection(self, dx: int, dy: int, view: str = "front",
+                        shift: bool = False,
+                        snap_disabled: bool = False) -> bool:
+        """layout.rs:6891 handle_arrow_key_movement — move the selected
+        vertices one grid step (half with shift, 1 unit with snap
+        disabled) along the active viewport's axes.  dx/dy are the arrow
+        direction (-1/0/+1; dy +1 = up)."""
+        if dx == 0 and dy == 0:
+            return False
+        vids = self.selection_vertices()
+        if not vids:
+            return False
+        grid = self.snap.grid_size
+        amount = (1.0 if snap_disabled
+                  else grid * 0.5 if shift else grid)
+        if view in ("perspective", "front"):
+            delta = np.array([dx * amount, dy * amount, 0.0], np.float32)
+        elif view == "top":
+            delta = np.array([dx * amount, 0.0, -dy * amount], np.float32)
+        else:  # side (ZY plane)
+            delta = np.array([0.0, dy * amount, dx * amount], np.float32)
+        self.save_undo()
+        mesh = self.mesh
+        pairs = self._mirror_pairs(vids)
+        moved = set()
+        for v in vids:
+            if v in moved:
+                continue
+            p = np.asarray(mesh.vertices[v].pos, np.float32) + delta
+            mesh.vertices[v] = dataclasses.replace(
+                mesh.vertices[v], pos=tuple(p.tolist()))
+            moved.add(v)
+            m = pairs.get(v)
+            if m is not None and m not in moved and m not in vids:
+                mp = self.mirror.mirror_position(p)
+                mesh.vertices[m] = dataclasses.replace(
+                    mesh.vertices[m], pos=tuple(np.asarray(
+                        mp, np.float32).tolist()))
+                moved.add(m)
+        return True
+
+    def auto_unwrap_selected_faces(self, tex_width: float = 64.0,
+                                   tex_height: float = 64.0) -> int:
+        """layout.rs:6395 + mesh_editor.rs:2936 auto_unwrap_faces,
+        condensed: islands by shared edges, per-island planar projection
+        onto the area-weighted normal plane, principal-axis grid
+        alignment, then fit/pack into [0,1].  (The reference adds
+        edge-unfolding within an island; this projects each island once —
+        same islands, same packing contract.)"""
+        faces = sorted(self.selected_faces)
+        if not faces:
+            self.set_status("Select faces to auto-unwrap")
+            return 0
+        self.save_undo()
+        mesh = self.mesh
+
+        # adjacency by shared edges within the selection
+        edge_owner: Dict[Tuple[int, int], List[int]] = {}
+        for fi in faces:
+            fv = mesh.faces[fi].vertices
+            for i in range(len(fv)):
+                a, b = fv[i], fv[(i + 1) % len(fv)]
+                edge_owner.setdefault((min(a, b), max(a, b)), []).append(fi)
+        adj: Dict[int, set] = {fi: set() for fi in faces}
+        for owners in edge_owner.values():
+            for a in owners:
+                for b in owners:
+                    if a != b:
+                        adj[a].add(b)
+        # connected components
+        islands: List[List[int]] = []
+        left = set(faces)
+        while left:
+            seed = left.pop()
+            comp = [seed]
+            stack = [seed]
+            while stack:
+                for nb in adj[stack.pop()]:
+                    if nb in left:
+                        left.remove(nb)
+                        comp.append(nb)
+                        stack.append(nb)
+            islands.append(comp)
+
+        def face_normal(fi):
+            fv = mesh.faces[fi].vertices
+            p = [np.asarray(mesh.vertices[v].pos, np.float32)
+                 for v in fv[:3]]
+            n = np.cross(p[1] - p[0], p[2] - p[0])
+            ln = np.linalg.norm(n)
+            return n / ln if ln > 1e-9 else np.array([0, 1, 0], np.float32)
+
+        uv_sets = []
+        for comp in islands:
+            n = np.sum([face_normal(fi) for fi in comp], axis=0)
+            ln = np.linalg.norm(n)
+            n = n / ln if ln > 1e-9 else np.array([0, 1, 0], np.float32)
+            # build a tangent basis
+            up = (np.array([0, 1, 0], np.float32)
+                  if abs(n[1]) < 0.9 else np.array([1, 0, 0], np.float32))
+            tu = np.cross(up, n)
+            tu /= max(np.linalg.norm(tu), 1e-9)
+            tv = np.cross(n, tu)
+            vids = sorted({v for fi in comp
+                           for v in mesh.faces[fi].vertices})
+            pts = np.array([np.asarray(mesh.vertices[v].pos, np.float32)
+                            for v in vids])
+            uv2 = np.stack([pts @ tu, pts @ tv], axis=-1)
+            # principal-axis alignment (find_optimal_rotation condensed)
+            c = uv2 - uv2.mean(0)
+            if len(c) > 1:
+                cov = c.T @ c
+                w, vecs = np.linalg.eigh(cov)
+                axis = vecs[:, int(np.argmax(w))]
+                ang = -math.atan2(axis[1], axis[0])
+                ca, sa = math.cos(ang), math.sin(ang)
+                rot = np.array([[ca, -sa], [sa, ca]], np.float32)
+                uv2 = c @ rot.T
+            uv_sets.append((vids, uv2))
+
+        # pack islands side by side into [0,1] with a margin
+        k = len(uv_sets)
+        cols = max(int(math.ceil(math.sqrt(k))), 1)
+        rows = int(math.ceil(k / cols))
+        margin = 0.02
+        cell_w = 1.0 / cols
+        cell_h = 1.0 / rows
+        for idx, (vids, uv2) in enumerate(uv_sets):
+            lo = uv2.min(0)
+            hi = uv2.max(0)
+            span = np.maximum(hi - lo, 1e-6)
+            scale = min((cell_w - 2 * margin) / span[0],
+                        (cell_h - 2 * margin) / span[1])
+            cx = (idx % cols) * cell_w + margin
+            cy = (idx // cols) * cell_h + margin
+            for j, v in enumerate(vids):
+                u = cx + (uv2[j, 0] - lo[0]) * scale
+                w_ = cy + (uv2[j, 1] - lo[1]) * scale
+                mesh.vertices[v] = dataclasses.replace(
+                    mesh.vertices[v], uv=(float(u), float(w_)))
+        self.set_status(f"Auto-unwrapped {len(faces)} faces")
+        return len(faces)
 
 

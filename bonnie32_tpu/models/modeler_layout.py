@@ -328,6 +328,21 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
             if dh and ctx.mouse.pressed:
                 state.delete_part(pi)
                 break
+        if state.rigged is not None and (active or hov):
+            # bone-bind cycle (layout.rs:7540 draw_bone_picker_popup,
+            # condensed to a cycle button: None -> bone 0 -> ... -> None)
+            bones = state.skeleton()
+            br = Rect(row.right - 30, y + 2, 14, 12)
+            bh = br.contains(ctx.mouse.x, ctx.mouse.y)
+            bi = part.default_bone_index
+            ctx.fill(br, (50, 70, 90) if bh else (40, 48, 58))
+            ctx.text(br.x + 3, br.y + 1,
+                     "B" if bi is None else str(bi % 10),
+                     (120, 180, 255) if bi is not None else (130, 130, 140))
+            if bh and ctx.mouse.pressed and bones:
+                part.default_bone_index = (
+                    0 if bi is None
+                    else bi + 1 if bi + 1 < len(bones) else None)
         name_r = Rect(row.x + 15, y, row.w - 32, 15)
         if name_r.contains(ctx.mouse.x, ctx.mouse.y) and ctx.mouse.pressed:
             state.set_active_part(pi)
@@ -433,13 +448,32 @@ def draw_modeler(ctx: UiContext, layout: ModelerLayout,
             b = (((c15 >> 10) & 31) << 3) | (((c15 >> 10) & 31) >> 2)
             ctx.fill(Rect(px, yy, sw - 1, sw - 1), (r, g, b))
 
+    # --- snap settings row (layout.rs:8196 draw_snap_menu, condensed:
+    # enable checkbox + grid-size cycle through the reference's steps) ---
+    sy = right_rect.bottom - 22
+    from ..ui.widgets import checkbox as _checkbox
+    new_sn = _checkbox(ctx, "m.snap", Rect(right_rect.x + 6, sy, 14, 14),
+                       state.snap.enabled, "Snap")
+    if new_sn != state.snap.enabled:
+        state.snap.enabled = new_sn
+    gr = Rect(right_rect.x + 70, sy, 52, 16)
+    if button(ctx, "m.snapgrid", gr, f"{state.snap.grid_size:.0f}"):
+        steps = (32.0, 64.0, 128.0, 256.0, 512.0)
+        try:
+            i = steps.index(state.snap.grid_size)
+        except ValueError:
+            i = -1
+        state.snap.grid_size = steps[(i + 1) % len(steps)]
+
     # --- status bar (draw_status_bar) ---
     ctx.fill(status_rect, (24, 24, 28))
     ctx.outline(status_rect, (60, 60, 70))
     sel = state.selection
-    ctx.text(status_rect.x + 6, status_rect.y + 7,
-             f"{state.select_mode.value}: {len(sel)} selected  "
-             f"uv:{uv.modal.value}", (120, 120, 130))
+    status = (state.status_message if state.status_message else
+              f"{state.select_mode.value}: {len(sel)} selected  "
+              f"uv:{uv.modal.value}")
+    ctx.text(status_rect.x + 6, status_rect.y + 7, status,
+             (120, 120, 130))
 
     return {"toolbar": toolbar_rect, "status": status_rect,
             "left": left_rect, "viewport": center_rect,

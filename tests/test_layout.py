@@ -260,3 +260,24 @@ def test_skybox_panel_sun_toggle_persists():
     ctx.begin_frame(body.x + 2 + 6, sy, False)
     draw_editor(ctx, layout, state, bounds)
     assert Skybox.from_ron(state.level.skybox).sun.enabled is True
+
+
+def test_debug_panel_draws_timings_and_memory():
+    """layout.rs:2816 draw_debug_panel: FPS line, timing bars, memory."""
+    from bonnie32_tpu.editor.layout import EditorLayout, draw_editor
+    from bonnie32_tpu.editor.state import EditorState
+    from bonnie32_tpu.ui import Rect, UiContext
+
+    s = EditorState()
+    s.frame_fps = 60.0
+    s.frame_timings = {"toolbar": 0.2, "viewport": 5.0, "right": 1.0}
+    layout = EditorLayout()
+    layout.left_collapsed = [False] * len(layout.left_collapsed)
+    ctx = UiContext()
+    ctx.begin_frame(-5, -5, False)
+    draw_editor(ctx, layout, s, Rect(0, 0, 800, 600))
+    texts = [c[2] for c in ctx.commands if c[0] == "text"]
+    assert any("FPS:" in t for t in texts)
+    assert any("Frame:" in t for t in texts)
+    assert any("Memory:" in t for t in texts)
+    assert any("viewport" in t for t in texts)

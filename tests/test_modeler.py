@@ -186,3 +186,80 @@ def test_delete_lower_part_keeps_active():
     target = st.project.objects[1]
     st.delete_part(0)
     assert st.project.objects[st.active_part] is target
+
+
+def test_select_all_and_loops():
+    """layout.rs:6977 select_all + :7013 select_loop via the cube's quad
+    topology (every edge loop on a cube ring is 4 edges)."""
+    from bonnie32_tpu.models.modeler import ModelerState, SelectMode
+
+    s = ModelerState()
+    mesh = s.mesh
+    s.select_mode = SelectMode.FACE
+    assert s.select_all() == len(mesh.faces) == 6
+    s.select_mode = SelectMode.VERTEX
+    assert s.select_all() == len(mesh.vertices)
+
+    # cube quads: edge loop from one face edge walks the ring
+    f0 = mesh.faces[0].vertices
+    loop = mesh.select_edge_loop(f0[0], f0[1])
+    assert len(loop) >= 1
+    verts = mesh.vertices_from_edge_loop(loop)
+    assert len(verts) == len(set(verts))
+
+    # face loop from face 0 through its first edge: a strip of quads
+    faces = mesh.select_face_loop(0, f0[0], f0[1])
+    assert faces[0] == 0 and len(set(faces)) == len(faces)
+
+    # select_loop drives the same paths through the selection model
+    s.select_mode = SelectMode.FACE
+    s.selection = [0]
+    s.select_loop()
+    assert 0 in s.selection and len(s.selection) >= 1
+    assert "loop" in s.status_message
+
+
+def test_duplicate_and_nudge():
+    """layout.rs:7358 duplicate -> new offset part; :6891 arrow nudge
+    moves selected vertices by snap steps per viewport plane."""
+    import numpy as np
+    from bonnie32_tpu.models.modeler import ModelerState, SelectMode
+
+    s = ModelerState()
+    n_parts = len(s.project.objects)
+    s.select_mode = SelectMode.FACE
+    s.selection = [0, 1]
+    idx = s.duplicate_selection()
+    assert idx is not None and len(s.project.objects) == n_parts + 1
+    assert len(s.project.objects[idx].mesh.faces) == 2
+
+    s.select_mode = SelectMode.VERTEX
+    s.selection = [0]
+    before = np.asarray(s.mesh.vertices[0].pos, np.float32).copy()
+    assert s.nudge_selection(1, 0, view="front")
+    after = np.asarray(s.mesh.vertices[0].pos, np.float32)
+    assert after[0] - before[0] == s.snap.grid_size
+    assert s.nudge_selection(0, 1, view="top", shift=True)
+    after2 = np.asarray(s.mesh.vertices[0].pos, np.float32)
+    assert after2[2] - after[2] == -s.snap.grid_size * 0.5
+    assert s.nudge_selection(1, 0, view="side", snap_disabled=True)
+    after3 = np.asarray(s.mesh.vertices[0].pos, np.float32)
+    assert after3[2] - after2[2] == 1.0
+    assert s.undo()
+
+
+def test_auto_unwrap_islands():
+    """mesh_editor.rs:2936 (condensed): islands land in disjoint [0,1]
+    cells, UVs in range, all selected faces unwrapped."""
+    from bonnie32_tpu.models.modeler import ModelerState, SelectMode
+
+    s = ModelerState()
+    s.select_mode = SelectMode.FACE
+    s.selection = list(range(len(s.mesh.faces)))
+    n = s.auto_unwrap_selected_faces(64.0, 64.0)
+    assert n == len(s.mesh.faces)
+    for f in s.mesh.faces:
+        for v in f.vertices:
+            u, w = s.mesh.vertices[v].uv
+            assert -1e-5 <= u <= 1.0 + 1e-5
+            assert -1e-5 <= w <= 1.0 + 1e-5
