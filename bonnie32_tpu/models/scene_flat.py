@@ -84,6 +84,16 @@ class FlatScene(NamedTuple):
     cuv: jnp.ndarray        # (T, 3, 2) f32
     cvcol: jnp.ndarray      # (T, 3, 3) i32
     cvblend: jnp.ndarray    # (T, 3) i32
+    # Precomputed Gouraud/flat shading (round 4): point-light shading
+    # depends only on world positions/normals + static lights, so for a
+    # static level it is camera-independent — computed ONCE at compile
+    # time for both normal orientations (the backface swap negates the
+    # normal).  Killed ~half of Cathedral's surf cost (shade_points over
+    # T*3*L per instance per frame).
+    cshade: jnp.ndarray       # (T, 3, 3) f32 Gouraud shade, front
+    cshade_neg: jnp.ndarray   # (T, 3, 3) f32 Gouraud shade, -normal
+    fshade: jnp.ndarray       # (T, 3) f32 flat shade, front
+    fshade_neg: jnp.ndarray   # (T, 3) f32 flat shade, -normal
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,6 +327,27 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
     uv_np = np.asarray(mesh.uv)
     vcol_np = np.asarray(mesh.color)
     vblend_np = np.asarray(mesh.color_blend)
+
+    # Compile-time shading (see FlatScene field comment).  The negated
+    # variants replicate the runtime backface path bit-for-bit: Gouraud
+    # is per-corner pointwise (permute+negate commute); the flat average
+    # uses the SWAPPED corner summation order (0,2),1 because fp addition
+    # isn't associative.
+    cpos_j = jnp.asarray(pos_np[vidx_np])
+    cnorm_j = jnp.asarray(norm_np[vidx_np])
+    amb3 = jnp.broadcast_to(ambient[:, None], cpos_j.shape[:2])
+    cshade = shade_points(cnorm_j, cpos_j, lights, ambient=amb3)
+    cshade_neg = shade_points(-cnorm_j, cpos_j, lights, ambient=amb3)
+    third = _F32(1.0 / 3.0)
+    center_f = ((cpos_j[:, 0] + cpos_j[:, 1]) + cpos_j[:, 2]) * third
+    avg_f = ((cnorm_j[:, 0] + cnorm_j[:, 1]) + cnorm_j[:, 2]) * third
+    fshade = shade_points(normalize_rows(avg_f), center_f, lights,
+                          ambient=ambient)
+    center_s = ((cpos_j[:, 0] + cpos_j[:, 2]) + cpos_j[:, 1]) * third
+    avg_s = ((-cnorm_j[:, 0] + -cnorm_j[:, 2]) + -cnorm_j[:, 1]) * third
+    fshade_neg = shade_points(normalize_rows(avg_s), center_s, lights,
+                              ambient=ambient)
+
     scene = FlatScene(mesh=mesh, faces=fa, fog=fog, ambient=ambient,
                       lights=lights, atlas=atlas,
                       tex_lo=tex_lo, tex_hi=tex_hi,
@@ -324,11 +355,13 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
                       texmeta=jnp.asarray(texmeta),
                       tex_pack=jnp.asarray(texpack),
                       tex_pal=jnp.asarray(texpal),
-                      cpos=jnp.asarray(pos_np[vidx_np]),
-                      cnorm=jnp.asarray(norm_np[vidx_np]),
+                      cpos=cpos_j,
+                      cnorm=cnorm_j,
                       cuv=jnp.asarray(uv_np[vidx_np]),
                       cvcol=jnp.asarray(vcol_np[vidx_np]),
-                      cvblend=jnp.asarray(vblend_np[vidx_np]))
+                      cvblend=jnp.asarray(vblend_np[vidx_np]),
+                      cshade=cshade, cshade_neg=cshade_neg,
+                      fshade=fshade, fshade_neg=fshade_neg)
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
         atlas_rows=ra, atlas_rows_data=ra_data,
@@ -400,10 +433,11 @@ def build_surfaces_flat(scene: FlatScene, camera: CameraArrays,
     swap = is_backface & (render_back_face | render_back)
 
     def permute(arr):
-        # corner swap (0,2,1) as a static reindex + select — take_along_axis
-        # promotes indices to i64 under x64, and i64 gathers scalarize on
-        # XLA:TPU (PLAN_PERF.md item 1).
-        swapped = arr[:, jnp.asarray([0, 2, 1], _I32)]
+        # corner swap (0,2,1) as slice+stack + select — static-index
+        # gathers ([:, [0,2,1]]) still lower as XLA gathers under vmap
+        # (and take_along_axis promotes to i64, which scalarizes on
+        # XLA:TPU — PLAN_PERF.md item 1); slices fuse for free.
+        swapped = jnp.stack([arr[:, 0], arr[:, 2], arr[:, 1]], axis=1)
         mask = swap.reshape(swap.shape + (1,) * (arr.ndim - 1))
         return jnp.where(mask, swapped, arr)
 
@@ -413,22 +447,20 @@ def build_surfaces_flat(scene: FlatScene, camera: CameraArrays,
     uv = permute(c_uv)
     vc = permute(vc_rgb)
     vcb = permute(vc_blend[..., None])[..., 0]
-    wpos = permute(c_wpos)
-    wnorm = permute(c_wnorm)
-    wnorm = jnp.where(swap[:, None, None], -wnorm, wnorm)
 
-    amb3 = jnp.broadcast_to(scene.ambient[:, None], wpos.shape[:2])
+    # Shading comes from the compile-time tables (FlatScene.cshade*):
+    # point-light Gouraud/flat shading is camera-independent, so the only
+    # per-instance work is selecting the backface-negated variant.
+    shape3 = c_wpos.shape
     if settings.shading == ShadingMode.GOURAUD:
-        shade = shade_points(wnorm, wpos, lights, ambient=amb3)
+        neg = scene.cshade_neg
+        neg_p = jnp.stack([neg[:, 0], neg[:, 2], neg[:, 1]], axis=1)
+        shade = jnp.where(swap[:, None, None], neg_p, scene.cshade)
     elif settings.shading == ShadingMode.FLAT:
-        third = _F32(1.0 / 3.0)
-        center = ((wpos[:, 0] + wpos[:, 1]) + wpos[:, 2]) * third
-        avg_n = ((wnorm[:, 0] + wnorm[:, 1]) + wnorm[:, 2]) * third
-        flat = shade_points(normalize_rows(avg_n), center, lights,
-                            ambient=scene.ambient)
-        shade = jnp.broadcast_to(flat[:, None, :], wpos.shape)
+        flat = jnp.where(swap[:, None], scene.fshade_neg, scene.fshade)
+        shade = jnp.broadcast_to(flat[:, None, :], shape3)
     else:
-        shade = jnp.ones(wpos.shape, _F32)
+        shade = jnp.ones(shape3, _F32)
 
     vc_eq_12 = jnp.all(vc[:, 0] == vc[:, 1], axis=-1) & (vcb[:, 0] == vcb[:, 1])
     vc_eq_23 = jnp.all(vc[:, 1] == vc[:, 2], axis=-1) & (vcb[:, 1] == vcb[:, 2])
@@ -524,7 +556,8 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
                       height: int, width: int,
                       interpret: bool = False,
                       debug: str = "",
-                      background: Optional[int] = None) -> FrameBuffers:
+                      background: Optional[int] = None,
+                      fb_layout_color=None) -> FrameBuffers:
     """Batched level render: (I, H, W) framebuffers + (I,) cameras through
     the fused Pallas kernel.  render_scene (scene.rs:180-261) semantics:
     identical output to scene.render_level per instance (tested), one
@@ -533,7 +566,12 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     `background` asserts fb == new_framebuffer(depth_mode="inv",
     clear_color=background) for every instance (the no-skybox datagen
     path): the kernel then synthesizes the background in-register and
-    skips both framebuffer DMAs and the host-side layout transposes."""
+    skips both framebuffer DMAs and the host-side layout transposes.
+
+    `fb_layout_color` ((I, NG*H, 128) packed words, e.g. from
+    ops.skybox.render_skybox_layout) supplies the color plane ALREADY in
+    kernel layout with an implicitly-cleared inverse-z depth — the skybox
+    datagen path: no host transposes, no depth DMA."""
     from ..ops import raster_batch as rb
 
     surf = jax.vmap(
@@ -541,8 +579,15 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     prep = jax.vmap(
         lambda s: rb.prep_instance(s, scene.atlas, settings, width, height,
                                    static.t_pad))(surf)
-    n_inst = fb.color.shape[0]
-    if background is not None:
+    n_inst = fb.color.shape[0] if fb is not None \
+        else fb_layout_color.shape[0]
+    if fb_layout_color is not None:
+        assert background is None
+        fbc = fb_layout_color
+        fbd = jnp.zeros((n_inst, 8, 128), jnp.float32)
+        if "cdepth" not in debug:
+            debug = (debug + " cdepth").strip()
+    elif background is not None:
         fbc = jnp.zeros((n_inst, 8, 128), jnp.int32)
         fbd = jnp.zeros((n_inst, 8, 128), jnp.float32)
     else:

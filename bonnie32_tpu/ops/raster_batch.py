@@ -53,6 +53,7 @@ _BF16 = jnp.bfloat16
 
 WB = 8            # framebuffer rows per phase-1 window
 CH = 24           # layout rows per phase-2 chunk
+KF = 1            # phase-1 faces per loop iteration (scalar-unit ILP)
 SEG = 2560        # phase-1 face-table segment (SMEM window cap: each
 SMALL_RA = 256  # atlas rows at/below which the direct gather loop wins
 # (measured v5e: direct wins at every sample-level size - cube 16 rows
@@ -86,16 +87,20 @@ FLAG_BT = 2
 
 
 def _tile_sizes(debug: str):
-    """Phase-2 chunk rows / phase-1 window rows, overridable from the
-    static debug string ("ch48", "wb16") for on-hardware tile sweeps."""
-    ch, wb = CH, WB
+    """Phase-2 chunk rows / phase-1 window rows / phase-1 face unroll,
+    overridable from the static debug string ("ch48", "wb16", "fb4") for
+    on-hardware tile sweeps."""
+    ch, wb, kf = CH, WB, KF
     for tok in debug.split():
         if tok.startswith("ch") and tok[2:].isdigit():
             ch = int(tok[2:])
         elif tok.startswith("wb") and tok[2:].isdigit():
             wb = int(tok[2:])
+        elif tok.startswith("fb") and tok[2:].isdigit():
+            kf = int(tok[2:])
     assert ch % 8 == 0 and wb % 8 == 0 and (wb & (wb - 1)) == 0, (ch, wb)
-    return ch, wb
+    assert kf >= 1
+    return ch, wb, kf
 
 
 def _lane_take(operand, lane_idx):
@@ -278,7 +283,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     ng_total = -(-width // 128)
     gh = ng_total * height
     groups = t_pad // 128
-    ch, wb = _tile_sizes(debug)
+    ch, wb, kf = _tile_sizes(debug)
     assert gh % ch == 0 and height % ch == 0, (gh, height, ch)
     assert height % wb == 0, (height, wb)
     n_chunks = gh // ch
@@ -312,10 +317,21 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # is 16-row aligned for bf16 tiling; pad rows can never match trow)
     ra_loop = atlas_rows_data if atlas_rows_data else atlas_rows
 
+    # Phase-1-computed per-chunk texture presence (round 4): each phase-1
+    # block marks its face's texture bit for the chunk(s) it touches in a
+    # tiny SMEM bitmask table; phase 2 then pl.when-skips whole textures
+    # absent from a chunk.  Unlike the round-3 "gate" variant (in-kernel
+    # VECTOR reductions per texture per chunk — measured loss), the
+    # phase-2 test is a single scalar SMEM read.  "nogate" disables for
+    # A/B.  The mark is a bbox superset, so skipping is always safe.
+    track_pres = tex_major and "nogate" not in debug
+    pres_words = max((n_tex + 31) >> 5, 1)
+
     def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
                texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
                texpack_ref, texpal_ref,
-               fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr, tex_scr):
+               fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr, tex_scr,
+               pres_scr):
         count = ctrl_ref[0, K_COUNT, 0]
         if n_segs == 1:
             seg_id = jnp.int32(0)
@@ -330,6 +346,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             else:
                 depth_ref[0] = fbd_ref[0]
             idx_scr[:] = jnp.full((gh, 128), -1, _I32)
+            if track_pres:
+                def clr(i, carry):
+                    pres_scr[jax.lax.div(i, jnp.int32(pres_words)),
+                             jax.lax.rem(i, jnp.int32(pres_words))] = \
+                        jnp.int32(0)
+                    return carry
+                jax.lax.fori_loop(jnp.int32(0),
+                                  jnp.int32(n_chunks * pres_words), clr,
+                                  jnp.int32(0))
 
         sub8 = jax.lax.broadcasted_iota(_I32, (wb, 128), 0)
         lane8 = jax.lax.broadcasted_iota(_I32, (wb, 128), 1)
@@ -340,10 +365,16 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         # row (order[f] - seg_base) of the (possibly uncompacted) tables.
         # Single-segment levels store original-order tables + a compacted
         # order; multi-segment levels store compacted tables + identity
-        # order — this code path is the same for both. ----
-        def face_body(f, carry):
-            fo = ctrl_ref[0, K_ORDER, f]     # global face id (draw order)
-            fr = fo - seg_base               # row within this segment
+        # order — this code path is the same for both.  With kf > 1
+        # ("fbK" debug) each iteration processes kf faces — the scalar
+        # reads of face j+1 pipeline behind face j's vector blocks; an
+        # out-of-range face clamps to row 0 with zero block iterations,
+        # so draw order and results are unchanged. ----
+        def one_face(fidx, n_here):
+            valid = fidx < n_here
+            fsafe = jnp.where(valid, fidx, jnp.int32(0))
+            fo = ctrl_ref[0, K_ORDER, fsafe]  # global face id (draw order)
+            fr = fo - seg_base                # row within this segment
             x_lo = ctrl_ref[0, K_XLO, fr]
             x_hi = ctrl_ref[0, K_XHI, fr]
             y_lo = ctrl_ref[0, K_YLO, fr]
@@ -400,6 +431,20 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 depth_ref[0, pl.ds(row0, wb), :] = jnp.where(better, izi, win)
                 iw = idx_scr[pl.ds(row0, wb), :]
                 idx_scr[pl.ds(row0, wb), :] = jnp.where(better, fg, iw)
+                if track_pres:
+                    # mark the face's texture bit for the touched chunk(s)
+                    # (two scalar SMEM RMWs; wb-blocks can straddle a
+                    # chunk boundary only when wb doesn't divide ch)
+                    tsafe = jnp.maximum(tid, 0)
+                    wi = jax.lax.shift_right_arithmetic(tsafe, jnp.int32(5))
+                    bit = jnp.where(
+                        tid >= 0,
+                        jax.lax.shift_left(jnp.int32(1), tsafe & 31),
+                        jnp.int32(0))
+                    c0 = jax.lax.div(row0, jnp.int32(ch))
+                    c1 = jax.lax.div(row0 + jnp.int32(wb - 1), jnp.int32(ch))
+                    pres_scr[c0, wi] = pres_scr[c0, wi] | bit
+                    pres_scr[c1, wi] = pres_scr[c1, wi] | bit
 
             def blk_clean(q, carry):
                 g = g0 + jax.lax.div(q, nblk)
@@ -452,19 +497,37 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 merge(row0, cov & ~keyed, izi)
                 return carry
 
+            total_blocks = jnp.where(valid, ngr * nblk, jnp.int32(0))
+
             @pl.when(keyable == 0)
             def _():
-                jax.lax.fori_loop(0, ngr * nblk, blk_clean, jnp.int32(0))
+                jax.lax.fori_loop(jnp.int32(0), total_blocks, blk_clean,
+                                  jnp.int32(0))
 
             @pl.when(keyable != 0)
             def _():
-                jax.lax.fori_loop(0, ngr * nblk, blk_keyed, jnp.int32(0))
-            return carry
+                jax.lax.fori_loop(jnp.int32(0), total_blocks, blk_keyed,
+                                  jnp.int32(0))
 
         if "novis" not in debug:
             n_here = jnp.clip(count - seg_base, jnp.int32(0),
                               jnp.int32(seg_rows))
-            jax.lax.fori_loop(0, n_here, face_body, jnp.int32(0))
+            if kf == 1:
+                def face_body(f, carry):
+                    one_face(f, n_here)
+                    return carry
+                jax.lax.fori_loop(jnp.int32(0), n_here, face_body,
+                                  jnp.int32(0))
+            else:
+                def face_body(fb, carry):
+                    for j in range(kf):
+                        one_face(fb * jnp.int32(kf) + jnp.int32(j),
+                                 n_here)
+                    return carry
+                n_iters = jax.lax.div(n_here + jnp.int32(kf - 1),
+                                      jnp.int32(kf))
+                jax.lax.fori_loop(jnp.int32(0), n_iters, face_body,
+                                  jnp.int32(0))
 
         # ---- PHASE 2: resolve + pixel pipeline, chunked; runs once the
         # final face segment has merged (the output blocks revisit) ----
@@ -623,20 +686,19 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     if "notex" in debug:
                         texel = jnp.full((ch, 128), col.WHITE, _I32)
                     elif tex_major:
-                        # Texture-major packed fetch.  Default: value-
-                        # carried accumulator over every texture's packed
+                        # Texture-major packed fetch.  Per-texture packed
                         # rows (pal16 8 texels/word, pal4 4, pack2 2) —
-                        # far fewer rows than the flat-atlas loop.  "gate"
-                        # debug opts into per-chunk texture skipping via a
-                        # pl.when presence reduction (measured v5e N=128:
-                        # gating wins nothing — cube 38.7 vs 31.2 us/inst,
-                        # CaveIn 30.8 vs 27.5, Cathedral 148 vs 145, Cave
-                        # tie 43.5/44.4 — the scalar reductions cost more
-                        # than the skipped rows).  Unpacking is exact
-                        # integer bit surgery, so the result is
-                        # bit-identical to atlas.data[flat].
+                        # far fewer rows than the flat-atlas loop.
+                        # Default (round 4): whole textures are skipped
+                        # per chunk via the phase-1-computed presence
+                        # bitmask — a single scalar SMEM read per
+                        # (chunk, texture) + pl.when.  (The round-3
+                        # in-kernel VECTOR-reduction gate lost: cube 38.7
+                        # vs 31.2 us/inst — do not re-try that form.)
+                        # Unpacking is exact integer bit surgery, so the
+                        # result is bit-identical to atlas.data[flat].
                         tid_v = a[C_TID].astype(_I32)
-                        gate = "gate" in debug
+                        gate = track_pres
 
                         def fetch_tex(e):
                             mode, row0, nrows = e[0], e[1], e[2]
@@ -673,14 +735,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         if gate:
                             tex_scr[:] = jnp.zeros((ch, 128), _I32)
                             for t, e in enumerate(tex_enc):
-                                want = has & (tid_v == t)
-                                present = jnp.max(
-                                    jnp.where(want, _I32(1), _I32(0))) > 0
+                                word = pres_scr[c, t >> 5]
+                                present = (jax.lax.shift_right_logical(
+                                    word, jnp.int32(t & 31)) & 1) != 0
 
                                 @pl.when(present)
-                                def _(e=e, want=want):
+                                def _(e=e, t=t):
                                     tex_scr[:] = jnp.where(
-                                        want, fetch_tex(e), tex_scr[:])
+                                        tid_v == t, fetch_tex(e),
+                                        tex_scr[:])
                             texel = tex_scr[:]
                         else:
                             texel = jnp.zeros((ch, 128), _I32)
@@ -826,7 +889,7 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     carry a leading instance axis.  Returns (color, depth) in layout form.
     """
     n_inst = fbc.shape[0]
-    ch, _ = _tile_sizes(debug)
+    ch, _, _ = _tile_sizes(debug)
     const_depth = "cdepth" in debug or clear_color is not None
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,
@@ -883,7 +946,9 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
             jax.ShapeDtypeStruct((n_inst, gh, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((gh, 128), jnp.int32),
-                        pltpu.VMEM((ch, 128), jnp.int32)],
+                        pltpu.VMEM((ch, 128), jnp.int32),
+                        pltpu.SMEM((gh // ch, max((n_tex + 31) >> 5, 1)),
+                                   jnp.int32)],
         # (cdepth: fbd still passed, but only an 8-row block is DMA'd)
         interpret=interpret,
     )(prep.ctrl, prep.fscal, prep.attrsT, keyrows, texmeta,

@@ -144,6 +144,130 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
+                         height: int, width: int, time=0.0) -> jnp.ndarray:
+    """The fast path rendered DIRECTLY in kernel layout space: returns
+    (NG*H, 128) packed color words identical (per real pixel) to
+    to_layout(render_skybox(fb, ...).color) — same per-pixel math on the
+    layout-indexed grid, so the datagen path skips the per-instance
+    (H, W) -> layout transpose entirely.  Depth is implicitly the
+    cleared inverse-z plane (pass debug="cdepth" to the kernel)."""
+    ngl = -(-width // 128)
+    gh = ngl * height
+    rows = jax.lax.broadcasted_iota(_I32, (gh, 128), 0)
+    lanes = jax.lax.broadcasted_iota(_I32, (gh, 128), 1)
+    yi = jax.lax.rem(rows, jnp.int32(height))
+    xi = jax.lax.div(rows, jnp.int32(height)) * 128 + lanes
+    lut_v = sky.sky_lut.shape[0]
+    lut_h = sky.sky_lut.shape[1]
+    time = jnp.asarray(time, _F32)
+    vs = _F32((min(width, height) / 2.0) * PROJ_SCALE)
+
+    usq = _F32(PROJ_DISTANCE - 1.0)
+    ndc_x = (xi.astype(_F32) + 0.5 - _F32(width / 2.0)) / vs / usq
+    ndc_y = (yi.astype(_F32) + 0.5 - _F32(height / 2.0)) / vs / usq
+    norm = jnp.sqrt(ndc_x * ndc_x + ndc_y * ndc_y + 1.0)
+    cx, cy, cz = ndc_x / norm, ndc_y / norm, 1.0 / norm
+    b = camera.basis
+    wx = cx * b[0, 0] + cy * b[1, 0] + cz * b[2, 0]
+    wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
+    wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
+    phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
+    theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
+    vbin = jnp.clip((phi * _F32(lut_v / math.pi)).astype(_I32),
+                    0, lut_v - 1)
+    hbin = jnp.clip((theta * _F32(lut_h / TWO_PI)).astype(_I32),
+                    0, lut_h - 1)
+    word = sky.sky_lut[vbin, hbin]
+    r = word & 0xFF
+    gch = (word >> 8) & 0xFF
+    bch = (word >> 16) & 0xFF
+
+    # mountains: same last-covering-wins pass on the layout grid
+    mdir = sky.mtn_dirs * _F32(10000.0)
+    mcam = jnp.einsum("vk,rk->vr", mdir, camera.basis)
+    mvalid_v = mcam[:, 2] > 0.1
+    ud = _F32(PROJ_DISTANCE)
+    us = _F32(PROJ_DISTANCE - 1.0)
+    denom = mcam[:, 2] + ud
+    msx = (mcam[:, 0] * us) / denom * vs + _F32(width / 2.0)
+    msy = (mcam[:, 1] * us) / denom * vs + _F32(height / 2.0)
+    px = xi.astype(_F32) + 0.5
+    py = yi.astype(_F32) + 0.5
+
+    def face_body(i, carry):
+        r, gc, bc = carry
+        f = sky.mtn_faces[i]
+        ok = (sky.mtn_valid[i] & mvalid_v[f[0]] & mvalid_v[f[1]]
+              & mvalid_v[f[2]])
+        x0, x1, x2 = msx[f[0]], msx[f[1]], msx[f[2]]
+        y0, y1, y2 = msy[f[0]], msy[f[1]], msy[f[2]]
+        signed = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        ok = ok & (signed < 0.0)
+        dnm = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        ok = ok & (jnp.abs(dnm) >= 0.0001)
+        inv = 1.0 / jnp.where(dnm == 0, _F32(1.0), dnm)
+        w0 = ((y1 - y2) * (px - x2) + (x2 - x1) * (py - y2)) * inv
+        w1 = ((y2 - y0) * (px - x2) + (x0 - x2) * (py - y2)) * inv
+        w2 = 1.0 - w0 - w1
+        covered = ok & (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+        cols = sky.mtn_colors[f].astype(_F32)
+        rr = w0 * cols[0, 0] + w1 * cols[1, 0] + w2 * cols[2, 0]
+        gg = w0 * cols[0, 1] + w1 * cols[1, 1] + w2 * cols[2, 1]
+        bbv = w0 * cols[0, 2] + w1 * cols[1, 2] + w2 * cols[2, 2]
+        r = jnp.where(covered,
+                      jnp.clip(jnp.trunc(rr), 0, 255).astype(_I32), r)
+        gc = jnp.where(covered,
+                       jnp.clip(jnp.trunc(gg), 0, 255).astype(_I32), gc)
+        bc = jnp.where(covered,
+                       jnp.clip(jnp.trunc(bbv), 0, 255).astype(_I32), bc)
+        return r, gc, bc
+
+    r, gch, bch = jax.lax.fori_loop(0, sky.mtn_faces.shape[0], face_body,
+                                    (r, gch, bch))
+
+    # stars: scatter remapped to layout indices
+    scam = jnp.einsum("vk,rk->vr", sky.star_dirs * _F32(10000.0),
+                      camera.basis)
+    s_ok = scam[:, 2] > 0.1
+    sdenom = scam[:, 2] + ud
+    ssx = ((scam[:, 0] * us) / sdenom * vs
+           + _F32(width / 2.0)).astype(_I32)
+    ssy = ((scam[:, 1] * us) / sdenom * vs
+           + _F32(height / 2.0)).astype(_I32)
+    brightness = jnp.where(
+        sky.star_twinkle > 0.0,
+        0.5 + 0.5 * jnp.sin(time * sky.star_twinkle + sky.star_phase),
+        1.0)
+    base = sky.star_color.astype(_F32)
+    center_c = jnp.trunc(base[None, :] * brightness[:, None]).astype(_I32)
+    s = jnp.maximum(sky.star_size, 1.0).astype(_I32)
+    offsets = [((0, 0), 1.0, 1)]
+    offsets += [((dx, dy), 0.7, 2) for dx, dy in
+                ((-1, 0), (1, 0), (0, -1), (0, 1))]
+    offsets += [((dx, dy), 0.4, 3) for dx, dy in
+                ((-2, 0), (2, 0), (0, -2), (0, 2))]
+    enabled = sky.stars_enabled
+    for (dx, dy), dim, min_size in offsets:
+        c = jnp.trunc(center_c.astype(_F32) * _F32(dim)).astype(_I32)
+        xs = ssx + dx
+        ys = ssy + dy
+        ok = (s_ok & enabled & (s >= min_size)
+              & (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
+        xs = jnp.clip(xs, 0, width - 1)
+        ys = jnp.clip(ys, 0, height - 1)
+        lrow = (xs >> 7) * height + ys
+        llane = xs & 127
+        r = r.at[lrow, llane].set(jnp.where(ok, c[:, 0], r[lrow, llane]))
+        gch = gch.at[lrow, llane].set(
+            jnp.where(ok, c[:, 1], gch[lrow, llane]))
+        bch = bch.at[lrow, llane].set(
+            jnp.where(ok, c[:, 2], bch[lrow, llane]))
+
+    return col.pack_rgba8(r, gch, bch, jnp.full_like(r, 255))
+
+
 @functools.partial(jax.jit, static_argnames=("exact",))
 def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
                   time=0.0, exact: bool = False) -> FrameBuffers:

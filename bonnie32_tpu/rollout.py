@@ -108,17 +108,23 @@ def step_and_render(states: st.GameState, env: RolloutEnv,
         fb0 = raster_ref.new_framebuffer(height, width, depth_mode="inv")
         fbs = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
-        background = 0   # new_framebuffer's clear word
-        if env.sky is not None:
-            from .ops import skybox as sky_ops
-            fbs = jax.vmap(
-                lambda fb, c: sky_ops.render_skybox(fb, env.sky, c))(fbs, cams)
-            background = None   # fb holds per-pixel sky — kernel must DMA it
         interpret = jax.default_backend() not in ("tpu", "axon")
-        fbs = scene_flat.render_level_flat(fbs, env.flat, env.flat_static,
-                                           cams, settings, height=height,
-                                           width=width, interpret=interpret,
-                                           background=background)
+        if env.sky is not None:
+            # layout-space skybox: the sky renders straight into kernel
+            # layout (no per-instance transposes) and the depth plane is
+            # implicitly the cleared inverse-z buffer (cdepth)
+            from .ops import skybox as sky_ops
+            skyc = jax.vmap(lambda c: sky_ops.render_skybox_layout(
+                env.sky, c, height, width))(cams)
+            fbs = scene_flat.render_level_flat(
+                fbs, env.flat, env.flat_static, cams, settings,
+                height=height, width=width, interpret=interpret,
+                fb_layout_color=skyc)
+        else:
+            fbs = scene_flat.render_level_flat(
+                fbs, env.flat, env.flat_static, cams, settings,
+                height=height, width=width, interpret=interpret,
+                background=0)   # new_framebuffer's clear word
         return states, fbs
 
     def render_one(cam):

@@ -283,3 +283,25 @@ def test_flat_kernel_settings_branches(cave, variant):
     budget = _seam_budget(diff.size, 1)
     assert diff.sum() <= budget, \
         f"{variant}: {diff.sum()} diffs (budget {budget})"
+
+
+@pytest.mark.parametrize("dbg", ["fb2", "fb4", "nogate", "wb16"])
+def test_flat_kernel_debug_variants_bit_exact(cave, dbg):
+    """Round-4 knobs — phase-1 face unroll (fbK), presence-gate disable
+    (nogate), window sweep (wb16) — must be bit-exact vs the default
+    kernel on the same scene."""
+    level, flat, static, seq = cave
+    settings = RasterSettings.game()
+    cams = _cams(level, 1)
+    H2, W2 = 120, 160
+    fb0 = raster_ref.new_framebuffer(H2, W2, depth_mode="inv")
+    fbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (1,) + x.shape), fb0)
+    base = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                        height=H2, width=W2,
+                                        interpret=True)
+    out = scene_flat.render_level_flat(fbs, flat, static, cams, settings,
+                                       height=H2, width=W2,
+                                       interpret=True, debug=dbg)
+    diff = int((np.asarray(out.color) != np.asarray(base.color)).sum())
+    assert diff == 0, f"{dbg}: {diff} pixel diffs vs default kernel"

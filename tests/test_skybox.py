@@ -181,3 +181,26 @@ def test_analytic_close_to_exact():
     # mean absolute channel error small; allow sparkle/seam outliers
     mae = np.abs(a - b).mean()
     assert mae < 4.0, f"analytic sky drifted from mesh sky (MAE {mae:.2f})"
+
+
+def test_layout_skybox_bit_exact():
+    """render_skybox_layout == to_layout(render_skybox(...).color) on
+    every real pixel (padding lanes excluded) — the datagen path's
+    transpose-free sky."""
+    from bonnie32_tpu.ops import raster_batch as rb
+
+    for preset in (Skybox.preset_night(), Skybox.preset_sunset()):
+        tables = sky_ops.build_sky_tables(preset)
+        basis = build.camera_basis(0.15, 0.9)
+        cam = build.make_camera((0.0, 0.0, 0.0), basis)
+        H, W = 120, 160
+        fb = raster_ref.new_framebuffer(H, W, depth_mode="inv")
+        normal = sky_ops.render_skybox(fb, tables, cam, time=0.25)
+        lay = np.asarray(sky_ops.render_skybox_layout(tables, cam, H, W,
+                                                      time=0.25))
+        want = np.asarray(rb.to_layout(normal.color[None], W)[0])
+        ngl = -(-W // 128)
+        rows = np.arange(ngl * H)[:, None]
+        lanes = np.arange(128)[None, :]
+        mask = ((rows // H) * 128 + lanes) < W
+        assert (((lay != want) & mask).sum()) == 0
