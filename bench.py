@@ -11,12 +11,14 @@ FPS-equivalent (61440 instance-frames/s).  Run at N=1024 by default.
 detail adds config #1 (spinning textured cube, raster only, same batched
 kernel) and config #3 (Cathedral, the largest multi-room sample level).
 
-Methodology: the remote-TPU tunnel has a ~27 ms host<->device sync latency
-and an asynchronous dispatch queue, so per-call wall timing measures
-latency, not throughput.  Frames are CHAINED on device (each frame's state
-feeds the next; a scalar from each framebuffer joins a carried
-accumulator) and timed as the slope between a short and a long chain —
-pipeline throughput, which is what a datagen consumer sees.
+Methodology (v3, PLAN_PERF.md): the remote-TPU tunnel has a ~27 ms
+host<->device sync latency and an asynchronous dispatch queue, so per-call
+wall timing measures latency, not throughput.  Frames are CHAINED ON
+DEVICE inside a jitted `lax.fori_loop` with a dynamic trip count (each
+frame's state feeds the next; a scalar from each framebuffer joins a
+carried accumulator) and timed as the slope between a short and a long
+chain — device pipeline throughput, which is what a scan-based datagen
+consumer sees, with zero per-frame host dispatch in the measured region.
 
 Prints ONE JSON line.
 """
@@ -31,16 +33,38 @@ sys.path.insert(0, "tests")
 import numpy as np
 
 
-def slope_time(run, k1=3, k2=13):
-    """Seconds per iteration from the (k2 - k1) chain-length slope."""
+def slope_time(run, k1=5, k2=25, rounds=2):
+    """Seconds per iteration from the (k2 - k1) chain-length slope;
+    min-of-rounds on both ends to reject tunnel-sync jitter."""
     run(2)  # compile + warm
-    t0 = time.perf_counter()
-    run(k1)
-    t1 = time.perf_counter()
-    run(k2)
-    t2 = time.perf_counter()
-    per = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+    ts = {k1: [], k2: []}
+    for _ in range(rounds):
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            run(k)
+            ts[k].append(time.perf_counter() - t0)
+    per = (min(ts[k2]) - min(ts[k1])) / (k2 - k1)
     return max(per, 1e-9)
+
+
+def chain_runner(frame_fn, carry0):
+    """frame_fn: (i, carry) -> (carry, scalar). Returns run(k) that chains
+    k frames on device inside one jitted fori_loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def chain(k):
+        def body(i, st):
+            carry, acc = st
+            carry, v = frame_fn(i, carry)
+            return (carry, acc + v.astype(jnp.float32))
+
+        _, acc = lax.fori_loop(0, k, body, (carry0, jnp.float32(0)))
+        return acc
+
+    return lambda k: float(chain(jnp.int32(k)))
 
 
 def datagen_rate(level_path, n, settings, k_long):
@@ -57,15 +81,11 @@ def datagen_rate(level_path, n, settings, k_long):
         cam_x=jnp.zeros(n, jnp.float32), cam_y=jnp.zeros(n, jnp.float32),
         sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
 
-    def run(k):
-        states = states0
-        acc = jnp.float32(0)
-        for _ in range(k):
-            states, fbs = rollout.step_and_render(states, env, acts,
-                                                  settings)
-            acc = acc + fbs.color[0, 0, 0]
-        return float(acc)
+    def frame(i, states):
+        states, fbs = rollout.step_and_render(states, env, acts, settings)
+        return states, fbs.color[0, 0, 0]
 
+    run = chain_runner(frame, states0)
     dt = slope_time(run, k2=k_long)
     tris = int(np.asarray(env.scene.faces.valid).sum())
     return n / dt, dt, tris
@@ -73,7 +93,7 @@ def datagen_rate(level_path, n, settings, k_long):
 
 def main():
     n_instances = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    k_long = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    k_long = int(sys.argv[2]) if len(sys.argv) > 2 else 25
 
     import jax
     import jax.numpy as jnp
@@ -87,6 +107,7 @@ def main():
     settings = RasterSettings.game()
     target = 1024 * 60
     n = n_instances
+    interp = jax.default_backend() not in ("tpu", "axon")
 
     # ---- config #5 (headline): fused datagen on the Cave sample level ----
     cave = "/root/reference/assets/samples/levels/Cave.ron"
@@ -102,25 +123,16 @@ def main():
     fbs0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
 
-    def cube_frame(t):
+    def cube_frame(i, t):
         cams = cam_ops.orbit_cameras(
             jnp.asarray(base_angles) + t * 0.031, 0.35, 3.5)
         out = scene_flat.render_level_flat(fbs0, flat, static, cams,
                                            settings, height=HEIGHT,
-                                           width=WIDTH)
-        return out.color
+                                           width=WIDTH, interpret=interp)
+        return t + 1.0 + out.color[0, 0, 0].astype(jnp.float32) * 1e-30, \
+            out.color[0, 0, 0]
 
-    cube_frame = jax.jit(cube_frame)
-
-    def run_cube(k):
-        t = jnp.float32(0)
-        acc = jnp.float32(0)
-        for _ in range(k):
-            color = cube_frame(t + acc * 1e-30)
-            t = t + 1.0
-            acc = acc + color[0, 0, 0]
-        return float(acc)
-
+    run_cube = chain_runner(cube_frame, jnp.float32(0))
     dt_cube = slope_time(run_cube, k2=k_long)
     cube_ifps = n / dt_cube
 
@@ -138,27 +150,18 @@ def main():
         lambda x: jnp.broadcast_to(x, (n2,) + x.shape), fb0)
     base2 = np.arange(n2, dtype=np.float32) * 0.01
 
-    def transp_frame(t):
+    def transp_frame(i, t):
         cams = cam_ops.orbit_cameras(
             jnp.asarray(base2) + t * 0.031, 0.35, 3.5)
         out = scene_flat.render_level_flat(fbs2, tflat, tstatic, cams,
                                            settings, height=HEIGHT,
-                                           width=WIDTH)
-        return out.color
-
-    transp_frame = jax.jit(transp_frame)
-
-    def run_transp(k):
-        t = jnp.float32(0)
-        acc = jnp.float32(0)
-        for _ in range(k):
-            color = transp_frame(t + acc * 1e-30)
-            t = t + 1.0
-            acc = acc + color[0, 0, 0]
-        return float(acc)
+                                           width=WIDTH, interpret=interp)
+        return t + 1.0 + out.color[0, 0, 0].astype(jnp.float32) * 1e-30, \
+            out.color[0, 0, 0]
 
     try:
         n_transp = len(tstatic.transparent_idx)
+        run_transp = chain_runner(transp_frame, jnp.float32(0))
         dt_transp = slope_time(run_transp, k2=k_long)
         transp_ifps = n2 / dt_transp
     except Exception as e:
@@ -177,24 +180,16 @@ def main():
             mflat, mstatic = scene_flat.compile_scene_flat(
                 mverts, mfaces, tex, scenes.DEFAULT_LIGHT_SPECS)
 
-            def mixed_frame(t, mflat=mflat, mstatic=mstatic, s2=s2):
+            def mixed_frame(i, t, mflat=mflat, mstatic=mstatic, s2=s2):
                 cams = cam_ops.orbit_cameras(
                     jnp.asarray(base_angles) + t * 0.031, 0.35, 3.5)
-                return scene_flat.render_level_flat(
-                    fbs0, mflat, mstatic, cams, s2,
-                    height=HEIGHT, width=WIDTH).color
+                color = scene_flat.render_level_flat(
+                    fbs0, mflat, mstatic, cams, s2, height=HEIGHT,
+                    width=WIDTH, interpret=interp).color
+                return t + 1.0 + color[0, 0, 0].astype(jnp.float32) * 1e-30, \
+                    color[0, 0, 0]
 
-            mixed_frame = jax.jit(mixed_frame)
-
-            def run_mixed(k, mixed_frame=mixed_frame):
-                t = jnp.float32(0)
-                acc = jnp.float32(0)
-                for _ in range(k):
-                    color = mixed_frame(t + acc * 1e-30)
-                    t = t + 1.0
-                    acc = acc + color[0, 0, 0]
-                return float(acc)
-
+            run_mixed = chain_runner(mixed_frame, jnp.float32(0))
             mixed_ifps[tag] = round(n / slope_time(run_mixed, k2=k_long), 1)
         except Exception as e:
             mixed_ifps[tag] = 0.0

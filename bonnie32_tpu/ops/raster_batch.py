@@ -53,7 +53,8 @@ _BF16 = jnp.bfloat16
 
 WB = 8            # framebuffer rows per phase-1 window
 CH = 24           # layout rows per phase-2 chunk
-KF = 1            # phase-1 faces per loop iteration (scalar-unit ILP)
+KF = 4            # phase-1 faces per loop iteration (scalar-unit ILP;
+#                   measured v5e: ~wash on Cave, -3.7 us/inst Cathedral)
 SEG = 2560        # phase-1 face-table segment (SMEM window cap: each
 SMALL_RA = 256  # atlas rows at/below which the direct gather loop wins
 # (measured v5e: direct wins at every sample-level size - cube 16 rows
@@ -322,9 +323,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # tiny SMEM bitmask table; phase 2 then pl.when-skips whole textures
     # absent from a chunk.  Unlike the round-3 "gate" variant (in-kernel
     # VECTOR reductions per texture per chunk — measured loss), the
-    # phase-2 test is a single scalar SMEM read.  "nogate" disables for
-    # A/B.  The mark is a bbox superset, so skipping is always safe.
-    track_pres = tex_major and "nogate" not in debug
+    # phase-2 test is a single scalar SMEM read.  "nogate"/"gate" force it
+    # off/on for A/B.  The mark is a bbox superset, so skipping is always
+    # safe.  Default is face-count adaptive (measured v5e, N per level):
+    # Cave t_pad 384 wins 75.7->69.7 us/inst, Cathedral t_pad 2176 LOSES
+    # 209.5->218.5 — the two scalar SMEM RMWs per merged block scale with
+    # face count while the skipped texel rows per chunk do not.
+    track_pres = (tex_major and "nogate" not in debug
+                  and (t_pad <= 1024 or "gate" in debug))
     pres_words = max((n_tex + 31) >> 5, 1)
 
     def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
