@@ -84,6 +84,10 @@ class FlatScene(NamedTuple):
     cuv: jnp.ndarray        # (T, 3, 2) f32
     cvcol: jnp.ndarray      # (T, 3, 3) i32
     cvblend: jnp.ndarray    # (T, 3) i32
+    # Camera-independent per-face attributes, resolved at compile time so
+    # build_surfaces_flat carries no per-instance gathers for them:
+    f_blend: jnp.ndarray      # (T,) i32 resolved blend mode (tex or face)
+    f_hastransp: jnp.ndarray  # (T,) bool has_transparency
     # Precomputed Gouraud/flat shading (round 4): point-light shading
     # depends only on world positions/normals + static lights, so for a
     # static level it is camera-independent — computed ONCE at compile
@@ -360,6 +364,11 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
                       cuv=jnp.asarray(uv_np[vidx_np]),
                       cvcol=jnp.asarray(vcol_np[vidx_np]),
                       cvblend=jnp.asarray(vblend_np[vidx_np]),
+                      f_blend=jnp.asarray(
+                          np.where(textured,
+                                   tex_blend[np.maximum(tid_np, 0)],
+                                   face_bm).astype(np.int32)),
+                      f_hastransp=jnp.asarray(has_tr),
                       cshade=cshade, cshade_neg=cshade_neg,
                       fshade=fshade, fshade_neg=fshade_neg)
     static = FlatSceneStatic(
@@ -420,12 +429,10 @@ def build_surfaces_flat(scene: FlatScene, camera: CameraArrays,
                                      axis=-1)
 
     textured = faces.tex_id >= 0
-    safe_tid = jnp.maximum(faces.tex_id, 0)
-    tex_blend = atlas.blend_mode[safe_tid]
-    has_transparency = ((textured & (tex_blend != int(BlendMode.OPAQUE)))
-                        | (faces.blend_mode != int(BlendMode.OPAQUE))
-                        | (faces.editor_alpha < 255))
-    blend_mode = jnp.where(textured, tex_blend, faces.blend_mode)
+    # blend mode / transparency are camera-independent — resolved at scene
+    # compile (kills the per-instance atlas.blend_mode[tid] gather)
+    has_transparency = scene.f_hastransp
+    blend_mode = scene.f_blend
 
     render_back = not settings.backface_cull or settings.xray_mode
     render_back_face = (faces.double_sided

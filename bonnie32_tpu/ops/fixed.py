@@ -180,8 +180,17 @@ def div_unr(num, den):
     d16 = (safe_d << z) >> _U32(16)
 
     # Table lookup: index = (d16 - 0x7FC0) >> 7, clamped to 256 (fixed.rs:200).
+    # The 257-entry UNR table is formula-generated (fixed.rs:20-31), so the
+    # entry is COMPUTED in-register instead of gathered — XLA gathers are
+    # erratic on TPU and this sits in the per-vertex projection hot path
+    # (PLAN_PERF.md fact #3).  quotient = 0x40000 // (idx + 0x100): the
+    # divisor is in [256, 512], so non-integer quotients sit >= 1/512 from
+    # an integer while the f32 divide errs <= 2 ulp (~2.4e-4) — trunc is
+    # exact (test_fixed.py asserts all 257 entries match the table).
     table_idx = jnp.minimum((d16 - _U32(0x7FC0)) >> _U32(7), _U32(256))
-    u_val = _UNR_TABLE_DEV[table_idx.astype(_I32)] + _U32(0x101)
+    q = jnp.trunc(_F32(float(0x40000))
+                  / (table_idx + _U32(0x100)).astype(_F32)).astype(_U32)
+    u_val = jnp.maximum((q + _U32(1)) >> _U32(1), _U32(0x101))
 
     # Two Newton-Raphson iterations (fixed.rs:204-205); all intermediates
     # < 2^26 so u32 is exact.

@@ -120,3 +120,18 @@ def test_projection_outputs_are_integer_snapped():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_unr_inregister_formula_covers_every_index():
+    """div_unr computes the UNR entry in-register (f32 divide + trunc)
+    instead of gathering _UNR_TABLE_DEV; prove the formula reproduces the
+    table for ALL 257 indices by exercising every d16 bucket."""
+    import jax.numpy as jnp
+
+    idx = np.arange(257, dtype=np.uint32)
+    q = np.asarray(jnp.trunc(
+        jnp.float32(float(0x40000))
+        / (jnp.asarray(idx) + jnp.uint32(0x100)).astype(jnp.float32)
+    ).astype(jnp.uint32))
+    u_val = np.maximum((q + 1) >> 1, 0x101)
+    assert (u_val == fx.UNR_TABLE + 0x101).all()
