@@ -88,6 +88,10 @@ class FlatScene(NamedTuple):
     # build_surfaces_flat carries no per-instance gathers for them:
     f_blend: jnp.ndarray      # (T,) i32 resolved blend mode (tex or face)
     f_hastransp: jnp.ndarray  # (T,) bool has_transparency
+    # Draw-group id per face (room index, then one group per placed asset
+    # part, in draw order) — scopes painter's-mode back-to-front sorting
+    # and wireframe edge dedup to one render_mesh_15-call equivalent.
+    f_group: jnp.ndarray      # (T,) i32
     # Precomputed Gouraud/flat shading (round 4): point-light shading
     # depends only on world positions/normals + static lights, so for a
     # static level it is camera-independent — computed ONCE at compile
@@ -118,6 +122,11 @@ class FlatSceneStatic:
     # True when every transparent face lives in the final room/draw, so
     # opaque-then-transparent matches the reference's per-room interleave.
     transparent_last: bool
+    # Number of draw groups (rooms + placed asset parts).  Backface
+    # wireframes are kernel-eligible only at 1: later groups' solids can
+    # overwrite earlier groups' wire pixels in the reference's per-group
+    # interleave, which a post-kernel line pass cannot replicate.
+    n_draw_groups: int = 1
 
 
 def _faces_to_arrays(verts, faces, textures, pad_faces=None):
@@ -215,8 +224,8 @@ def compile_scene_flat(verts, faces, textures, light_specs=None,
 def _compile_groups(groups, tex_list, light_specs, light_pad):
     # Concatenate into one vertex/face list.
     all_v, all_f = [], []
-    fog_rows, ambients, ds_flags = [], [], []
-    for verts, faces, fog_row, amb, ds in groups:
+    fog_rows, ambients, ds_flags, group_ids = [], [], [], []
+    for gi, (verts, faces, fog_row, amb, ds) in enumerate(groups):
         base = len(all_v)
         if not verts:
             verts = [dict(pos=(0, 0, 0), uv=(0, 0), normal=(0, 0, 0),
@@ -229,12 +238,14 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
             ambients.append(amb)
             ds_flags.append(bool(ds) if ds is not None
                             else bool(f.get("double_sided", False)))
+            group_ids.append(gi)
 
     if not all_f:
         all_f = [dict(v0=0, v1=0, v2=0, tex_id=None)]
         fog_rows.append((False, 0.0, 0.0, 3.4e38, (0, 0, 0)))
         ambients.append(0.5)
         ds_flags.append(False)
+        group_ids.append(0)
         dummy_valid = True
     else:
         dummy_valid = False
@@ -369,13 +380,14 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
                                    tex_blend[np.maximum(tid_np, 0)],
                                    face_bm).astype(np.int32)),
                       f_hastransp=jnp.asarray(has_tr),
+                      f_group=jnp.asarray(np.asarray(group_ids, np.int32)),
                       cshade=cshade, cshade_neg=cshade_neg,
                       fshade=fshade, fshade_neg=fshade_neg)
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
         atlas_rows=ra, atlas_rows_data=ra_data,
         key_wrows=wr, tex_enc=tex_enc, transparent_idx=tr_idx,
-        transparent_last=tr_last)
+        transparent_last=tr_last, n_draw_groups=len(groups))
     return scene, static
 
 
@@ -509,15 +521,34 @@ def build_surfaces_flat(scene: FlatScene, camera: CameraArrays,
 def kernel_path_ok(static: FlatSceneStatic,
                    settings: RasterSettings) -> bool:
     """Static eligibility for the fused kernel (else use scene.render_level
-    under vmap).  Mirrors render.render_mesh_15's fast-path conditions plus
-    the flat-order constraint for transparent faces (see module docstring)
-    and the in-kernel wireframe/x-ray exclusions."""
-    return (settings.use_zbuffer
-            and not settings.xray_mode
-            and settings.ortho_projection is None
-            and not settings.wireframe_overlay
-            and not (settings.backface_cull and settings.backface_wireframe)
-            and static.transparent_last)
+    under vmap).  Round-4 widened the kernel beyond the game configs:
+
+      * painter's mode (use_zbuffer=False): the kernel merges by draw
+        order (last covering face wins) with faces pre-sorted per group
+        back-to-front — single-segment face tables only (the painter's
+        sort needs the whole order column in one segment);
+      * wireframe_overlay: solid passes are skipped entirely
+        (render.rs:2550) and the front-edge pass is order-independent,
+        so it runs as a post pass for any group count;
+      * backface wireframes: post-pass, exact only for one draw group
+        (per-group solid/wire interleave — see render_wireframes_flat).
+
+    Still excluded: x-ray (order-dependent 50% accumulation of EVERY
+    covered face per pixel — a winner-resolve kernel cannot express it)
+    and ortho projection (depth can be <= 0 where inverse-z ordering
+    breaks; the reference semantics need harmonic z, raster_ref)."""
+    from ..ops.raster_batch import SEG
+
+    if settings.xray_mode or settings.ortho_projection is not None:
+        return False
+    if not static.transparent_last:
+        return False
+    if not settings.use_zbuffer and static.t_pad > SEG:
+        return False
+    if (settings.backface_cull and settings.backface_wireframe
+            and static.n_draw_groups > 1):
+        return False
+    return True
 
 
 def _transparent_pass(fb, surf, idx_tuple, atlas, settings, width, height):
@@ -580,12 +611,22 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     kernel layout with an implicitly-cleared inverse-z depth — the skybox
     datagen path: no host transposes, no depth DMA."""
     from ..ops import raster_batch as rb
+    from ..ops import wireframe as wf
+
+    wires_on = (settings.wireframe_overlay
+                or (settings.backface_cull and settings.backface_wireframe))
+    if settings.wireframe_overlay:
+        # Solid passes are skipped entirely in overlay mode
+        # (render.rs:2550): only the front-edge line pass runs.
+        assert fb is not None, "wireframe modes need explicit framebuffers"
+        return wf.render_wireframes_flat(fb, scene, cams, settings,
+                                         width, height, depth_mode="inv")
 
     surf = jax.vmap(
         lambda c: build_surfaces_flat(scene, c, settings, width, height))(cams)
     prep = jax.vmap(
         lambda s: rb.prep_instance(s, scene.atlas, settings, width, height,
-                                   static.t_pad))(surf)
+                                   static.t_pad, group_id=scene.f_group))(surf)
     n_inst = fb.color.shape[0] if fb is not None \
         else fb_layout_color.shape[0]
     if fb_layout_color is not None:
@@ -612,4 +653,9 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     if static.transparent_idx:
         out = _transparent_pass(out, surf, static.transparent_idx,
                                 scene.atlas, settings, width, height)
+    if wires_on:
+        # Backface wires (single draw group; see kernel_path_ok) run after
+        # the solid + transparent passes, as in render_mesh_15.
+        out = wf.render_wireframes_flat(out, scene, cams, settings,
+                                        width, height, depth_mode="inv")
     return out

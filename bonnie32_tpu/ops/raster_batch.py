@@ -155,12 +155,19 @@ class BatchPrep(NamedTuple):
 
 
 def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
-                  width: int, height: int, t_pad: int) -> BatchPrep:
+                  width: int, height: int, t_pad: int,
+                  group_id=None) -> BatchPrep:
     """Cull + bbox + compact one instance's surfaces for the kernel.
 
     Replicates raster_fast's routing: opaque = valid & ~has_transparency;
     keyable needs a texture sample during visibility (render.rs:1588).
     bbox ints follow _edge_setup exactly.
+
+    In painter's mode (use_zbuffer=False) the compacted order is the SORT
+    phase's draw order (render.rs:2525-2542): back-to-front by centroid z,
+    stable, scoped per draw group (`group_id`, (T,) i32 — rooms then asset
+    parts) because the reference sorts within each render_mesh_15 call.
+    The kernel then composites by order instead of depth.
     """
     sx, sy = surfaces.sx, surfaces.sy
     v1x, v2x, v3x = sx[:, 0], sx[:, 1], sx[:, 2]
@@ -233,6 +240,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         fill = jnp.zeros((t_pad - t,) + arr.shape[1:], arr.dtype)
         return jnp.concatenate([arr, fill], axis=0)
 
+    painters = not settings.use_zbuffer
     if t_pad <= SEG:
         # ORDER-INDIRECT compaction (round 4): the tables stay in original
         # face order; only a (t_pad,) index column compacts — a stable
@@ -240,13 +248,27 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         # indirects f -> order[f].  This replaces the exact one-hot
         # einsum, whose (t_pad, T, 42-col) matmul was 123 M MAC/inst at
         # Cathedral scale (prep 61 us/inst, PLAN_PERF round-4).
-        _, order = jax.lax.sort(
-            (1 - keep_i, jnp.arange(t, dtype=_I32)),
-            is_stable=True, num_keys=1)
+        if painters:
+            # Painter's draw order: per group, back-to-front (-z ascending
+            # == z descending), original index breaking ties (stable) —
+            # exactly surface.draw_order's opaque ordering per group.
+            gid = (group_id.astype(_I32) if group_id is not None
+                   else jnp.zeros(t, _I32))
+            zkey = jnp.where(keep & ~jnp.isnan(surfaces.centroid_z),
+                             -surfaces.centroid_z, _F32(jnp.inf))
+            _, _, _, order = jax.lax.sort(
+                (1 - keep_i, gid, zkey, jnp.arange(t, dtype=_I32)),
+                is_stable=True, num_keys=3)
+        else:
+            _, order = jax.lax.sort(
+                (1 - keep_i, jnp.arange(t, dtype=_I32)),
+                is_stable=True, num_keys=1)
         order = pad_rows(order)
         attrs_c = pad_rows(attrs)
         ctrl_c = pad_rows(ctrl_i)
     else:
+        assert not painters, \
+            "painter's mode needs a single-segment face table (t_pad <= SEG)"
         # Multi-segment levels keep the einsum compaction (the SMEM
         # windows stream SEG-row slices, so phase 1 can only address
         # rows inside its own segment) with an identity order column.
@@ -297,6 +319,12 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     const_depth = "cdepth" in debug or clear_color is not None
     affine = settings.affine_textures
     shading = settings.shading
+    # Painter's mode (use_zbuffer=False, render.rs:2525-2542): faces come
+    # pre-sorted back-to-front per group (prep_instance), the merge is
+    # pure draw-order overwrite, and the depth plane — used as scratch to
+    # carry the winner's 1/z for perspective-correct UV — is restored to
+    # its input value in phase 2 (the reference never writes depth here).
+    painters = not settings.use_zbuffer
     if t_pad <= SEG:
         n_segs, seg_rows = 1, t_pad
     else:
@@ -433,7 +461,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
             def merge(row0, cov, izi):
                 win = depth_ref[0, pl.ds(row0, wb), :]
-                better = cov & (izi > win)
+                # painter's: last covering face wins regardless of depth
+                better = cov if painters else (cov & (izi > win))
                 depth_ref[0, pl.ds(row0, wb), :] = jnp.where(better, izi, win)
                 iw = idx_scr[pl.ds(row0, wb), :]
                 idx_scr[pl.ds(row0, wb), :] = jnp.where(better, fg, iw)
@@ -869,6 +898,19 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     else:
                         bg = jnp.full((ch, 128), _I32(clear_color))
                     color_ref[0, pl.ds(r0, ch), :] = jnp.where(drawn, word, bg)
+
+                    if painters:
+                        # The depth plane was only scratch (winner 1/z for
+                        # perspective-correct UV); painter's never writes
+                        # depth (raster_ref zwrite=False) — restore the
+                        # input value.  No-winner chunks were never merged
+                        # into, so they already hold it.
+                        if const_depth:
+                            depth_ref[0, pl.ds(r0, ch), :] = \
+                                jnp.zeros((ch, 128), _F32)
+                        else:
+                            depth_ref[0, pl.ds(r0, ch), :] = \
+                                fbd_ref[0, pl.ds(r0, ch), :]
 
         if "nophase2" not in debug:
             pl.when(seg_id == n_segs - 1)(_run_phase2)

@@ -144,9 +144,10 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "parts"))
 def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
-                         height: int, width: int, time=0.0) -> jnp.ndarray:
+                         height: int, width: int, time=0.0,
+                         parts: str = "lut mtn stars") -> jnp.ndarray:
     """The fast path rendered DIRECTLY in kernel layout space: returns
     (NG*H, 128) packed color words identical (per real pixel) to
     to_layout(render_skybox(fb, ...).color) — same per-pixel math on the
@@ -179,7 +180,10 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
                     0, lut_v - 1)
     hbin = jnp.clip((theta * _F32(lut_h / TWO_PI)).astype(_I32),
                     0, lut_h - 1)
-    word = sky.sky_lut[vbin, hbin]
+    if "lut" in parts:      # `parts` gates passes for profiling only
+        word = sky.sky_lut[vbin, hbin]
+    else:
+        word = vbin * 0
     r = word & 0xFF
     gch = (word >> 8) & 0xFF
     bch = (word >> 16) & 0xFF
@@ -224,8 +228,9 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
                        jnp.clip(jnp.trunc(bbv), 0, 255).astype(_I32), bc)
         return r, gc, bc
 
-    r, gch, bch = jax.lax.fori_loop(0, sky.mtn_faces.shape[0], face_body,
-                                    (r, gch, bch))
+    if "mtn" in parts:
+        r, gch, bch = jax.lax.fori_loop(0, sky.mtn_faces.shape[0], face_body,
+                                        (r, gch, bch))
 
     # stars: scatter remapped to layout indices
     scam = jnp.einsum("vk,rk->vr", sky.star_dirs * _F32(10000.0),
@@ -248,7 +253,7 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
                 ((-1, 0), (1, 0), (0, -1), (0, 1))]
     offsets += [((dx, dy), 0.4, 3) for dx, dy in
                 ((-2, 0), (2, 0), (0, -2), (0, 2))]
-    enabled = sky.stars_enabled
+    enabled = sky.stars_enabled & ("stars" in parts)
     for (dx, dy), dim, min_size in offsets:
         c = jnp.trunc(center_c.astype(_F32) * _F32(dim)).astype(_I32)
         xs = ssx + dx

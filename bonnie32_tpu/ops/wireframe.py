@@ -228,6 +228,128 @@ def wireframe_edges(mesh: MeshArrays, faces: FaceArrays,
     return ex, ey, ez, back, front
 
 
+def _dedup_mask_grouped(ex, ey, valid, group):
+    """Per-GROUP first-occurrence mask (render.rs:2586 scoped to one
+    render_mesh_15 call): the reference dedups edges within each mesh draw
+    (room / asset part), never across draws, so the flat scene's edges
+    carry their draw-group id and only merge within it.
+
+    Sort-based (O(E log E)) instead of _dedup_mask's O(E^2) pairwise
+    compare — the flat scene concatenates every group's edges (Cathedral:
+    ~6k), where the pairwise mask's (E, E) booleans stop being free.
+    Semantics match: among same-(group, normalized key) edges, the FIRST
+    valid one survives; invalid edges never block a later valid one."""
+    a_first = (ex[:, 0] < ex[:, 1]) | ((ex[:, 0] == ex[:, 1])
+                                       & (ey[:, 0] < ey[:, 1]))
+    kx0 = jnp.where(a_first, ex[:, 0], ex[:, 1])
+    ky0 = jnp.where(a_first, ey[:, 0], ey[:, 1])
+    kx1 = jnp.where(a_first, ex[:, 1], ex[:, 0])
+    ky1 = jnp.where(a_first, ey[:, 1], ey[:, 0])
+
+    e = ex.shape[0]
+    idx = jnp.arange(e, dtype=_I32)
+    inval = jnp.where(valid, _I32(0), _I32(1))
+    # Stable sort: valid edges lead each (group, key) run in original
+    # index order, so "first of run" == reference's first-valid-occurrence.
+    g_s, k0_s, k1_s, k2_s, k3_s, inv_s, idx_s = jax.lax.sort(
+        (group.astype(_I32), kx0, ky0, kx1, ky1, inval, idx),
+        is_stable=True, num_keys=6)
+    same_prev = ((g_s[1:] == g_s[:-1]) & (k0_s[1:] == k0_s[:-1])
+                 & (k1_s[1:] == k1_s[:-1]) & (k2_s[1:] == k2_s[:-1])
+                 & (k3_s[1:] == k3_s[:-1]))
+    first = jnp.concatenate([jnp.ones((1,), bool), ~same_prev])
+    keep_sorted = first & (inv_s == 0)
+    return jnp.zeros(e, bool).at[idx_s].set(keep_sorted)
+
+
+def wireframe_edges_flat(scene, camera: CameraArrays,
+                         settings: RasterSettings, width: int, height: int):
+    """wireframe_edges over a FlatScene (models/scene_flat.py): per-face
+    fog params instead of one Fog, plus each edge's draw-group id for
+    per-mesh dedup scoping.  Corner positions come from the pre-gathered
+    compile-time copies (scene.cpos, ORIGINAL winding — the wireframe
+    phase reads vertices before the backface corner swap,
+    render.rs:2373-2513)."""
+    tv = transform_vertices(scene.cpos, scene.cnorm, camera, settings,
+                            width, height, with_normals=False)
+    c_sx = tv.sx            # (T, 3)
+    c_sy = tv.sy
+    c_sz = tv.sz
+    cam_z = tv.cam[..., 2]
+    faces, fog = scene.faces, scene.fog
+
+    if settings.ortho_projection is None:
+        near_ok = jnp.all(cam_z > NEAR_PLANE, axis=-1)
+    else:
+        near_ok = jnp.ones(c_sx.shape[0], bool)
+
+    signed_area = ((c_sx[:, 1] - c_sx[:, 0]) * (c_sy[:, 2] - c_sy[:, 0])
+                   - (c_sx[:, 2] - c_sx[:, 0]) * (c_sy[:, 1] - c_sy[:, 0]))
+    is_backface = signed_area <= 0.0
+
+    fog_cull = fog.enabled & jnp.all(cam_z > fog.cull_distance[:, None],
+                                     axis=-1)
+
+    common = faces.valid & near_ok & ~fog_cull
+    back_face = (common & is_backface & (not settings.xray_mode)
+                 & ~faces.double_sided)
+    front_face = common & ~is_backface
+
+    ix = jnp.clip(jnp.trunc(c_sx), -2**31, 2**31 - 1).astype(_I32)
+    iy = jnp.clip(jnp.trunc(c_sy), -2**31, 2**31 - 1).astype(_I32)
+
+    corner_a = jnp.asarray([0, 1, 2], _I32)
+    corner_b = jnp.asarray([1, 2, 0], _I32)
+    ex = jnp.stack([ix[:, corner_a], ix[:, corner_b]], axis=-1)
+    ey = jnp.stack([iy[:, corner_a], iy[:, corner_b]], axis=-1)
+    ez = jnp.stack([c_sz[:, corner_a], c_sz[:, corner_b]], axis=-1)
+
+    t = c_sx.shape[0]
+    ex = ex.reshape(t * 3, 2)
+    ey = ey.reshape(t * 3, 2)
+    ez = ez.reshape(t * 3, 2)
+    back = jnp.repeat(back_face, 3)
+    front = jnp.repeat(front_face, 3)
+    group = jnp.repeat(scene.f_group, 3)
+    return ex, ey, ez, back, front, group
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "depth_mode", "max_steps",
+                                    "width", "height"))
+def render_wireframes_flat(fb: FrameBuffers, scene, cams: CameraArrays,
+                           settings: RasterSettings, width: int, height: int,
+                           depth_mode: str = "inv",
+                           max_steps: int = 384) -> FrameBuffers:
+    """Batched WIREFRAME pass over (I, H, W) framebuffers for the flat
+    kernel path.  Backface edges depth-test against the kernel's final
+    depth plane, which equals the reference's per-room interleave only for
+    single-draw-group scenes — kernel_path_ok gates on that; front overlay
+    edges are drawn with the solid passes skipped (render.rs:2550), which
+    is order-independent (one constant color, no depth interaction) and
+    therefore exact for any group count."""
+    def one(color, depth, cam):
+        fb1 = FrameBuffers(color=color, depth=depth)
+        ex, ey, ez, back, front, grp = wireframe_edges_flat(
+            scene, cam, settings, width, height)
+        if settings.backface_cull and settings.backface_wireframe:
+            m = _dedup_mask_grouped(ex, ey, back, grp)
+            bx, by, bz, m = _normalize_edge_order(ex, ey, ez, m)
+            fb1 = _scatter_lines(fb1, bx, by, bz, m,
+                                 _pack_rgb(BACKFACE_COLOR), max_steps,
+                                 depth_mode, depth_test="strict")
+        if settings.wireframe_overlay:
+            m = _dedup_mask_grouped(ex, ey, front, grp)
+            fx_, fy_, fz_, m = _normalize_edge_order(ex, ey, ez, m)
+            fb1 = _scatter_lines(fb1, fx_, fy_, fz_, m,
+                                 _pack_rgb(FRONTFACE_COLOR), max_steps,
+                                 depth_mode, depth_test="none")
+        return fb1.color, fb1.depth
+
+    color, depth = jax.vmap(one)(fb.color, fb.depth, cams)
+    return FrameBuffers(color=color, depth=depth)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("settings", "depth_mode", "max_steps"))
 def render_wireframes(fb: FrameBuffers, mesh: MeshArrays, faces: FaceArrays,
