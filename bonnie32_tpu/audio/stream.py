@@ -38,18 +38,22 @@ MAX_CHUNK = 4096     # audio.rs:697 catch-up cap per render_audio call
 
 
 def _program_wave(program: int) -> str:
-    """GM program family -> oscillator family (fallback synth only)."""
-    if program < 8 or 16 <= program < 24:
-        return "sine"       # pianos, organs
-    if 24 <= program < 40:
-        return "saw"        # guitars, basses
-    if 40 <= program < 56:
-        return "triangle"   # strings, ensemble
-    if 56 <= program < 80:
-        return "square"     # brass, reeds, pipes
-    if 112 <= program < 128:
-        return "noise"      # percussive
-    return "sine"
+    """GM program family -> oscillator family (fallback synth only).
+
+    This mapping has no reference counterpart (the reference's no-SF2
+    fallback is a filtered click, audio.rs:354-365) — it is this port's
+    fallback voicing, unchanged since it lived in engine.py and pinned by
+    tests/test_audio_stream.py::test_program_wave_mapping so it cannot
+    drift silently again (ADVICE r4)."""
+    if program < 8:
+        return "triangle"   # pianos
+    if program < 24:
+        return "sine"       # chromatic percussion, organs
+    if program < 56:
+        return "saw"        # guitars, basses, strings, ensemble
+    if program < 104:
+        return "square"     # brass, reeds, pipes, leads, pads
+    return "noise"          # ethnic/percussive/sfx
 
 
 def _row_tables(song):
@@ -430,8 +434,8 @@ class AudioStream:
         self.accumulator -= samples
         samples = min(samples, MAX_CHUNK)        # reference catch-up cap
         n = min(samples, self.ring.space)        # back-pressure (ours)
+        self.accumulator += samples - n          # unrendered time retries
         if n <= 0:
-            self.accumulator += samples          # retry later
             return 0
         a, b = self.position, self.position + n
         left, right = self.synth.dry_chunk(a, b)

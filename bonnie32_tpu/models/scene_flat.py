@@ -531,22 +531,29 @@ def kernel_path_ok(static: FlatSceneStatic,
         (render.rs:2550) and the front-edge pass is order-independent,
         so it runs as a post pass for any group count;
       * backface wireframes: post-pass, exact only for one draw group
-        (per-group solid/wire interleave — see render_wireframes_flat).
+        (per-group solid/wire interleave — see render_wireframes_flat);
+      * x-ray (round 5): the kernel's phase-3 ordered compositor runs
+        over EVERY face in draw order with the 50% blend and no depth
+        interaction (render.rs:507-526) — phases 1-2 are skipped.
+        Needs single-segment tables, affine UVs and packed texel
+        encodings (the phase-3 preconditions).
 
-    Still excluded: x-ray (order-dependent 50% accumulation of EVERY
-    covered face per pixel — a winner-resolve kernel cannot express it)
-    and ortho projection (depth can be <= 0 where inverse-z ordering
-    breaks; the reference semantics need harmonic z, raster_ref)."""
+    Still excluded: ortho projection (depth can be <= 0 where inverse-z
+    ordering breaks; the reference semantics need harmonic z,
+    raster_ref)."""
     from ..ops.raster_batch import SEG
 
-    if settings.xray_mode or settings.ortho_projection is not None:
-        return False
-    if not static.transparent_last:
-        return False
-    if not settings.use_zbuffer and static.t_pad > SEG:
+    if settings.ortho_projection is not None:
         return False
     if (settings.backface_cull and settings.backface_wireframe
             and static.n_draw_groups > 1):
+        return False
+    if settings.xray_mode:
+        return (settings.affine_textures and static.t_pad <= SEG
+                and bool(static.tex_enc))
+    if not static.transparent_last:
+        return False
+    if not settings.use_zbuffer and static.t_pad > SEG:
         return False
     return True
 
@@ -641,16 +648,44 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     else:
         fbc = rb.to_layout(fb.color, width)
         fbd = rb.to_layout(fb.depth, width)
+    # In-kernel transparent pass (phase 3, round 5): eligible whenever the
+    # kernel can read every face by original id (single-segment tables),
+    # UVs are affine (the sequential compositor's perspective path divides
+    # with exact_div — no f64 in Mosaic) and packed texel encodings exist.
+    # "seqtrans" forces the sequential compositor for A/B.  X-ray mode is
+    # phase 3 over EVERY face in draw order with phases 1-2 skipped
+    # (render.rs:507-526; kernel_path_ok gates eligibility).
+    in_kernel_tr = (bool(static.transparent_idx)
+                    and static.t_pad <= rb.SEG
+                    and settings.affine_textures
+                    and bool(static.tex_enc)
+                    and "seqtrans" not in debug)
+    trprep = None
+    n_tr = 0
+    if settings.xray_mode:
+        assert kernel_path_ok(static, settings), \
+            "x-ray through the kernel needs single-segment affine tables"
+        trprep = jax.vmap(lambda s: rb.prep_xray(
+            s, group_id=scene.f_group,
+            use_zbuffer=settings.use_zbuffer))(surf)
+        n_tr = static.n_faces
+        debug = (debug + " novis nophase2").strip()
+        in_kernel_tr = True     # the ordered pass covers transparency too
+    elif in_kernel_tr:
+        trprep = jax.vmap(
+            lambda s: rb.prep_transparent(s, static.transparent_idx))(surf)
+        n_tr = len(static.transparent_idx)
     color, depth = rb.rasterize_batch(
         fbc, fbd, prep, scene.keyrows, scene.texmeta, scene.tex_lo,
         scene.tex_hi, scene.tex_pack, scene.tex_pal,
         settings, width, height, static.t_pad,
         static.n_textures, static.atlas_rows, static.key_wrows,
         atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
-        interpret=interpret, debug=debug, clear_color=background)
+        interpret=interpret, debug=debug, clear_color=background,
+        trprep=trprep, n_tr=n_tr)
     out = FrameBuffers(color=rb.from_layout(color, width, height),
                        depth=rb.from_layout(depth, width, height))
-    if static.transparent_idx:
+    if static.transparent_idx and not in_kernel_tr:
         out = _transparent_pass(out, surf, static.transparent_idx,
                                 scene.atlas, settings, width, height)
     if wires_on:

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import RasterSettings, ShadingMode
+from ..config import BlendMode, RasterSettings, ShadingMode
 from ..types import FrameBuffers, Surfaces
 from . import color as col
 
@@ -85,6 +85,19 @@ N_CTRL = 16
 
 FLAG_DITHER = 1
 FLAG_BT = 2
+
+# transparent-pass (phase 3) table layouts — see prep_transparent
+T_FID, T_TID, T_BLEND, T_EA, T_FLAGS, T_VALID = 0, 1, 2, 3, 4, 5
+N_TCTRL = 8
+N_TFS = 12      # vcp x3 + corner-major shade x9
+
+# blend-mode codes as plain ints (device constants are minted in-kernel;
+# comparisons against an i32 scalar stay i32 under x64)
+_BM_AVERAGE = int(BlendMode.AVERAGE)
+_BM_ADD = int(BlendMode.ADD)
+_BM_SUBTRACT = int(BlendMode.SUBTRACT)
+_BM_ADD_QUARTER = int(BlendMode.ADD_QUARTER)
+_BM_ERASE = int(BlendMode.ERASE)
 
 
 def _tile_sizes(debug: str):
@@ -135,14 +148,15 @@ def _interp3(bc_x, bc_y, bc_z, a0, a1, a2):
 
 
 def _dither_offsets(xi, yi):
-    """PS1_DITHER_MATRIX[y & 3][x & 3] as a 16-way select (in-kernel —
-    table gathers are not worth it for a 4x4 constant)."""
-    sel = ((yi & 3) << 2) | (xi & 3)
-    m = col.PS1_DITHER_MATRIX.reshape(-1)
-    out = jnp.zeros_like(xi)
-    for k in range(16):
-        out = jnp.where(sel == k, _I32(int(m[k])), out)
-    return out
+    """PS1_DITHER_MATRIX[y & 3][x & 3] in closed form (round 5: the old
+    16-way select cost ~33 VPU passes per chunk; this is 8).  The matrix
+    factors as row0 = -4 + 4*(x&1) + (x>>1), row-pair shift +6-8*(x&1)
+    for odd y, and a 2-column rotation for y&2 — verified against the
+    table over the full 8x8 period."""
+    xe = (xi + (yi & 2)) & 3
+    m0 = _I32(-4) + ((xe & 1) << 2) + (xe >> 1)
+    odd = (yi & 1) != 0
+    return m0 + jnp.where(odd, _I32(6) - ((xi & 1) << 3), _I32(0))
 
 
 class BatchPrep(NamedTuple):
@@ -293,16 +307,120 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
                      attrsT=attrs_t)
 
 
+class TransPrep(NamedTuple):
+    """Per-instance tables for the in-kernel transparent pass (phase 3).
+
+    Both tables are already in composite order (back-to-front by centroid
+    z, stable — the same `argsort(-centroid_z)` the sequential compositor
+    uses), so the kernel walks columns 0..n_tr-1 directly.  Edge/bbox/UV
+    scalars are NOT duplicated here: phase 3 reads them from the ctrl /
+    fscal tables at row T_FID (single-segment tables stay in original face
+    order, so every face — transparent included — is addressable)."""
+
+    tctrl: jnp.ndarray   # (N_TCTRL, NTp) i32: fid, tid, blend, ea, flags,
+    #                      valid (rows T_*)
+    tfscal: jnp.ndarray  # (N_TFS, NTp) f32: packed vertex colors x3 +
+    #                      corner-major shade x9
+
+
+def _composite_tables(sub: Surfaces, fids, order) -> TransPrep:
+    """Phase-3 tables for a face subset: `fids` are ORIGINAL face ids
+    (rows into the single-segment ctrl/fscal tables), `order` the
+    composite sequence.  Validity folds in the conditions `_raster_one`
+    checks per pixel (valid, ~degenerate) plus NaN-bbox protection (NaN
+    coords draw nothing in the sequential path; the kernel's block loop
+    needs a sane trip count)."""
+    nt = int(fids.shape[0])
+    ntp = max(-(-nt // 8) * 8, 8)
+
+    degenerate = jnp.abs(sub.area) < 0.00001
+    sx, sy = sub.sx, sub.sy
+    mins = jnp.minimum(jnp.minimum(sx[:, 0], sx[:, 1]), sx[:, 2])
+    maxs = jnp.maximum(jnp.maximum(sx[:, 0], sx[:, 1]), sx[:, 2])
+    miny = jnp.minimum(jnp.minimum(sy[:, 0], sy[:, 1]), sy[:, 2])
+    maxy = jnp.maximum(jnp.maximum(sy[:, 0], sy[:, 1]), sy[:, 2])
+    nan_box = (jnp.isnan(mins) | jnp.isnan(maxs) | jnp.isnan(miny)
+               | jnp.isnan(maxy))
+    valid = sub.valid & ~degenerate & ~nan_box
+
+    flags = (jnp.where(sub.needs_dither, FLAG_DITHER, 0)
+             | jnp.where(sub.black_transparent, FLAG_BT, 0))
+    tctrl = jnp.stack([
+        fids, sub.tex_id, sub.blend_mode, sub.editor_alpha,
+        flags, valid.astype(_I32),
+        jnp.zeros(nt, _I32), jnp.zeros(nt, _I32),
+    ], axis=0).astype(_I32)[:, order]
+
+    vc = sub.vc
+    vcp = (vc[:, :, 0] + (vc[:, :, 1] << 8)
+           + (vc[:, :, 2] << 16)).astype(_F32)       # (nt, 3)
+    sh = sub.shade.reshape(nt, 9)
+    tfscal = jnp.concatenate([vcp.T, sh.T], axis=0)[:, order]  # (12, nt)
+
+    if ntp > nt:
+        tctrl = jnp.pad(tctrl, ((0, 0), (0, ntp - nt)))
+        tfscal = jnp.pad(tfscal, ((0, 0), (0, ntp - nt)))
+    return TransPrep(tctrl=tctrl, tfscal=tfscal)
+
+
+def prep_transparent(surfaces: Surfaces, idx_tuple) -> TransPrep:
+    """One instance's transparent-face tables for the kernel's phase 3.
+
+    `idx_tuple` is the STATIC per-level transparent-face list
+    (FlatSceneStatic.transparent_idx).  Order matches the sequential
+    compositor bit-for-bit: back-to-front by centroid z, stable in slot
+    order (scene_flat._transparent_pass / render.rs:2525-2542)."""
+    idxs = np.asarray(idx_tuple, np.int32)
+    sub = jax.tree_util.tree_map(lambda x: x[idxs], surfaces)
+    order = jnp.argsort(-sub.centroid_z, stable=True).astype(_I32)
+    return _composite_tables(sub, jnp.asarray(idxs), order)
+
+
+def prep_xray(surfaces: Surfaces, group_id=None,
+              use_zbuffer: bool = True) -> TransPrep:
+    """All-face composite tables for x-ray mode (render.rs:507-526):
+    every face blends 50% onto the frame in draw order with no depth
+    interaction, scoped per draw group exactly as the sequential path
+    composites one render_mesh_15 call per room/part: within each group,
+    opaque faces in index order (back-to-front in painter's mode), then
+    transparent faces back-to-front (surface.draw_order /
+    render.rs:2518-2545)."""
+    t = surfaces.sx.shape[0]
+    tr = surfaces.valid & surfaces.has_transparency
+    op = surfaces.valid & ~surfaces.has_transparency
+    rank = jnp.where(op, 0, jnp.where(tr, 1, 2)).astype(_I32)
+    neg_z = -surfaces.centroid_z
+    if use_zbuffer:
+        within = jnp.where(tr, neg_z, jnp.zeros_like(neg_z))
+    else:
+        within = neg_z
+    gid = (group_id.astype(_I32) if group_id is not None
+           else jnp.zeros(t, _I32))
+    arange = jnp.arange(t, dtype=_I32)
+    order = jnp.lexsort((arange, within, rank, gid)).astype(_I32)
+    return _composite_tables(surfaces, arange, order)
+
+
 def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
                  debug: str = "", atlas_rows_data: int = 0,
-                 tex_enc: tuple = (), clear_color=None):
+                 tex_enc: tuple = (), clear_color=None, n_tr: int = 0):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
     segments over a second grid dimension (the framebuffer output blocks
     revisit across segments, standard accumulator pattern); phase 2 runs
-    on the final segment only."""
+    on the final segment only.
+
+    n_tr > 0 appends PHASE 3: the static transparent-face list composites
+    back-to-front inside the kernel (render.rs:2547-2570 transparent pass
+    + set_pixel_blended_15, render.rs:479) — ordered bbox-windowed blend
+    over the freshly resolved color plane, z-test-no-write against the
+    opaque depth.  Requires single-segment tables (phase 3 indexes
+    ctrl/fscal by ORIGINAL face id) and affine UVs (the sequential
+    compositor's perspective path divides with exact_div, which needs f64
+    — unavailable in Mosaic; the caller routes non-affine settings to the
+    sequential compositor instead)."""
     ng_total = -(-width // 128)
     gh = ng_total * height
     groups = t_pad // 128
@@ -359,19 +477,70 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # face count while the skipped texel rows per chunk do not.
     track_pres = (tex_major and "nogate" not in debug
                   and (t_pad <= 1024 or "gate" in debug))
+    # the phase-1 mark touches only the first and last chunk a wb-row
+    # window overlaps; wb > ch would let a window span 3+ chunks and
+    # leave middle chunks unmarked (phase 2 would then skip a present
+    # texture) — reject the combination (ADVICE r4)
+    assert not (track_pres and wb > ch), \
+        f"presence gating needs wb <= ch (wb={wb}, ch={ch}); pass 'nogate'"
     pres_words = max((n_tex + 31) >> 5, 1)
 
-    def kernel(ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
-               texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
-               texpack_ref, texpal_ref,
-               fbc_ref, fbd_ref, color_ref, depth_ref, idx_scr, tex_scr,
-               pres_scr):
+    if n_tr:
+        assert t_pad <= SEG, "phase 3 needs single-segment (original-order)" \
+            " face tables"
+        assert affine, "phase 3 is affine-only (exact_div needs f64)"
+        assert tex_enc, "phase 3 fetches texels via the packed encodings"
+        assert wb <= ch, "phase 3 reuses the (ch,128) texel scratch per " \
+            f"(wb,128) window (wb={wb}, ch={ch})"
+
+    def kernel(*refs):
+        (ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
+         texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
+         texpack_ref, texpal_ref, fbc_ref, fbd_ref) = refs[:12]
+        pos = 12
+        if n_tr:
+            tctrl_ref, tfscal_ref = refs[pos:pos + 2]
+            pos += 2
+        color_ref, depth_ref, idx_scr, tex_scr, pres_scr = refs[pos:pos + 5]
         count = ctrl_ref[0, K_COUNT, 0]
         if n_segs == 1:
             seg_id = jnp.int32(0)
         else:
             seg_id = pl.program_id(1)
         seg_base = seg_id * seg_rows
+
+        def fetch_packed(e, rel):
+            """Texture-major packed texel fetch (shape follows `rel`):
+            per-texture pal16/pal4/pack2 rows + palette pick.  Exact
+            integer bit surgery — bit-identical to atlas.data[flat]."""
+            shp = rel.shape
+            mode, row0, nrows = e[0], e[1], e[2]
+            lg = {"pal16": 3, "pal4": 2, "pack2": 1}[mode]
+            widx = rel >> lg
+            wrow = widx >> 7
+            wlane = widx & 127
+            word = jnp.zeros(shp, _I32)
+            for rr in range(nrows):
+                rowv = jnp.broadcast_to(
+                    texpack_ref[row0 + rr, :][None, :], shp)
+                vals = _lane_take(rowv, wlane)
+                word = jnp.where(wrow == rr, vals, word)
+            sub = rel & ((1 << lg) - 1)
+            shift = sub << (5 - lg)
+            mask = _I32((1 << (32 >> lg)) - 1)
+            piece = jax.lax.shift_right_logical(word, shift) & mask
+            if mode == "pack2":
+                return piece
+            p0, prows = e[3], e[4]
+            plane = piece & 127
+            prow_v = piece >> 7
+            val = jnp.zeros(shp, _I32)
+            for pp in range(prows):
+                rowv = jnp.broadcast_to(
+                    texpal_ref[p0 + pp, :][None, :], shp)
+                pv = _lane_take(rowv, plane)
+                val = jnp.where(prow_v == pp, pv, val)
+            return val
 
         @pl.when(seg_id == 0)
         def _():
@@ -565,13 +734,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                                   jnp.int32(0))
 
         # ---- PHASE 2: resolve + pixel pipeline, chunked; runs once the
-        # final face segment has merged (the output blocks revisit) ----
-        if "nophase2" in debug:
+        # final face segment has merged (the output blocks revisit).
+        # "nophase2" passes the background straight through instead —
+        # both the perf-diagnosis mode and the x-ray compose (which is
+        # background + PHASE 3 only, render.rs:507-526). ----
+        def _skip_phase2():
             if clear_color is None:
                 color_ref[0] = fbc_ref[0]
             else:
                 color_ref[0] = jnp.full((gh, 128), _I32(clear_color))
-            return
 
         def _run_phase2():
             ngroups = jnp.maximum((count + 127) >> 7, 1)
@@ -654,9 +825,22 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     else:
                         gmax = jnp.minimum(jnp.maximum(gmax, gmin),
                                            ngroups - 1)
+                    # group gmin is peeled: its gathers initialize the
+                    # carry WITHOUT the grp==gg select (chunks usually
+                    # touch one group after room-ordered compaction, so
+                    # this halves the gather ops there).  Pixels of later
+                    # groups carry group-gmin values until their group
+                    # overwrites them; non-winner pixels end up with some
+                    # REAL face's attrs (bounded tid/flags) and are masked
+                    # at the final drawn-write, so the peel is bit-exact.
+                    vals0 = []
+                    for cc in cols:
+                        row = attrsT_ref[0, cc, gmin, :]
+                        vals0.append(_lane_take(
+                            jnp.broadcast_to(row[None, :], (ch, 128)),
+                            lanei))
                     vals = jax.lax.fori_loop(
-                        gmin, gmax + 1, gather_body,
-                        tuple(jnp.zeros((ch, 128), _F32) for _ in cols))
+                        gmin + 1, gmax + 1, gather_body, tuple(vals0))
                     a = dict(zip(cols, vals))
 
                     xi = jax.lax.broadcasted_iota(_I32, (ch, 128), 1) + (g << 7)
@@ -735,38 +919,6 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         tid_v = a[C_TID].astype(_I32)
                         gate = track_pres
 
-                        def fetch_tex(e):
-                            mode, row0, nrows = e[0], e[1], e[2]
-                            lg = {"pal16": 3, "pal4": 2, "pack2": 1}[mode]
-                            widx = rel >> lg
-                            wrow = widx >> 7
-                            wlane = widx & 127
-                            word = jnp.zeros((ch, 128), _I32)
-                            for rr in range(nrows):
-                                rowv = jnp.broadcast_to(
-                                    texpack_ref[row0 + rr, :][None, :],
-                                    (ch, 128))
-                                vals = _lane_take(rowv, wlane)
-                                word = jnp.where(wrow == rr, vals, word)
-                            sub = rel & ((1 << lg) - 1)
-                            shift = sub << (5 - lg)
-                            mask = _I32((1 << (32 >> lg)) - 1)
-                            piece = jax.lax.shift_right_logical(
-                                word, shift) & mask
-                            if mode == "pack2":
-                                return piece
-                            p0, prows = e[3], e[4]
-                            plane = piece & 127
-                            prow_v = piece >> 7
-                            val = jnp.zeros((ch, 128), _I32)
-                            for pp in range(prows):
-                                rowv = jnp.broadcast_to(
-                                    texpal_ref[p0 + pp, :][None, :],
-                                    (ch, 128))
-                                pv = _lane_take(rowv, plane)
-                                val = jnp.where(prow_v == pp, pv, val)
-                            return val
-
                         if gate:
                             tex_scr[:] = jnp.zeros((ch, 128), _I32)
                             for t, e in enumerate(tex_enc):
@@ -777,13 +929,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                                 @pl.when(present)
                                 def _(e=e, t=t):
                                     tex_scr[:] = jnp.where(
-                                        tid_v == t, fetch_tex(e),
+                                        tid_v == t, fetch_packed(e, rel),
                                         tex_scr[:])
                             texel = tex_scr[:]
                         else:
                             texel = jnp.zeros((ch, 128), _I32)
                             for t, e in enumerate(tex_enc):
-                                texel = jnp.where(tid_v == t, fetch_tex(e),
+                                texel = jnp.where(tid_v == t,
+                                                  fetch_packed(e, rel),
                                                   texel)
                     elif direct_fetch:
                         # group-select gather: for each atlas row, lane-pick
@@ -912,8 +1065,237 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                             depth_ref[0, pl.ds(r0, ch), :] = \
                                 fbd_ref[0, pl.ds(r0, ch), :]
 
-        if "nophase2" not in debug:
-            pl.when(seg_id == n_segs - 1)(_run_phase2)
+        pl.when(seg_id == n_segs - 1)(
+            _skip_phase2 if "nophase2" in debug else _run_phase2)
+
+        # ---- PHASE 3: in-kernel transparent composite (render.rs:
+        # 2547-2570 + set_pixel_blended_15 render.rs:479).  Tables arrive
+        # pre-sorted back-to-front; each face z-tests against the opaque
+        # depth (never writing it, skip_z semantics) and blends its bbox
+        # windows onto the freshly resolved color plane.  Bit-exact vs
+        # the sequential compositor (_raster_one) in affine mode: same
+        # expressions, same order, integer divisions replaced by shifts /
+        # an exhaustively-verified f32-multiply floor-div-255. ----
+        def _run_phase3():
+            op_c = int(BlendMode.OPAQUE)
+            zactive = settings.use_zbuffer and not settings.xray_mode
+
+            def tr_face(f, carry):
+                fid = tctrl_ref[0, T_FID, f]
+                tidv = tctrl_ref[0, T_TID, f]
+                blendv = tctrl_ref[0, T_BLEND, f]
+                eav = tctrl_ref[0, T_EA, f]
+                flg = tctrl_ref[0, T_FLAGS, f]
+                pval = tctrl_ref[0, T_VALID, f]
+                x_lo = ctrl_ref[0, K_XLO, fid]
+                x_hi = ctrl_ref[0, K_XHI, fid]
+                y_lo = ctrl_ref[0, K_YLO, fid]
+                y_hi = ctrl_ref[0, K_YHI, fid]
+                g0 = ctrl_ref[0, K_G0, fid]
+                ngr = ctrl_ref[0, K_NG, fid]
+                wsh_c = jnp.int32(wsh)
+                yb0 = jax.lax.shift_left(
+                    jax.lax.shift_right_arithmetic(y_lo, wsh_c), wsh_c)
+                nblk = jax.lax.shift_right_arithmetic(
+                    y_hi - yb0 + jnp.int32(wb - 1), wsh_c)
+                v3x = fscal_ref[0, C_V3X, fid]
+                v3y = fscal_ref[0, C_V3Y, fid]
+                a0 = fscal_ref[0, C_A0, fid]
+                b0 = fscal_ref[0, C_B0, fid]
+                a1 = fscal_ref[0, C_A1, fid]
+                b1 = fscal_ref[0, C_B1, fid]
+                ia = fscal_ref[0, C_IA, fid]
+                iza = fscal_ref[0, C_IZA, fid]
+                izb = fscal_ref[0, C_IZB, fid]
+                izc = fscal_ref[0, C_IZC, fid]
+                u0 = fscal_ref[0, C_U0, fid]
+                vv0 = fscal_ref[0, C_VV0, fid]
+                u1 = fscal_ref[0, C_U1, fid]
+                vv1 = fscal_ref[0, C_VV1, fid]
+                u2 = fscal_ref[0, C_U2, fid]
+                vv2 = fscal_ref[0, C_VV2, fid]
+                vcp = [tfscal_ref[0, j, f] for j in range(3)]
+                sh = [tfscal_ref[0, 3 + j, f] for j in range(9)]
+                bts = (flg & FLAG_BT) != 0
+                ndiths = (flg & FLAG_DITHER) != 0
+                textured = tidv >= 0
+
+                def tblock(q, carry):
+                    g = g0 + jax.lax.div(q, nblk)
+                    k = jax.lax.rem(q, nblk)
+                    yb = yb0 + k * wb
+                    row0 = pl.multiple_of(g * height + yb, wb)
+                    xi = lane8 + (g << 7)
+                    yi = sub8 + yb
+                    px = xi.astype(_F32)
+                    py = yi.astype(_F32)
+                    dx = px - v3x
+                    dy = py - v3y
+                    w0 = a0 * dx + b0 * dy
+                    w1 = a1 * dx + b1 * dy
+                    bcx = w0 * ia
+                    bcy = w1 * ia
+                    bcz = (1.0 - bcx) - bcy
+                    err = _F32(-0.0001)
+                    cov = ((bcx >= err) & (bcy >= err) & (bcz >= err)
+                           & (xi >= x_lo) & (xi < x_hi)
+                           & (yi >= y_lo) & (yi < y_hi))
+                    izi = (bcx * iza + bcy * izb) + bcz * izc
+                    if zactive:
+                        zwin = depth_ref[0, pl.ds(row0, wb), :]
+                        vis = cov & (izi > zwin)
+                    else:
+                        vis = cov
+
+                    # affine UV + texel (render.rs:1563-1607); phase 3 is
+                    # affine-only (asserted in _make_kernel)
+                    u = _interp3(bcx, bcy, bcz, u0, u1, u2)
+                    v = _interp3(bcx, bcy, bcz, vv0, vv1, vv2)
+                    tsafe = jnp.maximum(tidv, 0)
+                    tw = texmeta_ref[0, tsafe]
+                    th = texmeta_ref[1, tsafe]
+                    vf = _F32(1.0) - v
+                    tx = jnp.minimum(
+                        jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32),
+                        tw - 1)
+                    ty = jnp.minimum(
+                        jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32),
+                        th - 1)
+                    rel = ty * tw + tx
+                    for t, e in enumerate(tex_enc):
+                        @pl.when(tidv == t)
+                        def _(e=e):
+                            tex_scr[pl.ds(0, wb), :] = fetch_packed(e, rel)
+                    texel = tex_scr[pl.ds(0, wb), :]
+                    c15 = jnp.where(textured, texel, _I32(col.WHITE))
+                    is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
+                        & (col.b5(c15) == 0)
+                    is_transp = c15 == 0
+                    keyed_out = is_black & bts & textured
+                    c15 = jnp.where(is_transp & ~bts,
+                                    _I32(col.BLACK_DRAWABLE), c15)
+
+                    tex_r8 = col.expand_5_to_8(col.r5(c15))
+                    tex_g8 = col.expand_5_to_8(col.g5(c15))
+                    tex_b8 = col.expand_5_to_8(col.b5(c15))
+
+                    def vchan(shift):
+                        c0 = (vcp[0].astype(_I32) >> shift) & 255
+                        c1 = (vcp[1].astype(_I32) >> shift) & 255
+                        c2 = (vcp[2].astype(_I32) >> shift) & 255
+                        return _u8_trunc_sat(_interp3(
+                            bcx, bcy, bcz, c0.astype(_F32),
+                            c1.astype(_F32), c2.astype(_F32)))
+
+                    vr, vg, vb = vchan(0), vchan(8), vchan(16)
+                    mod_r8 = jnp.minimum((tex_r8 * vr) >> 7, 255)
+                    mod_g8 = jnp.minimum((tex_g8 * vg) >> 7, 255)
+                    mod_b8 = jnp.minimum((tex_b8 * vb) >> 7, 255)
+
+                    if shading == ShadingMode.NONE:
+                        sh_r = sh_g = sh_b = jnp.ones((wb, 128), _F32)
+                    elif shading == ShadingMode.FLAT:
+                        # corner-0 shade (pixel_color FLAT branch)
+                        sh_r, sh_g, sh_b = sh[0], sh[1], sh[2]
+                    else:
+                        sh_r = _interp3(bcx, bcy, bcz, sh[0], sh[3], sh[6])
+                        sh_g = _interp3(bcx, bcy, bcz, sh[1], sh[4], sh[7])
+                        sh_b = _interp3(bcx, bcy, bcz, sh[2], sh[5], sh[8])
+
+                    def apply_shade(m8, s):
+                        return _u8_trunc_sat(jnp.minimum(
+                            m8.astype(_F32) * jnp.clip(s, 0.0, 2.0), 255.0))
+
+                    shaded_r8 = apply_shade(mod_r8, sh_r)
+                    shaded_g8 = apply_shade(mod_g8, sh_g)
+                    shaded_b8 = apply_shade(mod_b8, sh_b)
+
+                    offset = _dither_offsets(xi, yi)
+                    r5v = jnp.where(ndiths, col.dither_and_quantize8(
+                        shaded_r8, offset), shaded_r8 >> 3)
+                    g5v = jnp.where(ndiths, col.dither_and_quantize8(
+                        shaded_g8, offset), shaded_g8 >> 3)
+                    b5v = jnp.where(ndiths, col.dither_and_quantize8(
+                        shaded_b8, offset), shaded_b8 >> 3)
+                    front_r = col.expand_5_to_8(r5v)
+                    front_g = col.expand_5_to_8(g5v)
+                    front_b = col.expand_5_to_8(b5v)
+                    all_black = (r5v == 0) & (g5v == 0) & (b5v == 0)
+                    semi = ((c15 & _I32(col.STP_BIT)) != 0) | all_black
+
+                    back_word = color_ref[0, pl.ds(row0, wb), :]
+                    back_r = back_word & 255
+                    back_g = (back_word >> 8) & 255
+                    back_b = (back_word >> 16) & 255
+
+                    if settings.xray_mode:
+                        # 50% blend, no depth interaction (render.rs:
+                        # 507-526); operands nonnegative -> //2 is >>1
+                        out_r = (front_r + back_r) >> 1
+                        out_g = (front_g + back_g) >> 1
+                        out_b = (front_b + back_b) >> 1
+                    else:
+                        do_blend = semi & (blendv != op_c)
+
+                        def blend5(f8, b8):
+                            # blend_rgb555 (render.rs:1093-1145) with
+                            # in-kernel-safe shifts; output is the plain
+                            # v5 << 3 expansion (render.rs:1143)
+                            f5 = f8 >> 3
+                            b5 = b8 >> 3
+                            avg = jnp.minimum((b5 + f5) >> 1, _I32(31))
+                            add_ = jnp.minimum(b5 + f5, _I32(31))
+                            sub_ = jnp.maximum(b5 - f5, _I32(0))
+                            addq = jnp.minimum(b5 + (f5 >> 2), _I32(31))
+                            v5 = jnp.where(blendv == _BM_AVERAGE, avg,
+                                 jnp.where(blendv == _BM_ADD, add_,
+                                 jnp.where(blendv == _BM_SUBTRACT, sub_,
+                                 jnp.where(blendv == _BM_ADD_QUARTER, addq,
+                                 jnp.where(blendv == _BM_ERASE, b5, f5)))))
+                            return v5 << 3
+
+                        ps1_r = jnp.where(do_blend, blend5(front_r, back_r),
+                                          front_r)
+                        ps1_g = jnp.where(do_blend, blend5(front_g, back_g),
+                                          front_g)
+                        ps1_b = jnp.where(do_blend, blend5(front_b, back_b),
+                                          front_b)
+
+                        # editor-alpha lerp (render.rs:564-628): the //255
+                        # is a trunc(x * (1/255.0)) f32 multiply, verified
+                        # exact exhaustively over [0, 2*255*255]
+                        ia_i = _I32(255) - eav
+
+                        def ea_lerp(p, b):
+                            x = p * eav + b * ia_i
+                            return jnp.trunc(
+                                x.astype(_F32)
+                                * _F32(1.0 / 255.0)).astype(_I32)
+
+                        use_ea = eav < _I32(255)
+                        out_r = jnp.where(use_ea, ea_lerp(ps1_r, back_r),
+                                          ps1_r)
+                        out_g = jnp.where(use_ea, ea_lerp(ps1_g, back_g),
+                                          ps1_g)
+                        out_b = jnp.where(use_ea, ea_lerp(ps1_b, back_b),
+                                          ps1_b)
+
+                    drawn = vis & ~keyed_out & (eav != 0)
+                    word = col.pack_rgba8(out_r, out_g, out_b,
+                                          jnp.full((wb, 128), 255, _I32))
+                    color_ref[0, pl.ds(row0, wb), :] = jnp.where(
+                        drawn, word, back_word)
+                    return carry
+
+                total = jnp.where(pval != 0, ngr * nblk, jnp.int32(0))
+                jax.lax.fori_loop(jnp.int32(0), total, tblock, jnp.int32(0))
+                return carry
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tr), tr_face,
+                              jnp.int32(0))
+
+        if n_tr and "notrans" not in debug:
+            pl.when(seg_id == n_segs - 1)(_run_phase3)
 
     return kernel, gh, groups
 
@@ -922,7 +1304,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     jax.jit,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
                      "atlas_rows", "key_wrows", "interpret", "debug",
-                     "atlas_rows_data", "tex_enc", "clear_color"))
+                     "atlas_rows_data", "tex_enc", "clear_color", "n_tr"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     tex_lo, tex_hi, tex_pack, tex_pal,
                     settings: RasterSettings,
@@ -930,18 +1312,22 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     atlas_rows: int, key_wrows: int,
                     interpret: bool = False, debug: str = "",
                     atlas_rows_data: int = 0, tex_enc: tuple = (),
-                    clear_color=None):
+                    clear_color=None, trprep: TransPrep = None,
+                    n_tr: int = 0):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
     carry a leading instance axis.  Returns (color, depth) in layout form.
-    """
+
+    trprep/n_tr: per-instance transparent tables + static face count for
+    the in-kernel phase-3 composite (see prep_transparent)."""
     n_inst = fbc.shape[0]
     ch, _, _ = _tile_sizes(debug)
     const_depth = "cdepth" in debug or clear_color is not None
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,
-                                      atlas_rows_data, tex_enc, clear_color)
+                                      atlas_rows_data, tex_enc, clear_color,
+                                      n_tr=n_tr)
     if t_pad <= SEG:
         n_segs, seg_rows = 1, t_pad
     else:
@@ -957,34 +1343,47 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     S = lambda i, s: (s if n_segs > 1 else i * 0)   # segment axis
     Z = lambda i, s: i * 0        # pinned zero
 
+    in_specs = [
+        pl.BlockSpec((1, N_CTRL, seg_rows), pin(I, Z, S),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 16, seg_rows), pin(I, Z, S),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, N_COLS, groups, 128), pin(I, Z, Z, Z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tex, key_wrows, 128), pin(Z, Z, Z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, 128), pin(Z, Z), memory_space=pltpu.SMEM),
+        pl.BlockSpec((4, 128), pin(Z, Z), memory_space=pltpu.VMEM),
+        pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tex_pack.shape[0], 128), pin(Z, Z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tex_pal.shape[0], 128), pin(Z, Z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128) if clear_color is not None
+                     else (1, gh, 128),
+                     pin(I, Z, Z), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128) if const_depth else (1, gh, 128),
+                     pin(I, Z, Z), memory_space=pltpu.VMEM),
+    ]
+    operands = [prep.ctrl, prep.fscal, prep.attrsT, keyrows, texmeta,
+                texmeta, tex_lo, tex_hi, tex_pack, tex_pal, fbc, fbd]
+    if n_tr:
+        ntp = trprep.tctrl.shape[-1]
+        in_specs += [
+            pl.BlockSpec((1, N_TCTRL, ntp), pin(I, Z, Z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N_TFS, ntp), pin(I, Z, Z),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands += [trprep.tctrl, trprep.tfscal]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, N_CTRL, seg_rows), pin(I, Z, S),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16, seg_rows), pin(I, Z, S),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N_COLS, groups, 128), pin(I, Z, Z, Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tex, key_wrows, 128), pin(Z, Z, Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 128), pin(Z, Z), memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, 128), pin(Z, Z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((atlas_rows, 128), pin(Z, Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tex_pack.shape[0], 128), pin(Z, Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tex_pal.shape[0], 128), pin(Z, Z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128) if clear_color is not None
-                         else (1, gh, 128),
-                         pin(I, Z, Z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128) if const_depth else (1, gh, 128),
-                         pin(I, Z, Z), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, gh, 128), pin(I, Z, Z)),
             pl.BlockSpec((1, gh, 128), pin(I, Z, Z)),
@@ -999,8 +1398,7 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                                    jnp.int32)],
         # (cdepth: fbd still passed, but only an 8-row block is DMA'd)
         interpret=interpret,
-    )(prep.ctrl, prep.fscal, prep.attrsT, keyrows, texmeta,
-      texmeta, tex_lo, tex_hi, tex_pack, tex_pal, fbc, fbd)
+    )(*operands)
     return out[0], out[1]
 
 

@@ -64,7 +64,7 @@ class SkyTables(NamedTuple):
 
 
 def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
-                     mtn_pad=128, lut_h=2048, lut_v=1024) -> SkyTables:
+                     mtn_pad=None, lut_h=2048, lut_v=1024) -> SkyTables:
     """Host: models.skybox.Skybox -> device tables.
 
     The (lut_v, lut_h) direction LUT holds `sample_at_direction` evaluated
@@ -99,6 +99,12 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
         all_colors = colors.astype(np.int32)
         all_faces = sfaces_m
     all_valid = np.ones(len(all_faces), bool)
+    if mtn_pad is None:
+        # size the padded table to the actual peak count: the per-face
+        # fori in render_skybox(_layout) costs ~25 full-frame vector ops
+        # PER SLOT, so a fixed 128-slot pad made every skybox pay for 128
+        # mountain faces regardless (round-5 Dungeon probe)
+        mtn_pad = max(-(-len(mfaces) // 8) * 8, 8)
     mf = np.zeros((mtn_pad, 3), np.int32)
     mvalid = np.zeros(mtn_pad, bool)
     n = min(len(mfaces), mtn_pad)
@@ -153,7 +159,13 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
     to_layout(render_skybox(fb, ...).color) — same per-pixel math on the
     layout-indexed grid, so the datagen path skips the per-instance
     (H, W) -> layout transpose entirely.  Depth is implicitly the
-    cleared inverse-z plane (pass debug="cdepth" to the kernel)."""
+    cleared inverse-z plane (pass debug="cdepth" to the kernel).
+
+    `parts` gates passes for profiling ("lut mtn stars"; "none" keeps
+    only the direction math).  Unknown tokens raise — a typo'd string
+    must not silently produce a plausible-but-wrong sky."""
+    bad = set(parts.split()) - {"lut", "mtn", "stars", "none"}
+    assert not bad, f"render_skybox_layout: unknown parts tokens {bad}"
     ngl = -(-width // 128)
     gh = ngl * height
     rows = jax.lax.broadcasted_iota(_I32, (gh, 128), 0)

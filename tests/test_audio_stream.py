@@ -151,9 +151,10 @@ def test_ring_backpressure():
     stream.render_audio(512 / stream.rate)  # wants 512, space 256
     assert stream.ring.available == 256
     l1, _ = stream.read(256)
-    # leftover time stayed in the accumulator; next call resumes exactly
-    assert stream.render_audio(0.0) == 0  # accumulator already re-credited?
-    stream.render_audio(256 / stream.rate)
+    # the unrendered remainder stayed in the accumulator (ADVICE r4):
+    # a zero-delta call can now flush it into the freed ring space
+    assert stream.render_audio(0.0) == 256
+    stream.render_audio(256 / stream.rate)  # ring full again: re-credits
     l2, _ = stream.read(stream.ring.available)
     off_l, _ = engine.render_song(song)
     got = np.concatenate([l1, l2])
@@ -171,3 +172,16 @@ def test_ring_wraparound():
     l, r = rb.read(8)
     assert np.array_equal(l, np.concatenate([x[4:6], y]))
     assert np.array_equal(r, l)
+
+
+def test_program_wave_mapping():
+    """Pin the fallback GM program->oscillator voicing (ADVICE r4): this
+    mapping is port-defined (no reference counterpart), so any change must
+    be deliberate and show up here."""
+    expected = [(0, "triangle"), (7, "triangle"), (8, "sine"),
+                (16, "sine"), (23, "sine"), (24, "saw"), (39, "saw"),
+                (40, "saw"), (55, "saw"), (56, "square"), (79, "square"),
+                (80, "square"), (103, "square"), (104, "noise"),
+                (112, "noise"), (127, "noise")]
+    for prog, wave in expected:
+        assert strm._program_wave(prog) == wave, (prog, wave)

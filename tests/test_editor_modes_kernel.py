@@ -205,9 +205,15 @@ def test_multigroup_backface_wires_stay_sequential(cave):
     # default settings = backface wires on: multi-group levels must reject
     # the kernel path (per-group solid/wire interleave can't flatten)
     assert not scene_flat.kernel_path_ok(static, RasterSettings())
-    # and x-ray stays rejected always
-    assert not scene_flat.kernel_path_ok(
+    # x-ray IS kernel-eligible since round 5 (phase-3 ordered composite;
+    # tests/test_transparent_kernel.py pins its parity) — but only on
+    # single-segment affine levels; ortho stays sequential
+    assert scene_flat.kernel_path_ok(
         static, RasterSettings.game(xray_mode=True))
+    from bonnie32_tpu.config import OrthoProjection
+    assert not scene_flat.kernel_path_ok(
+        static, RasterSettings.game(
+            ortho_projection=OrthoProjection(1.0, 0.0, 0.0)))
 
 
 if __name__ == "__main__":
