@@ -484,6 +484,16 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     assert not (track_pres and wb > ch), \
         f"presence gating needs wb <= ch (wb={wb}, ch={ch}); pass 'nogate'"
     pres_words = max((n_tex + 31) >> 5, 1)
+    # Phase-1-stored barycentric planes (round 5): merge() writes the
+    # winner's (bcx, bcy) into two VMEM planes; phase 2 then reads them
+    # back instead of gathering the 7 edge-setup columns (V3X/V3Y/A0/B0/
+    # A1/B1/IA) and recomputing — bit-exact because phase 1 evaluates the
+    # IDENTICAL expressions on the identical scalars.  Cost is ~6 vector
+    # ops per merged block, saving ~7 lane-gathers + ~12 VPU ops per
+    # phase-2 chunk, so (like track_pres) it wins when blocks/instance is
+    # small vs chunk count and loses at Cathedral-scale face counts:
+    # same t_pad <= 1024 adaptive default, "bc"/"nobc" force on/off.
+    store_bc = ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
 
     if n_tr:
         assert t_pad <= SEG, "phase 3 needs single-segment (original-order)" \
@@ -502,6 +512,9 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             tctrl_ref, tfscal_ref = refs[pos:pos + 2]
             pos += 2
         color_ref, depth_ref, idx_scr, tex_scr, pres_scr = refs[pos:pos + 5]
+        pos += 5
+        if store_bc:
+            bcx_scr, bcy_scr = refs[pos:pos + 2]
         count = ctrl_ref[0, K_COUNT, 0]
         if n_segs == 1:
             seg_id = jnp.int32(0)
@@ -593,6 +606,9 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             ngr = ctrl_ref[0, K_NG, fr]
             tid = ctrl_ref[0, K_TID, fr]
             keyable = ctrl_ref[0, K_KEY, fr]
+            if "nokey" in debug:
+                # DIAGNOSIS ONLY (wrong output): cost of the keyed path
+                keyable = jnp.int32(0)
 
             v3x = fscal_ref[0, C_V3X, fr]
             v3y = fscal_ref[0, C_V3Y, fr]
@@ -620,21 +636,28 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 bcy = w1 * ia
                 bcz = (1.0 - bcx) - bcy
                 err = _F32(-0.0001)
-                cov = ((bcx >= err) & (bcy >= err) & (bcz >= err)
-                       & (xi >= x_lo) & (xi < x_hi)
-                       & (yi >= y_lo) & (yi < y_hi))
+                # min-trick: minimum propagates NaN and -0.0 exactly like
+                # the 3-way compare chain, 3 ops instead of 5
+                cov = (jnp.minimum(jnp.minimum(bcx, bcy), bcz) >= err) \
+                    & (xi >= x_lo) & (xi < x_hi) \
+                    & (yi >= y_lo) & (yi < y_hi)
                 izi = (bcx * iza + bcy * izb) + bcz * izc
                 return row0, cov, izi, bcx, bcy, bcz
 
             fg = fo             # global face id (idx_scr indexes attrsT)
 
-            def merge(row0, cov, izi):
+            def merge(row0, cov, izi, bcx, bcy):
                 win = depth_ref[0, pl.ds(row0, wb), :]
                 # painter's: last covering face wins regardless of depth
                 better = cov if painters else (cov & (izi > win))
                 depth_ref[0, pl.ds(row0, wb), :] = jnp.where(better, izi, win)
                 iw = idx_scr[pl.ds(row0, wb), :]
                 idx_scr[pl.ds(row0, wb), :] = jnp.where(better, fg, iw)
+                if store_bc:
+                    bw = bcx_scr[pl.ds(row0, wb), :]
+                    bcx_scr[pl.ds(row0, wb), :] = jnp.where(better, bcx, bw)
+                    bw = bcy_scr[pl.ds(row0, wb), :]
+                    bcy_scr[pl.ds(row0, wb), :] = jnp.where(better, bcy, bw)
                 if track_pres:
                     # mark the face's texture bit for the touched chunk(s)
                     # (two scalar SMEM RMWs; wb-blocks can straddle a
@@ -650,16 +673,23 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     pres_scr[c0, wi] = pres_scr[c0, wi] | bit
                     pres_scr[c1, wi] = pres_scr[c1, wi] | bit
 
+            # (g, k) ride the fori carry instead of div/rem per block —
+            # integer divide on the scalar unit costs ~10+ cycles and ran
+            # once per block (round 5)
+            def _bump(g, k):
+                k2 = k + 1
+                wrap = k2 >= nblk
+                return (jnp.where(wrap, g + 1, g),
+                        jnp.where(wrap, jnp.int32(0), k2))
+
             def blk_clean(q, carry):
-                g = g0 + jax.lax.div(q, nblk)
-                k = jax.lax.rem(q, nblk)
-                row0, cov, izi, _, _, _ = block(g, k)
-                merge(row0, cov, izi)
-                return carry
+                g, k = carry
+                row0, cov, izi, bcx, bcy, _ = block(g, k)
+                merge(row0, cov, izi, bcx, bcy)
+                return _bump(g, k)
 
             def blk_keyed(q, carry):
-                g = g0 + jax.lax.div(q, nblk)
-                k = jax.lax.rem(q, nblk)
+                g, k = carry
                 row0, cov, izi, bcx, bcy, bcz = block(g, k)
                 # UV at pixel (render.rs:1563-1579) + keying bit
                 u0 = fscal_ref[0, C_U0, fr]
@@ -698,20 +728,21 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         widx & 127)
                     word = jnp.where((widx >> 7) == rr, sel, word)
                 keyed = ((word >> (rel & 31)) & 1) != 0
-                merge(row0, cov & ~keyed, izi)
-                return carry
+                merge(row0, cov & ~keyed, izi, bcx, bcy)
+                return _bump(g, k)
 
             total_blocks = jnp.where(valid, ngr * nblk, jnp.int32(0))
+            gk0 = (g0, jnp.int32(0))
 
             @pl.when(keyable == 0)
             def _():
                 jax.lax.fori_loop(jnp.int32(0), total_blocks, blk_clean,
-                                  jnp.int32(0))
+                                  gk0)
 
             @pl.when(keyable != 0)
             def _():
                 jax.lax.fori_loop(jnp.int32(0), total_blocks, blk_keyed,
-                                  jnp.int32(0))
+                                  gk0)
 
         if "novis" not in debug:
             n_here = jnp.clip(count - seg_base, jnp.int32(0),
@@ -754,7 +785,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 sh_cols = [C_SH, C_SH + 1, C_SH + 2]
             else:
                 sh_cols = []
-            cols = ([C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA]
+            cols = (([] if store_bc
+                     else [C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA])
                     + ([] if affine else [C_IZA, C_IZB, C_IZC])
                     + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2,
                        C_VCP0, C_VCP1, C_VCP2]
@@ -833,26 +865,38 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     # overwrites them; non-winner pixels end up with some
                     # REAL face's attrs (bounded tid/flags) and are masked
                     # at the final drawn-write, so the peel is bit-exact.
-                    vals0 = []
-                    for cc in cols:
-                        row = attrsT_ref[0, cc, gmin, :]
-                        vals0.append(_lane_take(
-                            jnp.broadcast_to(row[None, :], (ch, 128)),
-                            lanei))
-                    vals = jax.lax.fori_loop(
-                        gmin + 1, gmax + 1, gather_body, tuple(vals0))
+                    if "noattrs" in debug:   # perf diagnosis: gather cost
+                        vals = tuple(jnp.zeros((ch, 128), _F32)
+                                     for _ in cols)
+                    else:
+                        vals0 = []
+                        for cc in cols:
+                            row = attrsT_ref[0, cc, gmin, :]
+                            vals0.append(_lane_take(
+                                jnp.broadcast_to(row[None, :], (ch, 128)),
+                                lanei))
+                        vals = jax.lax.fori_loop(
+                            gmin + 1, gmax + 1, gather_body, tuple(vals0))
                     a = dict(zip(cols, vals))
 
                     xi = jax.lax.broadcasted_iota(_I32, (ch, 128), 1) + (g << 7)
                     yi = jax.lax.broadcasted_iota(_I32, (ch, 128), 0) + ybase
-                    px = xi.astype(_F32)
-                    py = yi.astype(_F32)
-                    dx = px - a[C_V3X]
-                    dy = py - a[C_V3Y]
-                    w0 = a[C_A0] * dx + a[C_B0] * dy
-                    w1 = a[C_A1] * dx + a[C_B1] * dy
-                    bcx = w0 * a[C_IA]
-                    bcy = w1 * a[C_IA]
+                    if store_bc:
+                        # winner barycentrics straight from phase 1 —
+                        # identical f32 values (same expressions, same
+                        # scalars); non-winner lanes hold stale/garbage
+                        # planes and are masked at the drawn-write
+                        bcx = bcx_scr[pl.ds(r0, ch), :]
+                        bcy = bcy_scr[pl.ds(r0, ch), :]
+                    else:
+                        px = xi.astype(_F32)
+                        py = yi.astype(_F32)
+                        dx = px - a[C_V3X]
+                        dy = py - a[C_V3Y]
+                        w0 = a[C_A0] * dx + a[C_B0] * dy
+                        w1 = a[C_A1] * dx + a[C_B1] * dy
+                        bcx = w0 * a[C_IA]
+                        bcy = w1 * a[C_IA]
                     bcz = (1.0 - bcx) - bcy
 
                     if affine:
@@ -1121,8 +1165,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 textured = tidv >= 0
 
                 def tblock(q, carry):
-                    g = g0 + jax.lax.div(q, nblk)
-                    k = jax.lax.rem(q, nblk)
+                    g, k = carry
                     yb = yb0 + k * wb
                     row0 = pl.multiple_of(g * height + yb, wb)
                     xi = lane8 + (g << 7)
@@ -1137,9 +1180,9 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     bcy = w1 * ia
                     bcz = (1.0 - bcx) - bcy
                     err = _F32(-0.0001)
-                    cov = ((bcx >= err) & (bcy >= err) & (bcz >= err)
-                           & (xi >= x_lo) & (xi < x_hi)
-                           & (yi >= y_lo) & (yi < y_hi))
+                    cov = (jnp.minimum(jnp.minimum(bcx, bcy), bcz) >= err) \
+                        & (xi >= x_lo) & (xi < x_hi) \
+                        & (yi >= y_lo) & (yi < y_hi)
                     izi = (bcx * iza + bcy * izb) + bcz * izc
                     if zactive:
                         zwin = depth_ref[0, pl.ds(row0, wb), :]
@@ -1285,10 +1328,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                                           jnp.full((wb, 128), 255, _I32))
                     color_ref[0, pl.ds(row0, wb), :] = jnp.where(
                         drawn, word, back_word)
-                    return carry
+                    k2 = k + 1
+                    wrap = k2 >= nblk
+                    return (jnp.where(wrap, g + 1, g),
+                            jnp.where(wrap, jnp.int32(0), k2))
 
                 total = jnp.where(pval != 0, ngr * nblk, jnp.int32(0))
-                jax.lax.fori_loop(jnp.int32(0), total, tblock, jnp.int32(0))
+                jax.lax.fori_loop(jnp.int32(0), total, tblock,
+                                  (g0, jnp.int32(0)))
                 return carry
 
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_tr), tr_face,
@@ -1395,7 +1442,11 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
         scratch_shapes=[pltpu.VMEM((gh, 128), jnp.int32),
                         pltpu.VMEM((ch, 128), jnp.int32),
                         pltpu.SMEM((gh // ch, max((n_tex + 31) >> 5, 1)),
-                                   jnp.int32)],
+                                   jnp.int32)]
+        + ([pltpu.VMEM((gh, 128), jnp.float32),
+            pltpu.VMEM((gh, 128), jnp.float32)]
+           if ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
+           else []),
         # (cdepth: fbd still passed, but only an 8-row block is DMA'd)
         interpret=interpret,
     )(*operands)

@@ -38,10 +38,12 @@ def measure(runs: dict) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    level_path = (sys.argv[2] if len(sys.argv) > 2
+    args = [a for a in sys.argv[1:] if a != "--cube"]
+    cube = "--cube" in sys.argv[1:]
+    n = int(args[0]) if args else 128
+    level_path = (args[1] if len(args) > 1
                   else "/root/reference/assets/samples/levels/Cave.ron")
-    variants = sys.argv[3:] or DEFAULT_VARIANTS
+    variants = args[2:] or DEFAULT_VARIANTS
 
     import jax
     import jax.numpy as jnp
@@ -56,26 +58,40 @@ def main():
     print(f"# device: {jax.devices()[0]}  n={n}", flush=True)
     settings = RasterSettings.game()
 
-    level, env, spawn = rollout.demo_env(level_path, flat=True)
-    flat, static = env.flat, env.flat_static
-    print(f"# level={level_path.rsplit('/', 1)[-1]} T={static.n_faces} "
-          f"t_pad={static.t_pad}", flush=True)
+    if cube:
+        sys.path.insert(0, "tests")
+        import scenes
+        from bonnie32_tpu.ops import camera as cam_ops
+        tex = [scenes.checker_texture15(32, 32, with_black=False)]
+        verts, faces = scenes.cube_scene(tex_ids=(0, 0, 0, 0, 0, 0))
+        flat, static = scene_flat.compile_scene_flat(
+            verts, faces, tex, scenes.DEFAULT_LIGHT_SPECS)
+        base_angles = np.arange(n, dtype=np.float32) * 0.01
+        game_cams = cam_ops.orbit_cameras(
+            jnp.asarray(base_angles), 0.35, 3.5)
+        print(f"# cube scene T={static.n_faces} t_pad={static.t_pad}",
+              flush=True)
+    else:
+        level, env, spawn = rollout.demo_env(level_path, flat=True)
+        flat, static = env.flat, env.flat_static
+        print(f"# level={level_path.rsplit('/', 1)[-1]} T={static.n_faces} "
+              f"t_pad={static.t_pad}", flush=True)
 
-    states0 = rollout.initial_states(level, spawn, n)
-    rng = np.random.default_rng(0)
-    ang = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
-    acts = stp.Actions(
-        move_x=jnp.asarray(np.sin(ang)), move_y=jnp.asarray(np.cos(ang)),
-        cam_x=jnp.zeros(n, jnp.float32), cam_y=jnp.zeros(n, jnp.float32),
-        sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
-    states_w = states0
-    for _ in range(20):
-        states_w = jax.vmap(lambda s, a: stp.tick(
-            s, env.grid, env.params, a, 1.0 / 60.0))(states_w, acts)
-    game_cams = jax.vmap(lambda s: stp.character_camera(
-        s, env.params))(states_w)
-    game_cams = jax.tree_util.tree_map(
-        lambda x: jnp.asarray(np.asarray(jax.device_get(x))), game_cams)
+        states0 = rollout.initial_states(level, spawn, n)
+        rng = np.random.default_rng(0)
+        ang = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+        acts = stp.Actions(
+            move_x=jnp.asarray(np.sin(ang)), move_y=jnp.asarray(np.cos(ang)),
+            cam_x=jnp.zeros(n, jnp.float32), cam_y=jnp.zeros(n, jnp.float32),
+            sprint=jnp.zeros(n, bool), jump=jnp.zeros(n, bool))
+        states_w = states0
+        for _ in range(20):
+            states_w = jax.vmap(lambda s, a: stp.tick(
+                s, env.grid, env.params, a, 1.0 / 60.0))(states_w, acts)
+        game_cams = jax.vmap(lambda s: stp.character_camera(
+            s, env.params))(states_w)
+        game_cams = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(jax.device_get(x))), game_cams)
 
     fb0 = raster_ref.new_framebuffer(HEIGHT, WIDTH, depth_mode="inv")
     fbs0 = jax.tree_util.tree_map(
@@ -103,11 +119,14 @@ def main():
 
     gh = HEIGHT * -(-WIDTH // 128)
     for dbg in variants:
-        # chunk height must divide the per-group row count
+        # chunk height must divide the per-group row count; the window
+        # height must divide the frame height
         ch = next((int(t[2:]) for t in dbg.split()
                    if t.startswith("ch") and t[2:].isdigit()), 24)
-        if gh % ch or HEIGHT % ch:
-            print(f"# skip '{dbg}' (ch={ch} does not divide)", flush=True)
+        wb = next((int(t[2:]) for t in dbg.split()
+                   if t.startswith("wb") and t[2:].isdigit()), 8)
+        if gh % ch or HEIGHT % ch or HEIGHT % wb or wb > ch:
+            print(f"# skip '{dbg}' (ch={ch}/wb={wb} invalid)", flush=True)
             continue
 
         def frame(t, dbg=dbg):

@@ -3,10 +3,13 @@
 
 Variants:
   full      tick + character_camera (the steponly line)
-  nocorner  tick with the 20-point corner batch skipped (center test only)
+  tickonly  tick without the camera
   nocollide tick with move_and_slide replaced by plain integration
   camonly   character_camera only (no tick)
-  input     _player_input only
+  full_T    tick + camera with N-LAST state storage (vmap in_axes=-1):
+            the per-instance leaves become (E, 3, N)-shaped so the batch
+            axis lands on TPU lanes instead of (N, 16, 3) tiles that use
+            3 of 128 lanes
 
     timeout 900 python scripts/perf_step2.py [n] [level.ron]
 """
@@ -109,6 +112,28 @@ def main():
     add("tickonly", tickonly)
     add("nocollide", nocollide)
     add("camonly", camonly)
+
+    # ---- N-last storage: same tick/camera code, batch axis moved to the
+    # TRAILING dim so XLA's (sublane, lane) tiling puts N on lanes ----
+    states0_T = jax.tree_util.tree_map(
+        lambda x: jnp.moveaxis(x, 0, -1), states0)
+    acts_T = acts  # leaves are (N,): axis -1 == axis 0
+
+    @jax.jit
+    def chain_T(k):
+        def body(i, carry):
+            states, acc = carry
+            states = jax.vmap(
+                lambda s, a: stp.tick(s, env.grid, env.params, a, dt),
+                in_axes=-1, out_axes=-1)(states, acts_T)
+            cams = jax.vmap(lambda s: stp.character_camera(s, env.params),
+                            in_axes=-1, out_axes=-1)(states)
+            return (states, acc + cams.position[0, 0])
+
+        _, acc = lax.fori_loop(0, k, body, (states0_T, jnp.float32(0)))
+        return acc
+
+    variants["full_T"] = lambda k: float(chain_T(jnp.int32(k)))
 
     for v in variants.values():
         v(2)
