@@ -291,6 +291,20 @@ class Skybox:
             "horizon_haze": self.horizon_haze.to_ron(),
         }
 
+    def freeze(self) -> tuple:
+        """Hashable canonical key over every parameter — used to treat a
+        Skybox as a STATIC (trace-time) value inside jitted renderers (see
+        ops/skybox.StaticSky): two configs with equal keys compile to the
+        same program."""
+        def fz(x):
+            if dataclasses.is_dataclass(x):
+                return tuple(fz(getattr(x, f.name))
+                             for f in dataclasses.fields(x))
+            if isinstance(x, (list, tuple)):
+                return tuple(fz(v) for v in x)
+            return x
+        return fz(self)
+
     # ------------------------------------------------------------------
     # Sampling (geometry.rs:400-527), vectorized numpy over arrays
     # ------------------------------------------------------------------

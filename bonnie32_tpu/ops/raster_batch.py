@@ -51,8 +51,12 @@ _F32 = jnp.float32
 _I32 = jnp.int32
 _BF16 = jnp.bfloat16
 
-WB = 8            # framebuffer rows per phase-1 window
-CH = 24           # layout rows per phase-2 chunk
+WB = 16           # framebuffer rows per phase-1 window
+CH = 48           # layout rows per phase-2 chunk
+# WB/CH raised 8/24 -> 16/48 in round 5: the tile sweep measured Cave
+# N=128 render 58.3 -> 43.7 us/inst and cube raster-only 61.6k -> 84k+
+# ifps — per-iteration scalar/loop overhead dominated over vector work
+# at the old sizes (PLAN_PERF round-5 session 2).
 KF = 4            # phase-1 faces per loop iteration (scalar-unit ILP;
 #                   measured v5e: ~wash on Cave, -3.7 us/inst Cathedral)
 SEG = 2560        # phase-1 face-table segment (SMEM window cap: each
@@ -100,11 +104,18 @@ _BM_ADD_QUARTER = int(BlendMode.ADD_QUARTER)
 _BM_ERASE = int(BlendMode.ERASE)
 
 
-def _tile_sizes(debug: str):
+def _tile_sizes(debug: str, height: int = 0):
     """Phase-2 chunk rows / phase-1 window rows / phase-1 face unroll,
     overridable from the static debug string ("ch48", "wb16", "fb4") for
-    on-hardware tile sweeps."""
+    on-hardware tile sweeps.  The DEFAULTS step down when the frame
+    height doesn't divide (small test frames, 120-row halves): explicit
+    tokens assert instead of degrading silently."""
     ch, wb, kf = CH, WB, KF
+    if height:
+        while height % ch:
+            ch -= 8
+        while height % wb:
+            wb >>= 1
     for tok in debug.split():
         if tok.startswith("ch") and tok[2:].isdigit():
             ch = int(tok[2:])
@@ -280,6 +291,14 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         order = pad_rows(order)
         attrs_c = pad_rows(attrs)
         ctrl_c = pad_rows(ctrl_i)
+        # Phase 2's attr table in DRAW order (round 5): phase 1 records
+        # the winner's draw POSITION, so a screen chunk's winner ids span
+        # a narrow room-ordered band instead of arbitrary original ids —
+        # Cathedral's per-chunk gather loop walked up to all 17 groups
+        # (measured 52 us/inst via 'noattrs'); positions make it 1-2.
+        # One XLA row-gather per instance; ctrl/fscal stay in original
+        # order because phases 1/3 address rows by original face id.
+        attrs_p2 = attrs_c[order]
     else:
         assert not painters, \
             "painter's mode needs a single-segment face table (t_pad <= SEG)"
@@ -294,6 +313,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         ctrl_c = jnp.einsum("pt,tc->pc", m, ctrl_i.astype(_F32),
                             precision=hi).astype(_I32)
         order = jnp.arange(t_pad, dtype=_I32)
+        attrs_p2 = attrs_c   # already compacted in draw order
 
     pad_cols = jnp.zeros((t_pad, N_CTRL - ctrl_c.shape[1]), _I32)
     pad_cols = pad_cols.at[:, 0].set(count)   # K_COUNT broadcast per row
@@ -302,7 +322,7 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
     count = count[None]
 
     g = t_pad // 128
-    attrs_t = attrs_c.T.reshape(N_COLS, g, 128)
+    attrs_t = attrs_p2.T.reshape(N_COLS, g, 128)
     return BatchPrep(count=count, ctrl=ctrl_c.T, fscal=attrs_c[:, :16].T,
                      attrsT=attrs_t)
 
@@ -424,7 +444,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     ng_total = -(-width // 128)
     gh = ng_total * height
     groups = t_pad // 128
-    ch, wb, kf = _tile_sizes(debug)
+    ch, wb, kf = _tile_sizes(debug, height)
     assert gh % ch == 0 and height % ch == 0, (gh, height, ch)
     assert height % wb == 0, (height, wb)
     n_chunks = gh // ch
@@ -644,7 +664,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 izi = (bcx * iza + bcy * izb) + bcz * izc
                 return row0, cov, izi, bcx, bcy, bcz
 
-            fg = fo             # global face id (idx_scr indexes attrsT)
+            # winner id = DRAW POSITION (attrsT is draw-ordered since
+            # round 5): a chunk's winners then span a narrow room-ordered
+            # group band instead of arbitrary original ids
+            fg = seg_base + fsafe
 
             def merge(row0, cov, izi, bcx, bcy):
                 win = depth_ref[0, pl.ds(row0, wb), :]
@@ -849,14 +872,11 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     gmin = jnp.min(jnp.where(has, grp,
                                              _I32(n_groups_static - 1)))
                     gmax = jnp.max(jnp.where(has, grp, _I32(0)))
-                    if t_pad <= SEG:
-                        # order-indirect mode: winner ids are ORIGINAL face
-                        # ids, which can exceed count — bound statically
-                        gmax = jnp.minimum(jnp.maximum(gmax, gmin),
-                                           _I32(n_groups_static - 1))
-                    else:
-                        gmax = jnp.minimum(jnp.maximum(gmax, gmin),
-                                           ngroups - 1)
+                    # winner ids are draw POSITIONS < count, so the
+                    # dynamic group count bounds the loop on both paths
+                    gmax = jnp.minimum(jnp.maximum(gmax, gmin),
+                                       ngroups - 1)
+                    gmin = jnp.minimum(gmin, gmax)
                     # group gmin is peeled: its gathers initialize the
                     # carry WITHOUT the grp==gg select (chunks usually
                     # touch one group after room-ordered compaction, so
@@ -1369,7 +1389,7 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     trprep/n_tr: per-instance transparent tables + static face count for
     the in-kernel phase-3 composite (see prep_transparent)."""
     n_inst = fbc.shape[0]
-    ch, _, _ = _tile_sizes(debug)
+    ch, _, _ = _tile_sizes(debug, height)
     const_depth = "cdepth" in debug or clear_color is not None
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,

@@ -6,15 +6,20 @@ rasterizer/render.rs:81-299`).  TPU equivalents:
 
   * Sphere: the reference's mesh is itself a discretization of the
     ground-truth sky function `Skybox::sample_at_direction`
-    (`world/geometry.rs:400-527`).  The fast path samples that function
-    directly: a dense per-direction LUT is built ON THE HOST by the same
-    vectorized transcription that colors the mesh vertices
-    (models/skybox.py:sample_at_direction), and the device does only an
-    integer bin lookup per pixel ray — every emitted color is bit-for-bit
-    a `sample_at_direction` value at the pixel's quantized direction.
-    (The mesh path Gouraud-interpolates BETWEEN coarse vertex samples of
-    the same function, so the two paths agree to within the mesh's own
-    discretization error; `exact=True` keeps strict mesh parity.)
+    (`world/geometry.rs:400-527`).  The fast path evaluates that function
+    ANALYTICALLY per pixel ray, in-register on the VPU (_sample_sky — a
+    jnp mirror of models/skybox.py:sample_at_direction with every config
+    scalar baked in at trace time via StaticSky).  Until round 5 this was
+    a host-built 1024x2048 direction LUT + one per-pixel XLA gather; the
+    gather was the with-skybox datagen bottleneck (PLAN_PERF fact 3: hot
+    paths must not sit on XLA gathers), and the analytic form is MORE
+    faithful — it samples the true per-pixel direction instead of a
+    quantized bin.  (The mesh path Gouraud-interpolates BETWEEN coarse
+    vertex samples of the same function, so fast and mesh paths agree to
+    within the mesh's own discretization error; `exact=True` keeps strict
+    mesh parity.  Device transcendentals differ from numpy's by ulps, so
+    fast-path colors can sit +-1 u8 step from a host evaluation at the
+    same direction — tests/test_skybox.py budgets for that.)
   * Mountains: a small chunked last-covering-wins reduction over the peak
     triangles (order-independent replacement for overwrite compositing of
     opaque triangles drawn after the sphere).
@@ -42,9 +47,35 @@ _I32 = jnp.int32
 TWO_PI = 2.0 * math.pi
 
 
+@jax.tree_util.register_pytree_node_class
+class StaticSky:
+    """A models.skybox.Skybox carried as a ZERO-LEAF pytree node: the
+    config rides the treedef (static, baked into the trace) instead of
+    device buffers, so jitted renderers specialize on it — disabled sky
+    features cost nothing and every scalar is an immediate.  Equality and
+    hashing go through Skybox.freeze() so identical configs share a
+    compiled program."""
+
+    def __init__(self, skybox):
+        self.skybox = skybox
+        self._key = skybox.freeze()
+
+    def tree_flatten(self):
+        return (), self
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return aux
+
+    def __eq__(self, other):
+        return isinstance(other, StaticSky) and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+
 class SkyTables(NamedTuple):
-    sky_lut: jnp.ndarray       # (LV, LH) i32 packed r|g<<8|b<<16 —
-                               # sample_at_direction at bin centers
+    cfg: StaticSky             # static Skybox config (zero-leaf pytree)
     mtn_dirs: jnp.ndarray      # (M, 3) f32 unit*scale directions
     mtn_colors: jnp.ndarray    # (M, 3) i32
     mtn_faces: jnp.ndarray     # (MF, 3) i32 (padded; valid mask)
@@ -64,25 +95,15 @@ class SkyTables(NamedTuple):
 
 
 def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
-                     mtn_pad=None, lut_h=2048, lut_v=1024) -> SkyTables:
+                     mtn_pad=None) -> SkyTables:
     """Host: models.skybox.Skybox -> device tables.
 
-    The (lut_v, lut_h) direction LUT holds `sample_at_direction` evaluated
-    at bin centers with the same host code that colors the mesh vertices,
-    so the fast path's sphere colors are true samples of the reference's
-    sky function (geometry.rs:400-527) — not an interpolation scheme of
-    our own."""
+    The sphere field needs NO table — the fast path evaluates the sky
+    function analytically per pixel (_sample_sky) with the config baked
+    in statically; only the mesh (exact path), mountains and stars carry
+    device data."""
     sdirs_m, colors, sfaces_m = skybox.generate_sphere(time, h_segments,
                                                        v_segments)
-
-    th = (np.arange(lut_h, dtype=np.float64) + 0.5) * (TWO_PI / lut_h)
-    ph = (np.arange(lut_v, dtype=np.float64) + 0.5) * (math.pi / lut_v)
-    PH, TH = np.meshgrid(ph.astype(np.float32), th.astype(np.float32),
-                         indexing="ij")
-    lut_rgb = np.clip(skybox.sample_at_direction(TH, PH, time),
-                      0, 255).astype(np.int32)
-    sky_lut = (lut_rgb[..., 0] | (lut_rgb[..., 1] << 8)
-               | (lut_rgb[..., 2] << 16)).astype(np.int32)
 
     mdirs, mcolors, mfaces = skybox.generate_mountains(time)
 
@@ -132,7 +153,7 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
         sphase.append(next_rand() * TWO_PI if stars.twinkle_speed > 0 else 0.0)
 
     return SkyTables(
-        sky_lut=jnp.asarray(sky_lut),
+        cfg=StaticSky(skybox),
         mtn_dirs=jnp.asarray(mdirs),
         mtn_colors=jnp.asarray(mcolors),
         mtn_faces=jnp.asarray(mf),
@@ -148,6 +169,122 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
         all_faces=jnp.asarray(np.asarray(all_faces, np.int32)),
         all_valid=jnp.asarray(all_valid),
     )
+
+
+def _sample_sky(cfg, theta, phi, time):
+    """jnp mirror of models.skybox.Skybox.sample_at_direction
+    (geometry.rs:400-527), channel-separated so every plane keeps the
+    (rows, 128) VPU layout.  `cfg` is the host Skybox dataclass — all its
+    scalars are Python constants at trace time, so disabled features
+    compile to nothing.  Returns float (r, g, b) planes (unclipped, like
+    the host function); callers clip+truncate to u8."""
+    one = _F32(1.0)
+    zero = _F32(0.0)
+    v = phi / _F32(math.pi)
+    hz = _F32(cfg.horizon)
+
+    def lerp(a, b, t):
+        # a: per-channel planes or constants; b: (r,g,b) constants/planes
+        t = jnp.clip(t, zero, one)
+        return tuple(av * (one - t) + bv * t for av, bv in zip(a, b))
+
+    def const3(c):
+        return tuple(_F32(float(x)) for x in c)
+
+    if cfg.horizon > 0:
+        t_above = v / _F32(max(cfg.horizon, 1e-9))
+    else:
+        t_above = jnp.zeros_like(v)
+    above = lerp(const3(cfg.zenith_color), const3(cfg.horizon_sky_color),
+                 t_above)
+    if cfg.horizon < 1:
+        t_below = (v - hz) / _F32(max(1.0 - cfg.horizon, 1e-9))
+    else:
+        t_below = jnp.ones_like(v)
+    below = lerp(const3(cfg.horizon_ground_color), const3(cfg.nadir_color),
+                 t_below)
+    is_above = v < hz
+    color = tuple(jnp.where(is_above, a, b) for a, b in zip(above, below))
+
+    if cfg.horizontal_tint_enabled and cfg.horizontal_tint_intensity > 0:
+        diff = jnp.abs(theta - _F32(cfg.horizontal_tint_direction))
+        diff = jnp.where(diff > _F32(math.pi), _F32(TWO_PI) - diff, diff)
+        spread = _F32(cfg.horizontal_tint_spread)
+        strength = jnp.where(
+            diff < spread,
+            (one - diff / spread) ** 2
+            * _F32(cfg.horizontal_tint_intensity), zero)
+        horizon_factor = one - jnp.minimum(jnp.abs(v - hz) / _F32(0.3), one)
+        tinted = lerp(color, const3(cfg.horizontal_tint_color),
+                      strength * horizon_factor)
+        sel = strength > zero
+        color = tuple(jnp.where(sel, t, c) for t, c in zip(tinted, color))
+
+    if cfg.horizon_haze.enabled and cfg.horizon_haze.intensity > 0:
+        dist = jnp.abs(v - hz)
+        ext = _F32(cfg.horizon_haze.extent)
+        s = jnp.where(dist < ext,
+                      (one - dist / ext) ** 2
+                      * _F32(cfg.horizon_haze.intensity), zero)
+        hazed = lerp(color, const3(cfg.horizon_haze.color), s)
+        sel = s > zero
+        color = tuple(jnp.where(sel, h, c) for h, c in zip(hazed, color))
+
+    for body in (cfg.sun, cfg.moon):
+        if not body.enabled:
+            continue
+        body_phi = math.pi / 2 - body.elevation
+        cos_dist = (jnp.sin(phi) * _F32(math.sin(body_phi))
+                    * jnp.cos(theta - _F32(body.azimuth))
+                    + jnp.cos(phi) * _F32(math.cos(body_phi)))
+        ang = jnp.arccos(jnp.clip(cos_dist, -one, one))
+        size = _F32(body.size)
+        core = jnp.where(ang < size, one - ang / size, zero)
+        glow_r = body.size * 4.0
+        glow_t = jnp.clip((ang - size)
+                          / _F32(max(glow_r - body.size, 1e-9)), zero, one)
+        glow = jnp.where((ang >= size) & (ang < _F32(glow_r)),
+                         (one - glow_t) ** _F32(body.glow_falloff)
+                         * _F32(0.6), zero)
+        cored = lerp(color, const3(body.color), core)
+        sel = core > zero
+        color = tuple(jnp.where(sel, a, c) for a, c in zip(cored, color))
+        glowed = lerp(color, const3(body.glow_color), glow)
+        sel = glow > zero
+        color = tuple(jnp.where(sel, a, c) for a, c in zip(glowed, color))
+
+    for layer in cfg.cloud_layers:
+        if layer is None or layer.opacity <= 0:
+            continue
+        vmin = layer.height - layer.thickness / 2
+        vmax = layer.height + layer.thickness / 2
+        inside = (v >= _F32(vmin)) & (v <= _F32(vmax))
+        th_s = theta + time * _F32(layer.scroll_speed)
+        stretch = 8.0 + layer.wispiness * 16.0
+        n1 = jnp.sin(jnp.sin(th_s * _F32(layer.density * 3.0)
+                             + _F32(layer.phase)) * _F32(stretch)
+                     + v * _F32(50.0))
+        n2 = jnp.sin(jnp.sin(th_s * _F32(layer.density * 7.0)
+                             + _F32(layer.phase * 2.0))
+                     * _F32(stretch * 0.5) + v * _F32(120.0))
+        n3 = jnp.sin(jnp.sin(th_s * _F32(layer.density * 13.0)
+                             + _F32(layer.phase * 0.7))
+                     * _F32(stretch * 0.3) + v * _F32(200.0))
+        raw = jnp.clip(n1 * _F32(0.5) + n2 * _F32(0.3) + n3 * _F32(0.2)
+                       + _F32(0.5), zero, one)
+        threshold = layer.wispiness * 0.5
+        frac = jnp.maximum((raw - _F32(threshold))
+                           / _F32(max(1.0 - threshold, 1e-9)), zero)
+        cval = jnp.where(raw < _F32(threshold), zero, frac ** _F32(0.7))
+        dist = jnp.abs(v - _F32(layer.height)) \
+            / _F32(max(layer.thickness / 2, 1e-9))
+        edge = jnp.clip(one - dist, zero, one)
+        s = jnp.where(inside, cval * _F32(layer.opacity) * edge, zero)
+        clouded = lerp(color, const3(layer.color), s)
+        sel = s > zero
+        color = tuple(jnp.where(sel, a, c) for a, c in zip(clouded, color))
+
+    return color
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "parts"))
@@ -172,8 +309,6 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
     lanes = jax.lax.broadcasted_iota(_I32, (gh, 128), 1)
     yi = jax.lax.rem(rows, jnp.int32(height))
     xi = jax.lax.div(rows, jnp.int32(height)) * 128 + lanes
-    lut_v = sky.sky_lut.shape[0]
-    lut_h = sky.sky_lut.shape[1]
     time = jnp.asarray(time, _F32)
     vs = _F32((min(width, height) / 2.0) * PROJ_SCALE)
 
@@ -188,17 +323,15 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
     wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
     phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
     theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
-    vbin = jnp.clip((phi * _F32(lut_v / math.pi)).astype(_I32),
-                    0, lut_v - 1)
-    hbin = jnp.clip((theta * _F32(lut_h / TWO_PI)).astype(_I32),
-                    0, lut_h - 1)
     if "lut" in parts:      # `parts` gates passes for profiling only
-        word = sky.sky_lut[vbin, hbin]
+        rf, gf, bf = _sample_sky(sky.cfg.skybox, theta, phi, time)
+        r = jnp.clip(rf, 0.0, 255.0).astype(_I32)
+        gch = jnp.clip(gf, 0.0, 255.0).astype(_I32)
+        bch = jnp.clip(bf, 0.0, 255.0).astype(_I32)
     else:
-        word = vbin * 0
-    r = word & 0xFF
-    gch = (word >> 8) & 0xFF
-    bch = (word >> 16) & 0xFF
+        r = jnp.zeros_like(xi)
+        gch = jnp.zeros_like(xi)
+        bch = jnp.zeros_like(xi)
 
     # mountains: same last-covering-wins pass on the layout grid
     mdir = sky.mtn_dirs * _F32(10000.0)
@@ -290,15 +423,14 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
                   time=0.0, exact: bool = False) -> FrameBuffers:
     """fb.render_skybox (render.rs:81-145) + stars (:149-237).
 
-    exact=False (default, the datagen hot path): each pixel ray fetches
-    the host-built `sample_at_direction` LUT (see build_sky_tables) — one
-    gather, no 3k-triangle loop, every color a true sky-function sample.
+    exact=False (default, the datagen hot path): each pixel ray evaluates
+    the sky function analytically in-register (_sample_sky) — no table,
+    no gather, no 3k-triangle loop; every color a true sky-function
+    sample at the pixel's exact direction.
     exact=True rasterizes the generated sphere+mountain mesh
     triangle-by-triangle with rasterize_skybox_triangle's semantics
     (render.rs:246-299) for pixel-exact parity (tests/test_skybox.py)."""
     height, width = fb.color.shape
-    lut_v = sky.sky_lut.shape[0]
-    lut_h = sky.sky_lut.shape[1]
     time = jnp.asarray(time, _F32)
 
     yi, xi = jnp.meshgrid(jnp.arange(height, dtype=_I32),
@@ -324,18 +456,14 @@ def render_skybox(fb: FrameBuffers, sky: SkyTables, camera: CameraArrays,
         wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
         wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
 
-        # --- per-direction LUT fetch: color = sample_at_direction at the
-        # pixel's quantized (theta, phi) bin, computed on the host ---
+        # --- analytic sky: sample_at_direction at the pixel's exact
+        # (theta, phi), evaluated in-register with static config ---
         phi = jnp.arccos(jnp.clip(wy, -1.0, 1.0))
         theta = jnp.mod(jnp.arctan2(wz, wx), TWO_PI)
-        vbin = jnp.clip((phi * _F32(lut_v / math.pi)).astype(_I32),
-                        0, lut_v - 1)
-        hbin = jnp.clip((theta * _F32(lut_h / TWO_PI)).astype(_I32),
-                        0, lut_h - 1)
-        word = sky.sky_lut[vbin, hbin]
-        r = word & 0xFF
-        gch = (word >> 8) & 0xFF
-        bch = (word >> 16) & 0xFF
+        rf, gf, bf = _sample_sky(sky.cfg.skybox, theta, phi, time)
+        r = jnp.clip(rf, 0.0, 255.0).astype(_I32)
+        gch = jnp.clip(gf, 0.0, 255.0).astype(_I32)
+        bch = jnp.clip(bf, 0.0, 255.0).astype(_I32)
 
     # --- triangle pass: last-covering-wins (render.rs:111-139) ---
     # exact mode walks the FULL generated mesh (sphere + mountains, in

@@ -103,7 +103,7 @@ def step_and_render(states: st.GameState, env: RolloutEnv,
     from .models import scene_flat
     from .ops import raster_batch as rb
     if (env.flat is not None and env.flat_static is not None
-            and (height * -(-width // 128)) % rb.CH == 0
+            and height % 8 == 0      # _tile_sizes adapts ch/wb down to 8
             and scene_flat.kernel_path_ok(env.flat_static, settings)):
         fb0 = raster_ref.new_framebuffer(height, width, depth_mode="inv")
         fbs = jax.tree_util.tree_map(

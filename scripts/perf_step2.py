@@ -113,6 +113,27 @@ def main():
     add("nocollide", nocollide)
     add("camonly", camonly)
 
+    # ---- entity-capacity scaling: the datagen states carry 16 ECS slots
+    # but only the player has a controller; collision solves all 16 ----
+    for cap in (4, 2):
+        states_c = rollout.initial_states(level, spawn, n, capacity=cap)
+
+        @jax.jit
+        def chain_c(k, states_c=states_c):
+            def body(i, carry):
+                states, acc = carry
+                states = jax.vmap(lambda s, a: stp.tick(
+                    s, env.grid, env.params, a, dt))(states, acts)
+                cams = jax.vmap(lambda s: stp.character_camera(
+                    s, env.params))(states)
+                return (states, acc + cams.position[0, 0])
+
+            _, acc = lax.fori_loop(0, k, body, (states_c, jnp.float32(0)))
+            return acc
+
+        variants[f"full_cap{cap}"] = (
+            lambda k, c=chain_c: float(c(jnp.int32(k))))
+
     # ---- N-last storage: same tick/camera code, batch axis moved to the
     # TRAILING dim so XLA's (sublane, lane) tiling puts N on lanes ----
     states0_T = jax.tree_util.tree_map(

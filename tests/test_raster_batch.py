@@ -285,11 +285,12 @@ def test_flat_kernel_settings_branches(cave, variant):
         f"{variant}: {diff.sum()} diffs (budget {budget})"
 
 
-@pytest.mark.parametrize("dbg", ["fb2", "fb4", "nogate", "wb16"])
+@pytest.mark.parametrize("dbg", ["fb2", "fb4", "nogate", "ch8", "ch24"])
 def test_flat_kernel_debug_variants_bit_exact(cave, dbg):
-    """Round-4 knobs — phase-1 face unroll (fbK), presence-gate disable
-    (nogate), window sweep (wb16) — must be bit-exact vs the default
-    kernel on the same scene."""
+    """Round-4/5 knobs — phase-1 face unroll (fbK), presence-gate disable
+    (nogate), window/chunk sweeps (wbK/chK; H=120 here, so tokens must
+    divide 120 — explicit tokens assert instead of degrading) — must be
+    bit-exact vs the default kernel on the same scene."""
     level, flat, static, seq = cave
     settings = RasterSettings.game()
     cams = _cams(level, 1)

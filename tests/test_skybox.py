@@ -110,27 +110,27 @@ def test_exact_skybox_matches_scalar_golden():
         assert diff.mean() < 0.05, f"exact skybox: {diff.mean():.1%} diffs"
 
 
-def test_fast_path_is_lut_exact():
-    """Every sphere pixel of the fast path is bit-for-bit a
-    sample_at_direction value: it must equal the host-built LUT at the
-    pixel's direction bin (or an adjacent bin where the device's
-    arccos/atan2 rounds across a bin edge)."""
+def test_fast_path_matches_host_sampler():
+    """Every sphere pixel of the fast path is an analytic
+    sample_at_direction evaluation at the pixel's exact direction: the
+    host transcription evaluated at the same directions must agree to
+    within 1 u8 step (device transcendentals differ from numpy's by
+    ulps), with the overwhelming majority exact."""
     import dataclasses
     from bonnie32_tpu.config import PROJ_DISTANCE, PROJ_SCALE
 
     sb = dataclasses.replace(Skybox.preset_sunset(),
                              mountain_ranges=[None, None])
     tables = sky_ops.build_sky_tables(sb)
-    lut = np.asarray(tables.sky_lut)
-    lv, lh = lut.shape
     basis = build.camera_basis(0.12, 1.3)
     cam = build.make_camera((0.0, 0.0, 0.0), basis)
     H, W = 120, 160
     fb = raster_ref.new_framebuffer(H, W, depth_mode="inv")
     word = np.asarray(sky_ops.render_skybox(fb, tables, cam).color)
-    got = word & 0x00FFFFFF
+    got = np.stack([word & 0xFF, (word >> 8) & 0xFF,
+                    (word >> 16) & 0xFF], -1).astype(np.int32)
 
-    # host-side replica of the per-pixel ray -> bin math (float32)
+    # host-side replica of the per-pixel ray math (float32)
     yi, xi = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     vs = np.float32(min(W, H) / 2.0 * PROJ_SCALE)
     usq = np.float32(PROJ_DISTANCE - 1.0)
@@ -143,21 +143,15 @@ def test_fast_path_is_lut_exact():
     wy = cx * b[0, 1] + cy * b[1, 1] + cz * b[2, 1]
     wz = cx * b[0, 2] + cy * b[1, 2] + cz * b[2, 2]
     phi = np.arccos(np.clip(wy, -1.0, 1.0))
-    theta = np.mod(np.arctan2(wz, wx), 2 * np.pi)
-    vb = np.clip((phi * np.float32(lv / np.pi)).astype(np.int32), 0, lv - 1)
-    hb = np.clip((theta * np.float32(lh / (2 * np.pi))).astype(np.int32),
-                 0, lh - 1)
+    theta = np.mod(np.arctan2(wz, wx), 2 * np.pi).astype(np.float32)
+    want = np.clip(sb.sample_at_direction(theta, phi.astype(np.float32)),
+                   0, 255).astype(np.int32)
 
-    ok = np.zeros((H, W), bool)
-    for dv in (-1, 0, 1):
-        for dh in (-1, 0, 1):
-            vv = np.clip(vb + dv, 0, lv - 1)
-            hh = (hb + dh) % lh
-            ok |= got == (lut[vv, hh] & 0x00FFFFFF)
-    assert ok.all(), f"{(~ok).sum()} pixels are not LUT samples"
-    # and the vast majority hit the host-predicted bin exactly
-    exact = got == (lut[vb, hb] & 0x00FFFFFF)
-    assert exact.mean() > 0.99, f"only {exact.mean():.1%} exact-bin hits"
+    err = np.abs(got - want).max(-1)
+    assert (err <= 1).all(), \
+        f"{(err > 1).sum()} pixels beyond 1 step (max {err.max()})"
+    assert (err == 0).mean() > 0.97, \
+        f"only {(err == 0).mean():.1%} pixels exact"
 
 
 def test_analytic_close_to_exact():
