@@ -602,7 +602,8 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
                       interpret: bool = False,
                       debug: str = "",
                       background: Optional[int] = None,
-                      fb_layout_color=None) -> FrameBuffers:
+                      fb_layout_color=None,
+                      sky=None) -> FrameBuffers:
     """Batched level render: (I, H, W) framebuffers + (I,) cameras through
     the fused Pallas kernel.  render_scene (scene.rs:180-261) semantics:
     identical output to scene.render_level per instance (tested), one
@@ -616,7 +617,14 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
     `fb_layout_color` ((I, NG*H, 128) packed words, e.g. from
     ops.skybox.render_skybox_layout) supplies the color plane ALREADY in
     kernel layout with an implicitly-cleared inverse-z depth — the skybox
-    datagen path: no host transposes, no depth DMA."""
+    buffer path: no host transposes, no depth DMA.
+
+    `sky` (ops.skybox.SkyTables) selects the IN-KERNEL sky (round 5):
+    the kernel synthesizes the background per chunk from the analytic
+    sky function + static mountain faces — no per-instance sky buffer at
+    all, and fully-covered chunks skip the sky entirely — then the star
+    sparkles post-compose onto still-background pixels
+    (scatter_stars_layout).  Requires ops.skybox.sky_kernel_ok."""
     from ..ops import raster_batch as rb
     from ..ops import wireframe as wf
 
@@ -636,7 +644,21 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
                                    static.t_pad, group_id=scene.f_group))(surf)
     n_inst = fb.color.shape[0] if fb is not None \
         else fb_layout_color.shape[0]
-    if fb_layout_color is not None:
+    skyprep = sky_static = None
+    if sky is not None:
+        from ..ops import skybox as sky_ops
+        assert background is None and fb_layout_color is None
+        assert sky_ops.sky_kernel_ok(sky, static, settings), \
+            "in-kernel sky: use the fb_layout_color buffer path for " \
+            "this settings/level combination (sky_kernel_ok)"
+        skyprep = jax.vmap(
+            lambda c: sky_ops.prep_sky_scal(sky, c, width, height))(cams)
+        sky_static = sky.kstat
+        fbc = jnp.zeros((n_inst, 8, 128), jnp.int32)
+        fbd = jnp.zeros((n_inst, 8, 128), jnp.float32)
+        if "cdepth" not in debug:
+            debug = (debug + " cdepth").strip()
+    elif fb_layout_color is not None:
         assert background is None
         fbc = fb_layout_color
         fbd = jnp.zeros((n_inst, 8, 128), jnp.float32)
@@ -682,7 +704,12 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
         static.n_textures, static.atlas_rows, static.key_wrows,
         atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
         interpret=interpret, debug=debug, clear_color=background,
-        trprep=trprep, n_tr=n_tr)
+        trprep=trprep, n_tr=n_tr, skyprep=skyprep, sky_static=sky_static)
+    if sky is not None and sky.kstat.skybox.stars.enabled:
+        from ..ops import skybox as sky_ops
+        color = jax.vmap(
+            lambda cl, d, cm: sky_ops.scatter_stars_layout(
+                cl, d, sky, cm, height, width))(color, depth, cams)
     out = FrameBuffers(color=rb.from_layout(color, width, height),
                        depth=rb.from_layout(depth, width, height))
     if static.transparent_idx and not in_kernel_tr:

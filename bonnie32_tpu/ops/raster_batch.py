@@ -424,7 +424,8 @@ def prep_xray(surfaces: Surfaces, group_id=None,
 def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
                  debug: str = "", atlas_rows_data: int = 0,
-                 tex_enc: tuple = (), clear_color=None, n_tr: int = 0):
+                 tex_enc: tuple = (), clear_color=None, n_tr: int = 0,
+                 sky_static=None):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
@@ -523,11 +524,28 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         assert wb <= ch, "phase 3 reuses the (ch,128) texel scratch per " \
             f"(wb,128) window (wb={wb}, ch={ch})"
 
+    # In-kernel sky (round 5): with sky_static (ops.skybox.SkyKernelStatic)
+    # the background is SYNTHESIZED per chunk — the analytic sky function
+    # plus the static mountain faces — instead of DMA'd from a
+    # pre-rendered (gh, 128) buffer per instance; chunks every opaque
+    # face covered skip it entirely (a scalar test), so indoor scenes
+    # stop paying for the sky at all.  Stars are a post pass
+    # (ops.skybox.scatter_stars_layout; sky_kernel_ok gates the combos
+    # where that ordering is exact).  Ref: render.rs:81-299.
+    sky_mode = sky_static is not None
+    if sky_mode:
+        assert const_depth, "in-kernel sky implies a cleared depth plane" \
+            " (pass debug='cdepth')"
+        assert clear_color is None
+
     def kernel(*refs):
         (ctrl_ref, fscal_ref, attrsT_ref, keyrows_ref,
          texmeta_ref, texmeta_v_ref, texlo_ref, texhi_ref,
          texpack_ref, texpal_ref, fbc_ref, fbd_ref) = refs[:12]
         pos = 12
+        if sky_mode:
+            skyscal_ref = refs[pos]
+            pos += 1
         if n_tr:
             tctrl_ref, tfscal_ref = refs[pos:pos + 2]
             pos += 2
@@ -535,6 +553,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         pos += 5
         if store_bc:
             bcx_scr, bcy_scr = refs[pos:pos + 2]
+            pos += 2
+        if sky_mode:
+            sky_scr = refs[pos]
+            pos += 1
         count = ctrl_ref[0, K_COUNT, 0]
         if n_segs == 1:
             seg_id = jnp.int32(0)
@@ -574,6 +596,102 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 pv = _lane_take(rowv, plane)
                 val = jnp.where(prow_v == pp, pv, val)
             return val
+
+        if sky_mode:
+            from . import skybox as _sky
+            from ..config import PROJ_DISTANCE, PROJ_SCALE
+            cfg = sky_static.skybox
+            sky_time = _F32(sky_static.time)
+            vs_c = _F32((min(width, height) / 2.0) * PROJ_SCALE)
+            usq_c = _F32(PROJ_DISTANCE - 1.0)
+            # theta feeds only azimuth-dependent features; when the
+            # config uses none, the atan2 evaluation traces away
+            need_theta = ((cfg.horizontal_tint_enabled
+                           and cfg.horizontal_tint_intensity > 0)
+                          or cfg.sun.enabled or cfg.moon.enabled
+                          or any(l is not None and l.opacity > 0
+                                 for l in cfg.cloud_layers))
+
+            def _sky_chunk_scr(c):
+                """Fill sky_scr with chunk c's analytic sky + mountain
+                peaks — the same per-pixel math as ops.skybox.
+                render_skybox_layout (sphere: _sample_sky at the pixel's
+                exact direction; mountains: identical barycentric
+                expressions on the identical projected scalars), so the
+                kernel path matches the buffer path except for the
+                minimax acos/atan2 (budgeted like device-transcendental
+                ulps, see tests/test_skybox.py)."""
+                g = c // chunks_per_g
+                ybase = (c % chunks_per_g) * ch
+                xi = jax.lax.broadcasted_iota(_I32, (ch, 128), 1) + (g << 7)
+                yi = jax.lax.broadcasted_iota(_I32, (ch, 128), 0) + ybase
+                b = [skyscal_ref[0, 3, j] for j in range(9)]
+                ndc_x = (xi.astype(_F32) + 0.5
+                         - _F32(width / 2.0)) / vs_c / usq_c
+                ndc_y = (yi.astype(_F32) + 0.5
+                         - _F32(height / 2.0)) / vs_c / usq_c
+                norm = jnp.sqrt(ndc_x * ndc_x + ndc_y * ndc_y + 1.0)
+                cx, cy, cz = ndc_x / norm, ndc_y / norm, 1.0 / norm
+                wx = cx * b[0] + cy * b[3] + cz * b[6]
+                wy = cx * b[1] + cy * b[4] + cz * b[7]
+                wz = cx * b[2] + cy * b[5] + cz * b[8]
+                phi = _sky._kacos(jnp.clip(wy, _F32(-1.0), _F32(1.0)))
+                if need_theta:
+                    theta = _sky._kmod2pi(_sky._katan2(wz, wx))
+                else:
+                    theta = jnp.zeros((ch, 128), _F32)
+                rf, gf, bf = _sky._sample_sky(cfg, theta, phi, sky_time,
+                                              acos=_sky._kacos)
+                r = jnp.clip(rf, _F32(0.0), _F32(255.0)).astype(_I32)
+                gc = jnp.clip(gf, _F32(0.0), _F32(255.0)).astype(_I32)
+                bc = jnp.clip(bf, _F32(0.0), _F32(255.0)).astype(_I32)
+                sky_scr[:] = col.pack_rgba8(
+                    r, gc, bc, jnp.full((ch, 128), 255, _I32))
+
+                px = xi.astype(_F32) + 0.5
+                py = yi.astype(_F32) + 0.5
+                gx0 = float(g << 7)
+                for f, (i0, i1, i2, c0, c1, c2) in \
+                        enumerate(sky_static.faces):
+                    ymin = skyscal_ref[0, 4, f]
+                    ymax = skyscal_ref[0, 5, f]
+                    xmin = skyscal_ref[0, 6, f]
+                    xmax = skyscal_ref[0, 7, f]
+                    hit = ((ymax >= _F32(ybase))
+                           & (ymin <= _F32(ybase + ch))
+                           & (xmax >= _F32(gx0))
+                           & (xmin <= _F32(gx0 + 128.0)))
+
+                    @pl.when(hit)
+                    def _(i0=i0, i1=i1, i2=i2, c0=c0, c1=c1, c2=c2, f=f):
+                        x0 = skyscal_ref[0, 0, i0]
+                        y0 = skyscal_ref[0, 1, i0]
+                        x1 = skyscal_ref[0, 0, i1]
+                        y1 = skyscal_ref[0, 1, i1]
+                        x2 = skyscal_ref[0, 0, i2]
+                        y2 = skyscal_ref[0, 1, i2]
+                        inv = skyscal_ref[0, 2, f]
+                        w0 = ((y1 - y2) * (px - x2)
+                              + (x2 - x1) * (py - y2)) * inv
+                        w1 = ((y2 - y0) * (px - x2)
+                              + (x0 - x2) * (py - y2)) * inv
+                        w2 = 1.0 - w0 - w1
+                        covered = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0)
+                        rr = (w0 * _F32(c0[0]) + w1 * _F32(c1[0])
+                              + w2 * _F32(c2[0]))
+                        gg = (w0 * _F32(c0[1]) + w1 * _F32(c1[1])
+                              + w2 * _F32(c2[1]))
+                        bb = (w0 * _F32(c0[2]) + w1 * _F32(c1[2])
+                              + w2 * _F32(c2[2]))
+                        mr = jnp.clip(jnp.trunc(rr), _F32(0.0),
+                                      _F32(255.0)).astype(_I32)
+                        mg = jnp.clip(jnp.trunc(gg), _F32(0.0),
+                                      _F32(255.0)).astype(_I32)
+                        mb = jnp.clip(jnp.trunc(bb), _F32(0.0),
+                                      _F32(255.0)).astype(_I32)
+                        word = col.pack_rgba8(
+                            mr, mg, mb, jnp.full((ch, 128), 255, _I32))
+                        sky_scr[:] = jnp.where(covered, word, sky_scr[:])
 
         @pl.when(seg_id == 0)
         def _():
@@ -793,7 +911,11 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         # both the perf-diagnosis mode and the x-ray compose (which is
         # background + PHASE 3 only, render.rs:507-526). ----
         def _skip_phase2():
-            if clear_color is None:
+            if sky_mode:
+                for c in range(n_chunks):
+                    _sky_chunk_scr(c)
+                    color_ref[0, pl.ds(c * ch, ch), :] = sky_scr[:]
+            elif clear_color is None:
                 color_ref[0] = fbc_ref[0]
             else:
                 color_ref[0] = jnp.full((gh, 128), _I32(clear_color))
@@ -844,8 +966,11 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 any_winner = jnp.max(jnp.where(has, _I32(1), _I32(0))) > 0
 
                 @pl.when(jnp.logical_not(any_winner))
-                def _(r0=r0):
-                    if clear_color is None:
+                def _(r0=r0, c=c):
+                    if sky_mode:
+                        _sky_chunk_scr(c)
+                        color_ref[0, pl.ds(r0, ch), :] = sky_scr[:]
+                    elif clear_color is None:
                         color_ref[0, pl.ds(r0, ch), :] = \
                             fbc_ref[0, pl.ds(r0, ch), :]
                     else:
@@ -1110,7 +1235,14 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                                           col.expand_5_to_8(b5v),
                                           jnp.full((ch, 128), 255, _I32))
                     drawn = has & ~keyed_out
-                    if clear_color is None:
+                    if sky_mode:
+                        # synthesize the sky only when some pixel shows
+                        # it — fully-covered chunks pay one scalar test
+                        need_sky = jnp.min(
+                            jnp.where(drawn, _I32(1), _I32(0))) == 0
+                        pl.when(need_sky)(lambda: _sky_chunk_scr(c))
+                        bg = sky_scr[:]
+                    elif clear_color is None:
                         bg = fbc_ref[0, pl.ds(r0, ch), :]
                     else:
                         bg = jnp.full((ch, 128), _I32(clear_color))
@@ -1371,7 +1503,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     jax.jit,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
                      "atlas_rows", "key_wrows", "interpret", "debug",
-                     "atlas_rows_data", "tex_enc", "clear_color", "n_tr"))
+                     "atlas_rows_data", "tex_enc", "clear_color", "n_tr",
+                     "sky_static"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     tex_lo, tex_hi, tex_pack, tex_pal,
                     settings: RasterSettings,
@@ -1380,21 +1513,27 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     interpret: bool = False, debug: str = "",
                     atlas_rows_data: int = 0, tex_enc: tuple = (),
                     clear_color=None, trprep: TransPrep = None,
-                    n_tr: int = 0):
+                    n_tr: int = 0, skyprep=None, sky_static=None):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
     carry a leading instance axis.  Returns (color, depth) in layout form.
 
     trprep/n_tr: per-instance transparent tables + static face count for
-    the in-kernel phase-3 composite (see prep_transparent)."""
+    the in-kernel phase-3 composite (see prep_transparent).
+
+    skyprep/sky_static: per-instance (8, vpad) scalar tables
+    (ops.skybox.prep_sky_scal) + the static sky descriptor — the kernel
+    then synthesizes the background per chunk (in-kernel sky) and fbc is
+    a dummy (1, 8, 128)-blocked plane like the clear_color path."""
     n_inst = fbc.shape[0]
     ch, _, _ = _tile_sizes(debug, height)
     const_depth = "cdepth" in debug or clear_color is not None
+    sky_mode = sky_static is not None
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,
                                       atlas_rows_data, tex_enc, clear_color,
-                                      n_tr=n_tr)
+                                      n_tr=n_tr, sky_static=sky_static)
     if t_pad <= SEG:
         n_segs, seg_rows = 1, t_pad
     else:
@@ -1429,7 +1568,7 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tex_pal.shape[0], 128), pin(Z, Z),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, 128) if clear_color is not None
+        pl.BlockSpec((1, 8, 128) if (clear_color is not None or sky_mode)
                      else (1, gh, 128),
                      pin(I, Z, Z), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 8, 128) if const_depth else (1, gh, 128),
@@ -1437,6 +1576,12 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     ]
     operands = [prep.ctrl, prep.fscal, prep.attrsT, keyrows, texmeta,
                 texmeta, tex_lo, tex_hi, tex_pack, tex_pal, fbc, fbd]
+    if sky_mode:
+        in_specs += [
+            pl.BlockSpec((1, 8, sky_static.vpad), pin(I, Z, Z),
+                         memory_space=pltpu.SMEM),
+        ]
+        operands += [skyprep]
     if n_tr:
         ntp = trprep.tctrl.shape[-1]
         in_specs += [
@@ -1466,7 +1611,8 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
         + ([pltpu.VMEM((gh, 128), jnp.float32),
             pltpu.VMEM((gh, 128), jnp.float32)]
            if ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
-           else []),
+           else [])
+        + ([pltpu.VMEM((ch, 128), jnp.int32)] if sky_mode else []),
         # (cdepth: fbd still passed, but only an 8-row block is DMA'd)
         interpret=interpret,
     )(*operands)

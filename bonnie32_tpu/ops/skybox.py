@@ -74,8 +74,39 @@ class StaticSky:
         return hash(self._key)
 
 
+@jax.tree_util.register_pytree_node_class
+class SkyKernelStatic:
+    """Static descriptor for the IN-KERNEL sky pass (round 5): the sky
+    config, generation time, the valid mountain faces with their (static)
+    corner colors, and the padded per-instance scalar-table width.  Rides
+    SkyTables as a zero-leaf pytree node so jitted renderers (and the
+    Pallas kernel builder) specialize on it."""
+
+    def __init__(self, skybox, time, faces, vpad):
+        self.skybox = skybox
+        self.time = float(time)
+        self.faces = faces      # ((i0,i1,i2,(r,g,b),(r,g,b),(r,g,b)), ...)
+        self.vpad = int(vpad)
+        self._key = (skybox.freeze(), self.time, faces, self.vpad)
+
+    def tree_flatten(self):
+        return (), self
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return aux
+
+    def __eq__(self, other):
+        return (isinstance(other, SkyKernelStatic)
+                and self._key == other._key)
+
+    def __hash__(self):
+        return hash(self._key)
+
+
 class SkyTables(NamedTuple):
     cfg: StaticSky             # static Skybox config (zero-leaf pytree)
+    kstat: SkyKernelStatic     # in-kernel sky pass descriptor (zero-leaf)
     mtn_dirs: jnp.ndarray      # (M, 3) f32 unit*scale directions
     mtn_colors: jnp.ndarray    # (M, 3) i32
     mtn_faces: jnp.ndarray     # (MF, 3) i32 (padded; valid mask)
@@ -106,6 +137,19 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
                                                        v_segments)
 
     mdirs, mcolors, mfaces = skybox.generate_mountains(time)
+
+    # static face descriptor for the in-kernel sky pass: vertex ids +
+    # corner colors are level constants, so the kernel bakes them as
+    # immediates and only the projected vertex positions ride a tiny
+    # per-instance scalar table (prep_sky_scal)
+    kfaces = tuple(
+        (int(f[0]), int(f[1]), int(f[2]),
+         tuple(int(c) for c in mcolors[f[0]]),
+         tuple(int(c) for c in mcolors[f[1]]),
+         tuple(int(c) for c in mcolors[f[2]]))
+        for f in mfaces)
+    vpad = max(8, -(-max(len(mdirs), len(kfaces), 10) // 8) * 8)
+    kstat = SkyKernelStatic(skybox, time, kfaces, vpad)
 
     # combined mesh, sphere first then mountains (generate_mesh order,
     # geometry.rs:529-733) for the exact triangle path
@@ -154,6 +198,7 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
 
     return SkyTables(
         cfg=StaticSky(skybox),
+        kstat=kstat,
         mtn_dirs=jnp.asarray(mdirs),
         mtn_colors=jnp.asarray(mcolors),
         mtn_faces=jnp.asarray(mf),
@@ -171,7 +216,50 @@ def build_sky_tables(skybox, time: float = 0.0, h_segments=48, v_segments=32,
     )
 
 
-def _sample_sky(cfg, theta, phi, time):
+# ---------------------------------------------------------------------------
+# Kernel-safe transcendentals.  Mosaic has no acos/atan2/mod lowerings
+# (probed on v5e), so the in-kernel sky pass evaluates them from
+# primitives it does have (sqrt, div, mul, select): a 6-term minimax
+# arctangent (max error ~1e-5 rad — under 0.003 of one u8 color step on
+# the steepest sky gradient, inside the fast path's existing
+# device-transcendental budget) with exact quadrant logic.
+# ---------------------------------------------------------------------------
+
+def _katan_poly(t):
+    """Minimax arctan on |t| <= 1 (Abramowitz-Stegun 4.4.49 class)."""
+    r = t * t
+    p = _F32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262347,
+              0.99997726):
+        p = p * r + _F32(c)
+    return t * p
+
+
+def _katan2(y, x):
+    """Full-quadrant atan2 via the octant-reduced minimax arctan."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    den = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.where(den == 0, _F32(1.0), den)
+    a = _katan_poly(t)
+    a = jnp.where(ay > ax, _F32(math.pi / 2) - a, a)
+    a = jnp.where(x < 0, _F32(math.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+def _kacos(x):
+    """arccos on [-1, 1] -> [0, pi] via atan2(sqrt(1-x^2), x)."""
+    s = jnp.sqrt(jnp.maximum((_F32(1.0) - x) * (_F32(1.0) + x), _F32(0.0)))
+    return _katan2(s, x)
+
+
+def _kmod2pi(x):
+    """jnp.mod(x, 2*pi) without the rem primitive (floor-based)."""
+    q = jnp.floor(x * _F32(1.0 / TWO_PI))
+    return jnp.clip(x - q * _F32(TWO_PI), _F32(0.0), _F32(TWO_PI))
+
+
+def _sample_sky(cfg, theta, phi, time, acos=jnp.arccos):
     """jnp mirror of models.skybox.Skybox.sample_at_direction
     (geometry.rs:400-527), channel-separated so every plane keeps the
     (rows, 128) VPU layout.  `cfg` is the host Skybox dataclass — all its
@@ -210,9 +298,9 @@ def _sample_sky(cfg, theta, phi, time):
         diff = jnp.abs(theta - _F32(cfg.horizontal_tint_direction))
         diff = jnp.where(diff > _F32(math.pi), _F32(TWO_PI) - diff, diff)
         spread = _F32(cfg.horizontal_tint_spread)
-        strength = jnp.where(
-            diff < spread,
-            (one - diff / spread) ** 2
+        dt = one - diff / spread      # **2 as an explicit square: same
+        strength = jnp.where(         # value, no integer_pow primitive
+            diff < spread, (dt * dt)  # (Mosaic lowering)
             * _F32(cfg.horizontal_tint_intensity), zero)
         horizon_factor = one - jnp.minimum(jnp.abs(v - hz) / _F32(0.3), one)
         tinted = lerp(color, const3(cfg.horizontal_tint_color),
@@ -223,8 +311,9 @@ def _sample_sky(cfg, theta, phi, time):
     if cfg.horizon_haze.enabled and cfg.horizon_haze.intensity > 0:
         dist = jnp.abs(v - hz)
         ext = _F32(cfg.horizon_haze.extent)
+        de = one - dist / ext
         s = jnp.where(dist < ext,
-                      (one - dist / ext) ** 2
+                      (de * de)
                       * _F32(cfg.horizon_haze.intensity), zero)
         hazed = lerp(color, const3(cfg.horizon_haze.color), s)
         sel = s > zero
@@ -237,7 +326,7 @@ def _sample_sky(cfg, theta, phi, time):
         cos_dist = (jnp.sin(phi) * _F32(math.sin(body_phi))
                     * jnp.cos(theta - _F32(body.azimuth))
                     + jnp.cos(phi) * _F32(math.cos(body_phi)))
-        ang = jnp.arccos(jnp.clip(cos_dist, -one, one))
+        ang = acos(jnp.clip(cos_dist, -one, one))
         size = _F32(body.size)
         core = jnp.where(ang < size, one - ang / size, zero)
         glow_r = body.size * 4.0
@@ -378,6 +467,28 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
                                         (r, gch, bch))
 
     # stars: scatter remapped to layout indices
+    enabled = sky.stars_enabled & ("stars" in parts)
+    for lrow, llane, ok, c in _star_layout_writes(sky, camera, height,
+                                                  width, time, enabled):
+        r = r.at[lrow, llane].set(jnp.where(ok, c[:, 0], r[lrow, llane]))
+        gch = gch.at[lrow, llane].set(
+            jnp.where(ok, c[:, 1], gch[lrow, llane]))
+        bch = bch.at[lrow, llane].set(
+            jnp.where(ok, c[:, 2], bch[lrow, llane]))
+
+    return col.pack_rgba8(r, gch, bch, jnp.full_like(r, 255))
+
+
+def _star_layout_writes(sky: SkyTables, camera, height, width, time,
+                        enabled):
+    """Projected star sparkle writes (render.rs:149-237) in layout
+    coordinates and draw order: yields (lrow, llane, ok, colors) per
+    diamond offset.  Shared by the sky-buffer path
+    (render_skybox_layout) and the in-kernel sky's post pass
+    (scatter_stars_layout) so both produce identical pixels."""
+    ud = _F32(PROJ_DISTANCE)
+    us = _F32(PROJ_DISTANCE - 1.0)
+    vs = _F32((min(width, height) / 2.0) * PROJ_SCALE)
     scam = jnp.einsum("vk,rk->vr", sky.star_dirs * _F32(10000.0),
                       camera.basis)
     s_ok = scam[:, 2] > 0.1
@@ -398,7 +509,7 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
                 ((-1, 0), (1, 0), (0, -1), (0, 1))]
     offsets += [((dx, dy), 0.4, 3) for dx, dy in
                 ((-2, 0), (2, 0), (0, -2), (0, 2))]
-    enabled = sky.stars_enabled & ("stars" in parts)
+    out = []
     for (dx, dy), dim, min_size in offsets:
         c = jnp.trunc(center_c.astype(_F32) * _F32(dim)).astype(_I32)
         xs = ssx + dx
@@ -407,15 +518,99 @@ def render_skybox_layout(sky: SkyTables, camera: CameraArrays,
               & (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
         xs = jnp.clip(xs, 0, width - 1)
         ys = jnp.clip(ys, 0, height - 1)
-        lrow = (xs >> 7) * height + ys
-        llane = xs & 127
-        r = r.at[lrow, llane].set(jnp.where(ok, c[:, 0], r[lrow, llane]))
-        gch = gch.at[lrow, llane].set(
-            jnp.where(ok, c[:, 1], gch[lrow, llane]))
-        bch = bch.at[lrow, llane].set(
-            jnp.where(ok, c[:, 2], bch[lrow, llane]))
+        out.append(((xs >> 7) * height + ys, xs & 127, ok, c))
+    return out
 
-    return col.pack_rgba8(r, gch, bch, jnp.full_like(r, 255))
+
+def scatter_stars_layout(colorL, depthL, sky: SkyTables, camera,
+                         height: int, width: int, time=0.0):
+    """Star pass for the IN-KERNEL sky path: sparkles land on every
+    pixel no opaque face won (the depth plane still holds the cleared
+    0.0 inverse-z there) — exactly the pixels where the buffer path's
+    pre-drawn stars would survive the kernel's background select.
+    Requires z-buffer mode and a level with no transparent faces
+    (sky_kernel_ok gates): stars sit UNDER transparency in the
+    reference draw order (render.rs:149-237 then :2547)."""
+    time = jnp.asarray(time, _F32)
+    enabled = sky.stars_enabled
+    for lrow, llane, ok, c in _star_layout_writes(sky, camera, height,
+                                                  width, time, enabled):
+        okd = ok & (depthL[lrow, llane] == 0.0)
+        word = col.pack_rgba8(c[:, 0], c[:, 1], c[:, 2],
+                              jnp.full_like(c[:, 0], 255))
+        colorL = colorL.at[lrow, llane].set(
+            jnp.where(okd, word, colorL[lrow, llane]))
+    return colorL
+
+
+def prep_sky_scal(sky: SkyTables, camera, width: int, height: int):
+    """Per-instance scalar table for the in-kernel sky pass: (8, vpad)
+    f32, SMEM-resident in the kernel.  Rows:
+
+      0: projected mountain-vertex screen x  (per vertex)
+      1: projected mountain-vertex screen y  (per vertex)
+      2: per-FACE 1/dnm (barycentric denominator reciprocal)
+      3: camera basis row-major (cols 0-8) + generation time (col 9)
+      4-7: per-FACE conservative screen bbox ymin/ymax/xmin/xmax
+           (invalid/culled faces get an empty box, so the kernel's
+           per-chunk scalar test skips them)
+
+    The projection mirrors render_skybox_layout's mountain pass
+    bit-for-bit (same expressions on the same f32 scalars), so the
+    kernel's coverage and colors match the buffer path exactly."""
+    ks = sky.kstat
+    vs = _F32((min(width, height) / 2.0) * PROJ_SCALE)
+    ud = _F32(PROJ_DISTANCE)
+    us = _F32(PROJ_DISTANCE - 1.0)
+    mdir = sky.mtn_dirs * _F32(10000.0)
+    mcam = jnp.einsum("vk,rk->vr", mdir, camera.basis)
+    mvalid = mcam[:, 2] > 0.1
+    denom = mcam[:, 2] + ud
+    msx = (mcam[:, 0] * us) / denom * vs + _F32(width / 2.0)
+    msy = (mcam[:, 1] * us) / denom * vs + _F32(height / 2.0)
+    nv = msx.shape[0]
+    out = jnp.zeros((8, ks.vpad), _F32)
+    out = out.at[0, :nv].set(msx)
+    out = out.at[1, :nv].set(msy)
+    out = out.at[3, :9].set(camera.basis.astype(_F32).reshape(-1))
+    out = out.at[3, 9].set(_F32(ks.time))
+    big = _F32(1e9)
+    for f, (i0, i1, i2, _c0, _c1, _c2) in enumerate(ks.faces):
+        x0, x1, x2 = msx[i0], msx[i1], msx[i2]
+        y0, y1, y2 = msy[i0], msy[i1], msy[i2]
+        ok = mvalid[i0] & mvalid[i1] & mvalid[i2]
+        signed = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        ok = ok & (signed < 0.0)
+        dnm = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        ok = ok & (jnp.abs(dnm) >= 0.0001)
+        inv = 1.0 / jnp.where(dnm == 0, _F32(1.0), dnm)
+        xmin = jnp.minimum(jnp.minimum(x0, x1), x2) - 1.0
+        xmax = jnp.maximum(jnp.maximum(x0, x1), x2) + 1.0
+        ymin = jnp.minimum(jnp.minimum(y0, y1), y2) - 1.0
+        ymax = jnp.maximum(jnp.maximum(y0, y1), y2) + 1.0
+        out = out.at[2, f].set(inv)
+        out = out.at[4, f].set(jnp.where(ok, ymin, big))
+        out = out.at[5, f].set(jnp.where(ok, ymax, -big))
+        out = out.at[6, f].set(jnp.where(ok, xmin, big))
+        out = out.at[7, f].set(jnp.where(ok, xmax, -big))
+    return out
+
+
+def sky_kernel_ok(sky, static, settings) -> bool:
+    """Static routing test for the in-kernel sky pass (phase-2
+    background synthesis + star post pass) vs the full sky-buffer path
+    (render_skybox_layout -> fb_layout_color)."""
+    if sky is None or getattr(sky, "kstat", None) is None:
+        return False
+    if not settings.use_zbuffer or settings.xray_mode:
+        return False
+    sb = sky.kstat.skybox
+    if (sb.stars.enabled and sb.stars.count > 0
+            and len(static.transparent_idx) > 0):
+        # stars composite UNDER transparent faces; the post pass runs
+        # after the kernel's phase-3 blend, so fall back
+        return False
+    return True
 
 
 @functools.partial(jax.jit, static_argnames=("exact",))

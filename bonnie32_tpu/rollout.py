@@ -76,8 +76,17 @@ def build_env(level: Level, textures, resolve, light_specs=None,
 
 
 def initial_states(level: Level, spawn_pos, n_instances: int,
-                   capacity: int = 16) -> st.GameState:
-    """N identical instances with a spawned player (batch axis 0)."""
+                   capacity: int = 4) -> st.GameState:
+    """N identical instances with a spawned player (batch axis 0).
+
+    `capacity` sizes the fixed SoA entity tables.  The datagen scenario
+    spawns only the player, yet `tick` solves collision for EVERY slot
+    (fixed shapes — dead lanes cost the same as live ones), so the
+    default pads the spawned population 4x rather than carrying 16
+    slots: measured v5e, the 16-slot step was 6.5 us/inst at N=1024 —
+    a third of the whole frame budget — and scales ~linearly with
+    capacity.  Callers that spawn more entities pass a bigger capacity
+    (the interactive runtime sizes its own state)."""
     base = st.new_state(capacity)
     base, _ = st.spawn_player(base, spawn_pos, level.player_settings)
     return jax.tree_util.tree_map(
@@ -110,16 +119,26 @@ def step_and_render(states: st.GameState, env: RolloutEnv,
             lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
         interpret = jax.default_backend() not in ("tpu", "axon")
         if env.sky is not None:
-            # layout-space skybox: the sky renders straight into kernel
-            # layout (no per-instance transposes) and the depth plane is
-            # implicitly the cleared inverse-z buffer (cdepth)
             from .ops import skybox as sky_ops
-            skyc = jax.vmap(lambda c: sky_ops.render_skybox_layout(
-                env.sky, c, height, width))(cams)
-            fbs = scene_flat.render_level_flat(
-                fbs, env.flat, env.flat_static, cams, settings,
-                height=height, width=width, interpret=interpret,
-                fb_layout_color=skyc)
+            if sky_ops.sky_kernel_ok(env.sky, env.flat_static, settings):
+                # in-kernel sky (round 5): the kernel synthesizes the
+                # background per chunk (fully-covered chunks skip it) and
+                # stars post-compose on still-background pixels — no
+                # per-instance sky buffer, no full-frame sky evaluation
+                fbs = scene_flat.render_level_flat(
+                    fbs, env.flat, env.flat_static, cams, settings,
+                    height=height, width=width, interpret=interpret,
+                    sky=env.sky)
+            else:
+                # sky-buffer path: the sky renders straight into kernel
+                # layout (no per-instance transposes) and the depth
+                # plane is implicitly the cleared inverse-z buffer
+                skyc = jax.vmap(lambda c: sky_ops.render_skybox_layout(
+                    env.sky, c, height, width))(cams)
+                fbs = scene_flat.render_level_flat(
+                    fbs, env.flat, env.flat_static, cams, settings,
+                    height=height, width=width, interpret=interpret,
+                    fb_layout_color=skyc)
         else:
             fbs = scene_flat.render_level_flat(
                 fbs, env.flat, env.flat_static, cams, settings,

@@ -198,3 +198,89 @@ def test_layout_skybox_bit_exact():
         lanes = np.arange(128)[None, :]
         mask = ((rows // H) * 128 + lanes) < W
         assert (((lay != want) & mask).sum()) == 0
+
+
+def test_sky_kernel_path_matches_buffer_path():
+    """The IN-KERNEL sky (phase-2 background synthesis + star post pass,
+    round 5) must reproduce the sky-buffer path (render_skybox_layout ->
+    fb_layout_color) pixel-for-pixel: same sphere math at the same
+    directions, identical mountain expressions on identical projected
+    scalars, identical star writes restricted to still-background
+    pixels.  (The kernel's minimax acos/atan2 sit inside the same
+    device-transcendental budget; on identical-backend interpret runs
+    the two paths have matched bit-for-bit.)"""
+    import jax
+    from bonnie32_tpu.config import RasterSettings
+    from bonnie32_tpu.models import scene_flat
+    from bonnie32_tpu.ops import camera as cam_ops
+    from tests import scenes
+
+    verts, faces = scenes.cube_scene(tex_ids=(0, 0, 0, None, None, 0))
+    tex = [scenes.checker_texture15(32, 32, with_black=False)]
+    flat, static = scene_flat.compile_scene_flat(
+        verts, faces, tex, scenes.DEFAULT_LIGHT_SPECS)
+    settings = RasterSettings.game()
+    n = 2
+    H, W = 120, 160
+    fb0 = raster_ref.new_framebuffer(H, W, depth_mode="inv")
+    fbs = jnp.broadcast_to(fb0.color, (n,) + fb0.color.shape)
+    from bonnie32_tpu.types import FrameBuffers
+    fbs = FrameBuffers(
+        color=jnp.broadcast_to(fb0.color, (n,) + fb0.color.shape),
+        depth=jnp.broadcast_to(fb0.depth, (n,) + fb0.depth.shape))
+    cams = cam_ops.orbit_cameras(np.asarray([0.3, 2.2], np.float32),
+                                 0.35, 3.5)
+
+    # night preset: mountains + stars + moon; sunset: tint/sun/haze
+    for preset in (Skybox.preset_night(), Skybox.preset_sunset()):
+        tables = sky_ops.build_sky_tables(preset)
+        assert sky_ops.sky_kernel_ok(tables, static, settings)
+        skyc = jax.vmap(lambda c, t=tables: sky_ops.render_skybox_layout(
+            t, c, H, W))(cams)
+        ref = scene_flat.render_level_flat(
+            fbs, flat, static, cams, settings, height=H, width=W,
+            interpret=True, fb_layout_color=skyc)
+        out = scene_flat.render_level_flat(
+            fbs, flat, static, cams, settings, height=H, width=W,
+            interpret=True, sky=tables)
+        cr = np.asarray(ref.color)
+        co = np.asarray(out.color)
+        err = 0
+        for s in (0, 8, 16, 24):
+            err = max(err, np.abs(((cr >> s) & 255).astype(int)
+                                  - ((co >> s) & 255).astype(int)).max())
+        diffs = (cr != co).sum()
+        assert err <= 1 and diffs <= cr.size * 0.001, \
+            f"in-kernel sky diverged: {diffs} diffs, max step {err}"
+        np.testing.assert_array_equal(np.asarray(ref.depth),
+                                      np.asarray(out.depth))
+
+
+def test_sky_kernel_ok_gating():
+    """Routing: combinations whose in-kernel ordering would be wrong
+    (stars over in-kernel transparency, x-ray, painter's) fall back to
+    the sky-buffer path."""
+    import dataclasses
+    from bonnie32_tpu.config import RasterSettings
+
+    class _S:  # minimal FlatSceneStatic stand-in
+        def __init__(self, tr):
+            self.transparent_idx = tr
+
+    tables = sky_ops.build_sky_tables(Skybox.preset_night())
+    game = RasterSettings.game()
+    assert sky_ops.sky_kernel_ok(tables, _S(()), game)
+    # stars + transparent faces -> buffer path
+    assert not sky_ops.sky_kernel_ok(tables, _S((3, 5)), game)
+    # x-ray / painter's -> buffer path
+    assert not sky_ops.sky_kernel_ok(
+        tables, _S(()), RasterSettings.game(xray_mode=True))
+    assert not sky_ops.sky_kernel_ok(
+        tables, _S(()), RasterSettings.game(use_zbuffer=False))
+    # starless sky + transparent faces is fine
+    sb = dataclasses.replace(
+        Skybox.preset_night(),
+        stars=dataclasses.replace(Skybox.preset_night().stars,
+                                  enabled=False))
+    t2 = sky_ops.build_sky_tables(sb)
+    assert sky_ops.sky_kernel_ok(t2, _S((3, 5)), game)
