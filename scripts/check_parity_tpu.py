@@ -87,6 +87,40 @@ def main():
             fail = 1
         print(f"{name}: {diffs} pixel diffs over {n} cams "
               f"(nonbg {nz}/{c_ref.size}) {status}", flush=True)
+
+        # in-kernel sky vs the sky-buffer path (round 5): the kernel's
+        # minimax acos/atan2 differ from XLA's by ~1e-5 rad, so the
+        # budget is ±1 u8 step on a small pixel fraction (not zero)
+        if level.skybox is not None:
+            from bonnie32_tpu.ops import skybox as sky_ops
+            from bonnie32_tpu.models.skybox import Skybox
+            tables = sky_ops.build_sky_tables(Skybox.from_ron(level.skybox))
+            if not sky_ops.sky_kernel_ok(tables, static, settings):
+                print(f"{name}: sky_kernel_ok=False, sky check skipped",
+                      flush=True)
+                continue
+            skyc = jax.vmap(lambda c: sky_ops.render_skybox_layout(
+                tables, c, HEIGHT, WIDTH))(cams)
+            s_ref = scene_flat.render_level_flat(
+                fbs, flat, static, cams, settings, height=HEIGHT,
+                width=WIDTH, fb_layout_color=skyc)
+            s_new = scene_flat.render_level_flat(
+                fbs, flat, static, cams, settings, height=HEIGHT,
+                width=WIDTH, sky=tables)
+            a = np.asarray(jax.device_get(s_ref.color))
+            b = np.asarray(jax.device_get(s_new.color))
+            step = 0
+            for s in (0, 8, 16, 24):
+                step = max(step, int(np.abs(
+                    ((a >> s) & 255).astype(int)
+                    - ((b >> s) & 255).astype(int)).max()))
+            sd = int((a != b).sum())
+            ok = step <= 1 and sd <= a.size * 0.01
+            if not ok:
+                fail = 1
+            print(f"{name}: sky kernel-vs-buffer {sd} diffs "
+                  f"(max step {step}) {'OK' if ok else 'FAIL'}",
+                  flush=True)
     sys.exit(fail)
 
 

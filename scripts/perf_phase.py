@@ -144,6 +144,49 @@ def main():
 
     add_chain("surf", frame_surf)
 
+    # glue decomposition (round 5): the same surf+prep+kernel work as
+    # render_bg, but reading the LAYOUT output directly (kraw), with the
+    # color transpose only (kraw_flc), and with both transposes
+    # (kraw_flcd == render_bg minus dispatch) — isolates the from_layout
+    # cost inside the ~9.6 us/inst glue figure.
+    def _kernel_raw(t):
+        cams = perturb(t)
+        surf = jax.vmap(lambda c: scene_flat.build_surfaces_flat(
+            flat, c, settings, WIDTH, HEIGHT))(cams)
+        prep = jax.vmap(lambda s: rb.prep_instance(
+            s, flat.atlas, settings, WIDTH, HEIGHT, static.t_pad,
+            group_id=flat.f_group))(surf)
+        fbc = jnp.zeros((n, 8, 128), jnp.int32)
+        fbd = jnp.zeros((n, 8, 128), jnp.float32)
+        return rb.rasterize_batch(
+            fbc, fbd, prep, flat.keyrows, flat.texmeta, flat.tex_lo,
+            flat.tex_hi, flat.tex_pack, flat.tex_pal, settings,
+            WIDTH, HEIGHT, static.t_pad, static.n_textures,
+            static.atlas_rows, static.key_wrows,
+            atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
+            clear_color=0)
+
+    def frame_kraw(t):
+        color, depth = _kernel_raw(t)
+        return color[0, 0, 0].astype(jnp.float32)
+
+    add_chain("kraw", frame_kraw)
+
+    def frame_kraw_flc(t):
+        color, depth = _kernel_raw(t)
+        c = rb.from_layout(color, WIDTH, HEIGHT)
+        return c[0, 0, 0].astype(jnp.float32)
+
+    add_chain("kraw_flc", frame_kraw_flc)
+
+    def frame_kraw_flcd(t):
+        color, depth = _kernel_raw(t)
+        c = rb.from_layout(color, WIDTH, HEIGHT)
+        d = rb.from_layout(depth, WIDTH, HEIGHT)
+        return c[0, 0, 0].astype(jnp.float32) + d[0, 0, 0]
+
+    add_chain("kraw_flcd", frame_kraw_flcd)
+
     # datagen: full fused step chained on device (states carried)
     @jax.jit
     def chain_datagen(k):
