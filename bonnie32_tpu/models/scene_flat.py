@@ -637,11 +637,28 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
         return wf.render_wireframes_flat(fb, scene, cams, settings,
                                          width, height, depth_mode="inv")
 
+    # Segmentation plan: phase 3 (in-kernel transparency / x-ray) and
+    # painter's need single-segment original-order tables, so they force
+    # sg1 up to the SMEM cap even when seg_plan would rather stream
+    # (seg_plan splits big tables so their SMEM DMAs double-buffer).
+    in_kernel_tr = (bool(static.transparent_idx)
+                    and static.t_pad <= rb.SEG
+                    and settings.affine_textures
+                    and bool(static.tex_enc)
+                    and "seqtrans" not in debug)
+    force_single = (settings.xray_mode or not settings.use_zbuffer
+                    or in_kernel_tr) and static.t_pad <= rb.SEG
+    if (force_single and "sg" not in debug
+            and rb.seg_plan(static.t_pad, debug)[0] != 1):
+        debug = (debug + " sg1").strip()
+    n_segs = rb.seg_plan(static.t_pad, debug)[0]
+
     surf = jax.vmap(
         lambda c: build_surfaces_flat(scene, c, settings, width, height))(cams)
     prep = jax.vmap(
         lambda s: rb.prep_instance(s, scene.atlas, settings, width, height,
-                                   static.t_pad, group_id=scene.f_group))(surf)
+                                   static.t_pad, group_id=scene.f_group,
+                                   n_segs=n_segs))(surf)
     n_inst = fb.color.shape[0] if fb is not None \
         else fb_layout_color.shape[0]
     skyprep = sky_static = None
@@ -671,17 +688,13 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
         fbc = rb.to_layout(fb.color, width)
         fbd = rb.to_layout(fb.depth, width)
     # In-kernel transparent pass (phase 3, round 5): eligible whenever the
-    # kernel can read every face by original id (single-segment tables),
-    # UVs are affine (the sequential compositor's perspective path divides
-    # with exact_div — no f64 in Mosaic) and packed texel encodings exist.
-    # "seqtrans" forces the sequential compositor for A/B.  X-ray mode is
-    # phase 3 over EVERY face in draw order with phases 1-2 skipped
-    # (render.rs:507-526; kernel_path_ok gates eligibility).
-    in_kernel_tr = (bool(static.transparent_idx)
-                    and static.t_pad <= rb.SEG
-                    and settings.affine_textures
-                    and bool(static.tex_enc)
-                    and "seqtrans" not in debug)
+    # kernel can read every face by original id (single-segment tables,
+    # forced above), UVs are affine (the sequential compositor's
+    # perspective path divides with exact_div — no f64 in Mosaic) and
+    # packed texel encodings exist.  "seqtrans" forces the sequential
+    # compositor for A/B.  X-ray mode is phase 3 over EVERY face in draw
+    # order with phases 1-2 skipped (render.rs:507-526; kernel_path_ok
+    # gates eligibility).
     trprep = None
     n_tr = 0
     if settings.xray_mode:

@@ -59,6 +59,13 @@ CH = 48           # layout rows per phase-2 chunk
 # at the old sizes (PLAN_PERF round-5 session 2).
 KF = 4            # phase-1 faces per loop iteration (scalar-unit ILP;
 #                   measured v5e: ~wash on Cave, -3.7 us/inst Cathedral)
+SEG_TARGET = 1024  # preferred face-table segment rows: the per-instance
+#                    ctrl+fscal SMEM windows are 32 rows x seg x 4 B, and
+#                    past ~128 KB they stop double-buffering, exposing the
+#                    whole DMA serially (Cathedral t_pad 2176: glue 41.7
+#                    us/inst, round-5 session 3).  Levels above the target
+#                    stream in segments so the DMA pipelines behind
+#                    phase-1 compute.
 SEG = 2560        # phase-1 face-table segment (SMEM window cap: each
 SMALL_RA = 256  # atlas rows at/below which the direct gather loop wins
 # (measured v5e: direct wins at every sample-level size - cube 16 rows
@@ -102,6 +109,32 @@ _BM_ADD = int(BlendMode.ADD)
 _BM_SUBTRACT = int(BlendMode.SUBTRACT)
 _BM_ADD_QUARTER = int(BlendMode.ADD_QUARTER)
 _BM_ERASE = int(BlendMode.ERASE)
+
+
+def seg_plan(t_pad: int, debug: str = ""):
+    """(n_segs, seg_rows) for the phase-1 face-table streaming.
+
+    Levels up to min(SEG_TARGET, SEG) rows run single-segment
+    (order-indirect tables, in-kernel phase 3 eligible); bigger tables
+    split into the fewest 8-row-aligned segments that fit the target so
+    their SMEM windows double-buffer.  "sgK" in the debug string forces
+    K segments for on-hardware A/B."""
+    for tok in debug.split():
+        if tok.startswith("sg") and tok[2:].isdigit():
+            k = int(tok[2:])
+            assert t_pad % k == 0 and (k == 1 or (t_pad // k) % 128 == 0), \
+                (t_pad, k)
+            return k, t_pad // k
+    tgt = min(SEG_TARGET, SEG)
+    if t_pad <= tgt:
+        return 1, t_pad
+    # Mosaic requires SMEM sub-blocks' last dim % 128 == 0, so segments
+    # are 128-row aligned; t_pad is always a multiple of 128
+    for k in range(-(-t_pad // tgt), t_pad + 1):
+        if (t_pad % k == 0 and (t_pad // k) % 128 == 0
+                and t_pad // k <= SEG):
+            return k, t_pad // k
+    return 1, t_pad    # unreachable while t_pad % 128 == 0
 
 
 def _tile_sizes(debug: str, height: int = 0):
@@ -181,7 +214,7 @@ class BatchPrep(NamedTuple):
 
 def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
                   width: int, height: int, t_pad: int,
-                  group_id=None) -> BatchPrep:
+                  group_id=None, n_segs: int = None) -> BatchPrep:
     """Cull + bbox + compact one instance's surfaces for the kernel.
 
     Replicates raster_fast's routing: opaque = valid & ~has_transparency;
@@ -266,7 +299,9 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         return jnp.concatenate([arr, fill], axis=0)
 
     painters = not settings.use_zbuffer
-    if t_pad <= SEG:
+    if n_segs is None:
+        n_segs = seg_plan(t_pad)[0]
+    if n_segs == 1:
         # ORDER-INDIRECT compaction (round 4): the tables stay in original
         # face order; only a (t_pad,) index column compacts — a stable
         # sort on ~keep lists kept faces first in draw order.  The kernel
@@ -301,17 +336,23 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
         attrs_p2 = attrs_c[order]
     else:
         assert not painters, \
-            "painter's mode needs a single-segment face table (t_pad <= SEG)"
-        # Multi-segment levels keep the einsum compaction (the SMEM
-        # windows stream SEG-row slices, so phase 1 can only address
-        # rows inside its own segment) with an identity order column.
-        pos = jnp.cumsum(keep_i) - keep_i
-        dest = jnp.arange(t_pad, dtype=_I32)
-        m = ((pos[None, :] == dest[:, None]) & keep[None, :]).astype(_F32)
-        hi = jax.lax.Precision.HIGHEST
-        attrs_c = jnp.einsum("pt,tc->pc", m, attrs, precision=hi)
-        ctrl_c = jnp.einsum("pt,tc->pc", m, ctrl_i.astype(_F32),
-                            precision=hi).astype(_I32)
+            "painter's mode needs a single-segment face table (seg_plan)"
+        # Multi-segment levels compact the TABLES themselves into draw
+        # order (the SMEM windows stream segment slices, so phase 1 can
+        # only address rows inside its own segment) with an identity
+        # order column.  Round 5: a stable-sort row GATHER replaces the
+        # one-hot einsum (123 M MAC/inst at Cathedral scale, prep 61
+        # us/inst in round 4); non-kept rows are zeroed first so the
+        # result matches the einsum's bit-for-bit (ints now exactly —
+        # the einsum round-tripped them through f32).
+        attrs_p = pad_rows(jnp.where(keep[:, None], attrs, _F32(0.0)))
+        ctrl_p = pad_rows(jnp.where(keep[:, None], ctrl_i, _I32(0)))
+        keep_p = pad_rows(keep_i)
+        _, order_c = jax.lax.sort(
+            (1 - keep_p, jnp.arange(t_pad, dtype=_I32)),
+            is_stable=True, num_keys=1)
+        attrs_c = attrs_p[order_c]
+        ctrl_c = ctrl_p[order_c]
         order = jnp.arange(t_pad, dtype=_I32)
         attrs_p2 = attrs_c   # already compacted in draw order
 
@@ -464,11 +505,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # carry the winner's 1/z for perspective-correct UV — is restored to
     # its input value in phase 2 (the reference never writes depth here).
     painters = not settings.use_zbuffer
-    if t_pad <= SEG:
-        n_segs, seg_rows = 1, t_pad
-    else:
-        assert t_pad % SEG == 0, (t_pad, SEG)
-        n_segs, seg_rows = t_pad // SEG, SEG
+    n_segs, seg_rows = seg_plan(t_pad, debug)
     # Texture-major packed fetch (round 3, PLAN_PERF.md): per-texture
     # pal16/pal4/pack2 planes, whole textures skipped per chunk when no
     # pixel samples them.  Falls back to the round-2 paths under debug
@@ -517,7 +554,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     store_bc = ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
 
     if n_tr:
-        assert t_pad <= SEG, "phase 3 needs single-segment (original-order)" \
+        assert n_segs == 1, "phase 3 needs single-segment (original-order)" \
             " face tables"
         assert affine, "phase 3 is affine-only (exact_div needs f64)"
         assert tex_enc, "phase 3 fetches texels via the packed encodings"
@@ -1534,10 +1571,7 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                                       n_tex, atlas_rows, key_wrows, debug,
                                       atlas_rows_data, tex_enc, clear_color,
                                       n_tr=n_tr, sky_static=sky_static)
-    if t_pad <= SEG:
-        n_segs, seg_rows = 1, t_pad
-    else:
-        n_segs, seg_rows = t_pad // SEG, SEG
+    n_segs, seg_rows = seg_plan(t_pad, debug)
 
     if n_segs == 1:
         grid = (n_inst,)

@@ -135,6 +135,51 @@ def main():
 
     runs["datagen_nosky"] = lambda k: float(chain_nosky(jnp.int32(k)))
 
+    # ---- round-5 in-kernel sky decomposition ----
+    # skyprep: the per-instance (8, vpad) scalar table build alone
+    def frame_skyprep(t):
+        sp = jax.vmap(lambda c: sky_ops.prep_sky_scal(
+            env.sky, c, WIDTH, HEIGHT))(perturb(t))
+        return sp[0, 0, 0]
+
+    add_chain("skyprep", frame_skyprep)
+
+    # starpost: the star post pass alone on fixed layout planes
+    ngl = -(-WIDTH // 128)
+    gh = ngl * HEIGHT
+    colorL0 = jnp.zeros((n, gh, 128), jnp.int32)
+    depthL0 = jnp.zeros((n, gh, 128), jnp.float32)
+
+    def frame_starpost(t):
+        out = jax.vmap(lambda cl, d, cm: sky_ops.scatter_stars_layout(
+            cl, d, env.sky, cm, HEIGHT, WIDTH))(
+                colorL0, depthL0, perturb(t))
+        return out[0, 0, 0].astype(jnp.float32)
+
+    add_chain("starpost", frame_starpost)
+
+    # datagen with stars disabled (isolates the star post pass inside
+    # the full fused step)
+    import dataclasses
+    sb2 = dataclasses.replace(
+        env.sky.kstat.skybox,
+        stars=dataclasses.replace(env.sky.kstat.skybox.stars,
+                                  enabled=False))
+    env_ns = env._replace(sky=sky_ops.build_sky_tables(sb2))
+
+    @jax.jit
+    def chain_dg_nostars(k):
+        def body(i, carry):
+            states, acc = carry
+            states, fbs = rollout.step_and_render(states, env_ns, acts,
+                                                  settings)
+            return (states, acc + fbs.color[0, 0, 0].astype(jnp.float32))
+
+        _, acc = lax.fori_loop(0, k, body, (states0, jnp.float32(0)))
+        return acc
+
+    runs["dg_nostars"] = lambda k: float(chain_dg_nostars(jnp.int32(k)))
+
     rates = measure(runs)
     for name, dt in rates.items():
         print(f"{name:14s} {1000*dt:8.2f} ms/frame  "
