@@ -127,6 +127,11 @@ class FlatSceneStatic:
     # overwrite earlier groups' wire pixels in the reference's per-group
     # interleave, which a post-kernel line pass cannot replicate.
     n_draw_groups: int = 1
+    # black_transparent folded to a compile-time constant when uniform
+    # over valid faces (True/False), else None — lets the kernel drop the
+    # C_FLAGS attr gather and the flag selects (all sample levels are
+    # uniformly True).
+    bt_const: Optional[bool] = None
 
 
 def _faces_to_arrays(verts, faces, textures, pad_faces=None):
@@ -383,11 +388,18 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
                       f_group=jnp.asarray(np.asarray(group_ids, np.int32)),
                       cshade=cshade, cshade_neg=cshade_neg,
                       fshade=fshade, fshade_neg=fshade_neg)
+    bt_np = np.array([f.get("black_transparent", True) for f in all_f],
+                     bool)
+    valid_np = np.asarray(fa.valid)
+    btv = bt_np[valid_np]
+    bt_const = (True if (btv.size == 0 or btv.all())
+                else (False if not btv.any() else None))
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
         atlas_rows=ra, atlas_rows_data=ra_data,
         key_wrows=wr, tex_enc=tex_enc, transparent_idx=tr_idx,
-        transparent_last=tr_last, n_draw_groups=len(groups))
+        transparent_last=tr_last, n_draw_groups=len(groups),
+        bt_const=bt_const)
     return scene, static
 
 
@@ -717,7 +729,8 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
         static.n_textures, static.atlas_rows, static.key_wrows,
         atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
         interpret=interpret, debug=debug, clear_color=background,
-        trprep=trprep, n_tr=n_tr, skyprep=skyprep, sky_static=sky_static)
+        trprep=trprep, n_tr=n_tr, skyprep=skyprep, sky_static=sky_static,
+        bt_const=static.bt_const)
     if sky is not None and sky.kstat.skybox.stars.enabled:
         from ..ops import skybox as sky_ops
         color = jax.vmap(

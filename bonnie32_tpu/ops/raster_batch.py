@@ -337,30 +337,36 @@ def prep_instance(surfaces: Surfaces, atlas, settings: RasterSettings,
     else:
         assert not painters, \
             "painter's mode needs a single-segment face table (seg_plan)"
-        # Multi-segment levels compact the TABLES themselves into draw
-        # order (the SMEM windows stream segment slices, so phase 1 can
-        # only address rows inside its own segment) with an identity
-        # order column.  Round 5: a stable-sort row GATHER replaces the
-        # one-hot einsum (123 M MAC/inst at Cathedral scale, prep 61
-        # us/inst in round 4); non-kept rows are zeroed first so the
-        # result matches the einsum's bit-for-bit (ints now exactly —
-        # the einsum round-tripped them through f32).
-        attrs_p = pad_rows(jnp.where(keep[:, None], attrs, _F32(0.0)))
-        ctrl_p = pad_rows(jnp.where(keep[:, None], ctrl_i, _I32(0)))
+        # Multi-segment levels keep the tables in ORIGINAL order too
+        # (round-5 session 4: the global sort-gather compaction of the
+        # (t_pad, 32) tables measured 26 us/inst at Cathedral scale —
+        # worse than the SMEM serialization it replaced).  Instead the
+        # order column is compacted PER SEGMENT (z-buffer draw order ==
+        # original-kept order, and segments walk in ascending original
+        # order, so the global merge sequence is unchanged), the K_COUNT
+        # column carries per-segment kept counts (each segment's SMEM
+        # window reads its own), and phase 2's winner ids are ORIGINAL
+        # face ids — room-contiguous, so the [gmin, gmax] gather bound
+        # stays narrow without any compaction.
+        seg_rows = t_pad // n_segs
+        attrs_c = pad_rows(attrs)
+        ctrl_c = pad_rows(ctrl_i)
         keep_p = pad_rows(keep_i)
-        _, order_c = jax.lax.sort(
-            (1 - keep_p, jnp.arange(t_pad, dtype=_I32)),
-            is_stable=True, num_keys=1)
-        attrs_c = attrs_p[order_c]
-        ctrl_c = ctrl_p[order_c]
-        order = jnp.arange(t_pad, dtype=_I32)
-        attrs_p2 = attrs_c   # already compacted in draw order
+        k2 = keep_p.reshape(n_segs, seg_rows)
+        loc = jax.lax.broadcasted_iota(_I32, (n_segs, seg_rows), 1)
+        _, ord2 = jax.lax.sort((1 - k2, loc), dimension=1,
+                               is_stable=True, num_keys=1)
+        seg_off = (jnp.arange(n_segs, dtype=_I32) * seg_rows)[:, None]
+        order = (ord2 + seg_off).reshape(t_pad)
+        seg_counts = jnp.sum(k2, axis=1, dtype=_I32)
+        count = jnp.repeat(seg_counts, seg_rows)   # per-row, per-segment
+        attrs_p2 = attrs_c   # original order (winner ids = original ids)
 
     pad_cols = jnp.zeros((t_pad, N_CTRL - ctrl_c.shape[1]), _I32)
     pad_cols = pad_cols.at[:, 0].set(count)   # K_COUNT broadcast per row
     pad_cols = pad_cols.at[:, K_ORDER - ctrl_c.shape[1]].set(order)
     ctrl_c = jnp.concatenate([ctrl_c, pad_cols], axis=1)
-    count = count[None]
+    count = jnp.sum(keep_i, dtype=_I32)[None]   # total kept (diagnostic)
 
     g = t_pad // 128
     attrs_t = attrs_p2.T.reshape(N_COLS, g, 128)
@@ -466,7 +472,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
                  debug: str = "", atlas_rows_data: int = 0,
                  tex_enc: tuple = (), clear_color=None, n_tr: int = 0,
-                 sky_static=None):
+                 sky_static=None, bt_const=None):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
@@ -552,6 +558,22 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # small vs chunk count and loses at Cathedral-scale face counts:
     # same t_pad <= 1024 adaptive default, "bc"/"nobc" force on/off.
     store_bc = ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
+    # Compile-time flag folding (round 5): needs_dither is settings-only
+    # under Gouraud shading (scene_flat.build_surfaces_flat:486 —
+    # `dithering & (gouraud | textured | ...)`), and black_transparent is
+    # a camera-independent per-level fact the scene compile summarizes as
+    # bt_const (True/False when uniform over valid faces, else None).
+    # When both fold, the C_FLAGS attr column drops out of the phase-2
+    # gather and the flag selects trace away.
+    if not settings.dithering:
+        ndith_const = False
+    elif shading == ShadingMode.GOURAUD:
+        ndith_const = True
+    else:
+        ndith_const = None
+    if "dynflags" in debug:            # A/B: force the dynamic flag path
+        ndith_const = bt_const = None
+    flags_needed = (ndith_const is None) or (bt_const is None)
 
     if n_tr:
         assert n_segs == 1, "phase 3 needs single-segment (original-order)" \
@@ -570,6 +592,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # (ops.skybox.scatter_stars_layout; sky_kernel_ok gates the combos
     # where that ordering is exact).  Ref: render.rs:81-299.
     sky_mode = sky_static is not None
+    sky_bodies = sky_mode and (sky_static.skybox.sun.enabled
+                               or sky_static.skybox.moon.enabled)
     if sky_mode:
         assert const_depth, "in-kernel sky implies a cleared depth plane" \
             " (pass debug='cdepth')"
@@ -594,6 +618,9 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
         if sky_mode:
             sky_scr = refs[pos]
             pos += 1
+            if sky_bodies:
+                skyrgb_scr = refs[pos]
+                pos += 1
         count = ctrl_ref[0, K_COUNT, 0]
         if n_segs == 1:
             seg_id = jnp.int32(0)
@@ -642,10 +669,15 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             vs_c = _F32((min(width, height) / 2.0) * PROJ_SCALE)
             usq_c = _F32(PROJ_DISTANCE - 1.0)
             # theta feeds only azimuth-dependent features; when the
-            # config uses none, the atan2 evaluation traces away
+            # config uses none, the atan2 evaluation traces away.
+            # Sun/moon no longer need it (round-5 session 4): their
+            # angular distance comes from a direct dot product against
+            # body_unit_dir — the same quantity the reference's
+            # sin/cos/atan2 chain computes, evaluated exactly — and the
+            # whole body is chunk-gated on max(cos_dist) > cos(4*size)
+            # (beyond the glow radius both core and glow are exactly 0).
             need_theta = ((cfg.horizontal_tint_enabled
                            and cfg.horizontal_tint_intensity > 0)
-                          or cfg.sun.enabled or cfg.moon.enabled
                           or any(l is not None and l.opacity > 0
                                  for l in cfg.cloud_layers))
 
@@ -677,8 +709,37 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     theta = _sky._kmod2pi(_sky._katan2(wz, wx))
                 else:
                     theta = jnp.zeros((ch, 128), _F32)
-                rf, gf, bf = _sky._sample_sky(cfg, theta, phi, sky_time,
-                                              acos=_sky._kacos)
+
+                def body_hook(body, color):
+                    import math as _m
+                    bx, by, bz = _sky.body_unit_dir(body)
+                    cosd = (wx * _F32(bx) + wy * _F32(by)
+                            + wz * _F32(bz))
+                    glow_r = min(body.size * 4.0, _m.pi)
+                    cg = _F32(_m.cos(glow_r) - 1e-5)
+                    skyrgb_scr[pl.ds(0, ch), :] = color[0]
+                    skyrgb_scr[pl.ds(ch, ch), :] = color[1]
+                    skyrgb_scr[pl.ds(2 * ch, ch), :] = color[2]
+
+                    @pl.when(jnp.max(cosd) > cg)
+                    def _(body=body, cosd=cosd):
+                        cur = (skyrgb_scr[pl.ds(0, ch), :],
+                               skyrgb_scr[pl.ds(ch, ch), :],
+                               skyrgb_scr[pl.ds(2 * ch, ch), :])
+                        ang = _sky._kacos(
+                            jnp.clip(cosd, _F32(-1.0), _F32(1.0)))
+                        out = _sky._apply_body(body, cur, ang)
+                        skyrgb_scr[pl.ds(0, ch), :] = out[0]
+                        skyrgb_scr[pl.ds(ch, ch), :] = out[1]
+                        skyrgb_scr[pl.ds(2 * ch, ch), :] = out[2]
+
+                    return (skyrgb_scr[pl.ds(0, ch), :],
+                            skyrgb_scr[pl.ds(ch, ch), :],
+                            skyrgb_scr[pl.ds(2 * ch, ch), :])
+
+                rf, gf, bf = _sky._sample_sky(
+                    cfg, theta, phi, sky_time, acos=_sky._kacos,
+                    body_hook=body_hook if sky_bodies else None)
                 r = jnp.clip(rf, _F32(0.0), _F32(255.0)).astype(_I32)
                 gc = jnp.clip(gf, _F32(0.0), _F32(255.0)).astype(_I32)
                 bc = jnp.clip(bf, _F32(0.0), _F32(255.0)).astype(_I32)
@@ -819,16 +880,23 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 izi = (bcx * iza + bcy * izb) + bcz * izc
                 return row0, cov, izi, bcx, bcy, bcz
 
-            # winner id = DRAW POSITION (attrsT is draw-ordered since
-            # round 5): a chunk's winners then span a narrow room-ordered
-            # group band instead of arbitrary original ids
-            fg = seg_base + fsafe
+            # winner id: single-segment = DRAW POSITION (attrsT is
+            # draw-ordered, so a chunk's winners span a narrow
+            # room-ordered group band); multi-segment = ORIGINAL face id
+            # (attrsT stays in original order — still room-contiguous,
+            # and the global prep row gather measured 26 us/inst at
+            # Cathedral scale)
+            fg = fsafe if n_segs == 1 else fo
 
             def merge(row0, cov, izi, bcx, bcy):
                 win = depth_ref[0, pl.ds(row0, wb), :]
                 # painter's: last covering face wins regardless of depth
                 better = cov if painters else (cov & (izi > win))
                 depth_ref[0, pl.ds(row0, wb), :] = jnp.where(better, izi, win)
+                if "mergelite" in debug:
+                    # DIAGNOSIS ONLY (wrong output): depth merge only —
+                    # isolates the idx/bc plane-RW share of a block visit
+                    return
                 iw = idx_scr[pl.ds(row0, wb), :]
                 idx_scr[pl.ds(row0, wb), :] = jnp.where(better, fg, iw)
                 if store_bc:
@@ -923,8 +991,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                                   gk0)
 
         if "novis" not in debug:
-            n_here = jnp.clip(count - seg_base, jnp.int32(0),
-                              jnp.int32(seg_rows))
+            # K_COUNT is the total kept count for single-segment tables
+            # and the SEGMENT's kept count for streamed ones (each
+            # segment's SMEM window carries its own)
+            n_here = jnp.minimum(count, jnp.int32(seg_rows))
             if kf == 1:
                 def face_body(f, carry):
                     one_face(f, n_here)
@@ -958,8 +1028,13 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 color_ref[0] = jnp.full((gh, 128), _I32(clear_color))
 
         def _run_phase2():
-            ngroups = jnp.maximum((count + 127) >> 7, 1)
             n_groups_static = t_pad // 128
+            if n_segs == 1:
+                # winner ids are draw positions < count
+                ngroups = jnp.maximum((count + 127) >> 7, 1)
+            else:
+                # winner ids are original face ids — no dynamic bound
+                ngroups = jnp.int32(n_groups_static)
 
             if shading == ShadingMode.GOURAUD:
                 sh_cols = list(range(C_SH, C_SH + 9))
@@ -972,7 +1047,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     + ([] if affine else [C_IZA, C_IZB, C_IZC])
                     + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2,
                        C_VCP0, C_VCP1, C_VCP2]
-                    + sh_cols + [C_TID, C_FLAGS])
+                    + sh_cols + [C_TID]
+                    + ([C_FLAGS] if flags_needed else []))
 
             if tex_major:
                 texw = lane_iota3 = ra_iota = None
@@ -1197,16 +1273,27 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                             jnp.where(lane_iota3 == tlane[..., None], tv, 0.0),
                             axis=2).astype(_I32)
 
-                    flags = a[C_FLAGS].astype(_I32)
-                    bt = (flags & FLAG_BT) != 0
-                    ndith = (flags & FLAG_DITHER) != 0
+                    if flags_needed:
+                        flags = a[C_FLAGS].astype(_I32)
+                    bt = (bt_const if bt_const is not None
+                          else (flags & FLAG_BT) != 0)
+                    ndith = (ndith_const if ndith_const is not None
+                             else (flags & FLAG_DITHER) != 0)
 
                     c15 = jnp.where(textured, texel, _I32(col.WHITE))
                     is_black = (col.r5(c15) == 0) & (col.g5(c15) == 0) \
                         & (col.b5(c15) == 0)
                     is_transp = c15 == 0
-                    keyed_out = is_black & bt & textured
-                    c15 = jnp.where(is_transp & ~bt, _I32(col.BLACK_DRAWABLE), c15)
+                    if bt is True:
+                        keyed_out = is_black & textured
+                    elif bt is False:
+                        keyed_out = jnp.zeros(is_black.shape, bool)
+                        c15 = jnp.where(is_transp,
+                                        _I32(col.BLACK_DRAWABLE), c15)
+                    else:
+                        keyed_out = is_black & bt & textured
+                        c15 = jnp.where(is_transp & ~bt,
+                                        _I32(col.BLACK_DRAWABLE), c15)
 
                     tex_r8 = col.expand_5_to_8(col.r5(c15))
                     tex_g8 = col.expand_5_to_8(col.g5(c15))
@@ -1259,13 +1346,26 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     shaded_g8 = apply_shade(mod_g8, sh_g)
                     shaded_b8 = apply_shade(mod_b8, sh_b)
 
-                    offset = _dither_offsets(xi, yi)
-                    r5v = jnp.where(ndith, col.dither_and_quantize8(shaded_r8, offset),
-                                    shaded_r8 >> 3)
-                    g5v = jnp.where(ndith, col.dither_and_quantize8(shaded_g8, offset),
-                                    shaded_g8 >> 3)
-                    b5v = jnp.where(ndith, col.dither_and_quantize8(shaded_b8, offset),
-                                    shaded_b8 >> 3)
+                    if ndith is True:
+                        offset = _dither_offsets(xi, yi)
+                        r5v = col.dither_and_quantize8(shaded_r8, offset)
+                        g5v = col.dither_and_quantize8(shaded_g8, offset)
+                        b5v = col.dither_and_quantize8(shaded_b8, offset)
+                    elif ndith is False:
+                        r5v = shaded_r8 >> 3
+                        g5v = shaded_g8 >> 3
+                        b5v = shaded_b8 >> 3
+                    else:
+                        offset = _dither_offsets(xi, yi)
+                        r5v = jnp.where(
+                            ndith, col.dither_and_quantize8(shaded_r8, offset),
+                            shaded_r8 >> 3)
+                        g5v = jnp.where(
+                            ndith, col.dither_and_quantize8(shaded_g8, offset),
+                            shaded_g8 >> 3)
+                        b5v = jnp.where(
+                            ndith, col.dither_and_quantize8(shaded_b8, offset),
+                            shaded_b8 >> 3)
 
                     word = col.pack_rgba8(col.expand_5_to_8(r5v),
                                           col.expand_5_to_8(g5v),
@@ -1541,7 +1641,7 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
                      "atlas_rows", "key_wrows", "interpret", "debug",
                      "atlas_rows_data", "tex_enc", "clear_color", "n_tr",
-                     "sky_static"))
+                     "sky_static", "bt_const"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     tex_lo, tex_hi, tex_pack, tex_pal,
                     settings: RasterSettings,
@@ -1550,7 +1650,8 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     interpret: bool = False, debug: str = "",
                     atlas_rows_data: int = 0, tex_enc: tuple = (),
                     clear_color=None, trprep: TransPrep = None,
-                    n_tr: int = 0, skyprep=None, sky_static=None):
+                    n_tr: int = 0, skyprep=None, sky_static=None,
+                    bt_const=None):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
@@ -1570,7 +1671,8 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
     kernel, gh, groups = _make_kernel(settings, width, height, t_pad,
                                       n_tex, atlas_rows, key_wrows, debug,
                                       atlas_rows_data, tex_enc, clear_color,
-                                      n_tr=n_tr, sky_static=sky_static)
+                                      n_tr=n_tr, sky_static=sky_static,
+                                      bt_const=bt_const)
     n_segs, seg_rows = seg_plan(t_pad, debug)
 
     if n_segs == 1:
@@ -1646,7 +1748,10 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
             pltpu.VMEM((gh, 128), jnp.float32)]
            if ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
            else [])
-        + ([pltpu.VMEM((ch, 128), jnp.int32)] if sky_mode else []),
+        + ([pltpu.VMEM((ch, 128), jnp.int32)] if sky_mode else [])
+        + ([pltpu.VMEM((3 * ch, 128), jnp.float32)]
+           if sky_mode and (sky_static.skybox.sun.enabled
+                            or sky_static.skybox.moon.enabled) else []),
         # (cdepth: fbd still passed, but only an 8-row block is DMA'd)
         interpret=interpret,
     )(*operands)

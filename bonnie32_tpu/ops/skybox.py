@@ -259,25 +259,70 @@ def _kmod2pi(x):
     return jnp.clip(x - q * _F32(TWO_PI), _F32(0.0), _F32(TWO_PI))
 
 
-def _sample_sky(cfg, theta, phi, time, acos=jnp.arccos):
+def _lerp3(a, b, t):
+    """Channel lerp with the reference's clamp (a: planes/consts per
+    channel; b likewise)."""
+    one, zero = _F32(1.0), _F32(0.0)
+    t = jnp.clip(t, zero, one)
+    return tuple(av * (one - t) + bv * t for av, bv in zip(a, b))
+
+
+def _const3(c):
+    return tuple(_F32(float(x)) for x in c)
+
+
+def _apply_body(body, color, ang):
+    """Sun/moon core + glow onto `color` given the angular distance
+    plane `ang` (geometry.rs body branch of sample_at_direction) —
+    split out so the kernel path can compute `ang` from a direct dot
+    product and gate the whole body per chunk (ang >= 4*size ==> the
+    body contributes nothing, exactly)."""
+    one, zero = _F32(1.0), _F32(0.0)
+    size = _F32(body.size)
+    core = jnp.where(ang < size, one - ang / size, zero)
+    glow_r = body.size * 4.0
+    glow_t = jnp.clip((ang - size)
+                      / _F32(max(glow_r - body.size, 1e-9)), zero, one)
+    glow = jnp.where((ang >= size) & (ang < _F32(glow_r)),
+                     (one - glow_t) ** _F32(body.glow_falloff)
+                     * _F32(0.6), zero)
+    cored = _lerp3(color, _const3(body.color), core)
+    sel = core > zero
+    color = tuple(jnp.where(sel, a, c) for a, c in zip(cored, color))
+    glowed = _lerp3(color, _const3(body.glow_color), glow)
+    sel = glow > zero
+    return tuple(jnp.where(sel, a, c) for a, c in zip(glowed, color))
+
+
+def body_unit_dir(body):
+    """Static unit direction of a sun/moon body in the (x, y, z) frame
+    where a ray's spherical angles satisfy x = sin(phi)cos(theta),
+    y = cos(phi), z = sin(phi)sin(theta) — then the reference's
+    cos_dist trig chain (geometry.rs) equals dot(ray, body) exactly."""
+    body_phi = math.pi / 2 - body.elevation
+    sp, cp = math.sin(body_phi), math.cos(body_phi)
+    return (sp * math.cos(body.azimuth), cp, sp * math.sin(body.azimuth))
+
+
+def _sample_sky(cfg, theta, phi, time, acos=jnp.arccos, body_hook=None):
     """jnp mirror of models.skybox.Skybox.sample_at_direction
     (geometry.rs:400-527), channel-separated so every plane keeps the
     (rows, 128) VPU layout.  `cfg` is the host Skybox dataclass — all its
     scalars are Python constants at trace time, so disabled features
     compile to nothing.  Returns float (r, g, b) planes (unclipped, like
-    the host function); callers clip+truncate to u8."""
+    the host function); callers clip+truncate to u8.
+
+    `body_hook(body, color) -> color`, when given, replaces the sun/moon
+    angular-distance evaluation (the kernel path computes the angle from
+    a direct dot product against body_unit_dir and gates the whole body
+    per chunk — see raster_batch)."""
     one = _F32(1.0)
     zero = _F32(0.0)
     v = phi / _F32(math.pi)
     hz = _F32(cfg.horizon)
 
-    def lerp(a, b, t):
-        # a: per-channel planes or constants; b: (r,g,b) constants/planes
-        t = jnp.clip(t, zero, one)
-        return tuple(av * (one - t) + bv * t for av, bv in zip(a, b))
-
-    def const3(c):
-        return tuple(_F32(float(x)) for x in c)
+    lerp = _lerp3
+    const3 = _const3
 
     if cfg.horizon > 0:
         t_above = v / _F32(max(cfg.horizon, 1e-9))
@@ -322,25 +367,15 @@ def _sample_sky(cfg, theta, phi, time, acos=jnp.arccos):
     for body in (cfg.sun, cfg.moon):
         if not body.enabled:
             continue
+        if body_hook is not None:
+            color = body_hook(body, color)
+            continue
         body_phi = math.pi / 2 - body.elevation
         cos_dist = (jnp.sin(phi) * _F32(math.sin(body_phi))
                     * jnp.cos(theta - _F32(body.azimuth))
                     + jnp.cos(phi) * _F32(math.cos(body_phi)))
         ang = acos(jnp.clip(cos_dist, -one, one))
-        size = _F32(body.size)
-        core = jnp.where(ang < size, one - ang / size, zero)
-        glow_r = body.size * 4.0
-        glow_t = jnp.clip((ang - size)
-                          / _F32(max(glow_r - body.size, 1e-9)), zero, one)
-        glow = jnp.where((ang >= size) & (ang < _F32(glow_r)),
-                         (one - glow_t) ** _F32(body.glow_falloff)
-                         * _F32(0.6), zero)
-        cored = lerp(color, const3(body.color), core)
-        sel = core > zero
-        color = tuple(jnp.where(sel, a, c) for a, c in zip(cored, color))
-        glowed = lerp(color, const3(body.glow_color), glow)
-        sel = glow > zero
-        color = tuple(jnp.where(sel, a, c) for a, c in zip(glowed, color))
+        color = _apply_body(body, color, ang)
 
     for layer in cfg.cloud_layers:
         if layer is None or layer.opacity <= 0:
@@ -533,14 +568,28 @@ def scatter_stars_layout(colorL, depthL, sky: SkyTables, camera,
     reference draw order (render.rs:149-237 then :2547)."""
     time = jnp.asarray(time, _F32)
     enabled = sky.stars_enabled
+    rows, lanes, oks, words = [], [], [], []
     for lrow, llane, ok, c in _star_layout_writes(sky, camera, height,
                                                   width, time, enabled):
-        okd = ok & (depthL[lrow, llane] == 0.0)
-        word = col.pack_rgba8(c[:, 0], c[:, 1], c[:, 2],
-                              jnp.full_like(c[:, 0], 255))
-        colorL = colorL.at[lrow, llane].set(
-            jnp.where(okd, word, colorL[lrow, llane]))
-    return colorL
+        rows.append(lrow)
+        lanes.append(llane)
+        oks.append(ok)
+        words.append(col.pack_rgba8(c[:, 0], c[:, 1], c[:, 2],
+                                    jnp.full_like(c[:, 0], 255)))
+    # One gather + one masked scatter for all 9 diamond offsets (was 9
+    # gather+gather+scatter rounds — 24 us/inst at N=256 on v5e; XLA
+    # gathers are the known erratic hot-path trap, PLAN_PERF item 3).
+    # Note scatter duplicate-index order is unspecified where two STARS'
+    # sparkles overlap the same pixel (the per-offset rounds resolved
+    # that last-batch-wins); overlaps are rare point events and sit
+    # inside the in-kernel sky's pixel-diff budget (tests/test_skybox).
+    lrow = jnp.concatenate(rows)
+    llane = jnp.concatenate(lanes)
+    ok = jnp.concatenate(oks)
+    word = jnp.concatenate(words)
+    okd = ok & (depthL[lrow, llane] == 0.0)
+    return colorL.at[jnp.where(okd, lrow, _I32(-1)), llane].set(
+        word, mode="drop")
 
 
 def prep_sky_scal(sky: SkyTables, camera, width: int, height: int):
