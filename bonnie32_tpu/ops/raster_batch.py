@@ -737,9 +737,13 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                             skyrgb_scr[pl.ds(ch, ch), :],
                             skyrgb_scr[pl.ds(2 * ch, ch), :])
 
-                rf, gf, bf = _sky._sample_sky(
-                    cfg, theta, phi, sky_time, acos=_sky._kacos,
-                    body_hook=body_hook if sky_bodies else None)
+                if "flatsky" in debug:   # DIAGNOSIS ONLY (wrong output):
+                    # per-chunk cost floor without the sky function
+                    rf = gf = bf = wy * _F32(100.0)
+                else:
+                    rf, gf, bf = _sky._sample_sky(
+                        cfg, theta, phi, sky_time, acos=_sky._kacos,
+                        body_hook=body_hook if sky_bodies else None)
                 r = jnp.clip(rf, _F32(0.0), _F32(255.0)).astype(_I32)
                 gc = jnp.clip(gf, _F32(0.0), _F32(255.0)).astype(_I32)
                 bc = jnp.clip(bf, _F32(0.0), _F32(255.0)).astype(_I32)
@@ -749,8 +753,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 px = xi.astype(_F32) + 0.5
                 py = yi.astype(_F32) + 0.5
                 gx0 = float(g << 7)
+                mtn_faces = (() if "nomtn" in debug   # DIAGNOSIS ONLY
+                             else sky_static.faces)
                 for f, (i0, i1, i2, c0, c1, c2) in \
-                        enumerate(sky_static.faces):
+                        enumerate(mtn_faces):
                     ymin = skyscal_ref[0, 4, f]
                     ymax = skyscal_ref[0, 5, f]
                     xmin = skyscal_ref[0, 6, f]
@@ -934,16 +940,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 merge(row0, cov, izi, bcx, bcy)
                 return _bump(g, k)
 
-            def blk_keyed(q, carry):
+            def blk_keyed(q, carry, u0, vv0, u1, vv1, u2, vv2, tw, th):
                 g, k = carry
                 row0, cov, izi, bcx, bcy, bcz = block(g, k)
                 # UV at pixel (render.rs:1563-1579) + keying bit
-                u0 = fscal_ref[0, C_U0, fr]
-                vv0 = fscal_ref[0, C_VV0, fr]
-                u1 = fscal_ref[0, C_U1, fr]
-                vv1 = fscal_ref[0, C_VV1, fr]
-                u2 = fscal_ref[0, C_U2, fr]
-                vv2 = fscal_ref[0, C_VV2, fr]
                 if affine:
                     u = _interp3(bcx, bcy, bcz, u0, u1, u2)
                     v = _interp3(bcx, bcy, bcz, vv0, vv1, vv2)
@@ -955,8 +955,6 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     safe = jnp.where(izi == 0, _F32(1.0), izi)
                     u = u_oz / safe
                     v = v_oz / safe
-                tw = texmeta_ref[0, tid]
-                th = texmeta_ref[1, tid]
                 vf = _F32(1.0) - v
                 tx = jnp.minimum(
                     jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32),
@@ -987,8 +985,20 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
 
             @pl.when(keyable != 0)
             def _():
-                jax.lax.fori_loop(jnp.int32(0), total_blocks, blk_keyed,
-                                  gk0)
+                # per-FACE scalar reads (were per-block, round-5 s4)
+                u0 = fscal_ref[0, C_U0, fr]
+                vv0 = fscal_ref[0, C_VV0, fr]
+                u1 = fscal_ref[0, C_U1, fr]
+                vv1 = fscal_ref[0, C_VV1, fr]
+                u2 = fscal_ref[0, C_U2, fr]
+                vv2 = fscal_ref[0, C_VV2, fr]
+                tw = texmeta_ref[0, tid]
+                th = texmeta_ref[1, tid]
+                jax.lax.fori_loop(
+                    jnp.int32(0), total_blocks,
+                    lambda q, c: blk_keyed(q, c, u0, vv0, u1, vv1,
+                                           u2, vv2, tw, th),
+                    gk0)
 
         if "novis" not in debug:
             # K_COUNT is the total kept count for single-segment tables

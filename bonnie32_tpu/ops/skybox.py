@@ -576,20 +576,27 @@ def scatter_stars_layout(colorL, depthL, sky: SkyTables, camera,
         oks.append(ok)
         words.append(col.pack_rgba8(c[:, 0], c[:, 1], c[:, 2],
                                     jnp.full_like(c[:, 0], 255)))
-    # One gather + one masked scatter for all 9 diamond offsets (was 9
+    # One concatenated depth gather + nine drop-mode scatters (was 9
     # gather+gather+scatter rounds — 24 us/inst at N=256 on v5e; XLA
     # gathers are the known erratic hot-path trap, PLAN_PERF item 3).
-    # Note scatter duplicate-index order is unspecified where two STARS'
-    # sparkles overlap the same pixel (the per-offset rounds resolved
-    # that last-batch-wins); overlaps are rare point events and sit
-    # inside the in-kernel sky's pixel-diff budget (tests/test_skybox).
+    # The scatters stay per diamond offset IN ORDER: later offsets
+    # overwrite earlier ones where different stars' sparkles collide,
+    # and a single combined scatter resolves such duplicates in
+    # unspecified order (measured: 57 wrong pixels on the 160x120
+    # parity test — star collisions are birthday-frequent, not rare).
     lrow = jnp.concatenate(rows)
     llane = jnp.concatenate(lanes)
     ok = jnp.concatenate(oks)
-    word = jnp.concatenate(words)
     okd = ok & (depthL[lrow, llane] == 0.0)
-    return colorL.at[jnp.where(okd, lrow, _I32(-1)), llane].set(
-        word, mode="drop")
+    nb = rows[0].shape[0]
+    # masked-out writes aim PAST the plane (drop mode ignores indices
+    # >= size; NEGATIVE indices still wrap, even under mode="drop")
+    oob = _I32(colorL.shape[0])
+    for i, word in enumerate(words):
+        okb = okd[i * nb:(i + 1) * nb]
+        colorL = colorL.at[jnp.where(okb, rows[i], oob),
+                           lanes[i]].set(word, mode="drop")
+    return colorL
 
 
 def prep_sky_scal(sky: SkyTables, camera, width: int, height: int):

@@ -180,6 +180,26 @@ def main():
 
     runs["dg_nostars"] = lambda k: float(chain_dg_nostars(jnp.int32(k)))
 
+    # ---- in-kernel sky render decomposition (round-5 session 4):
+    # full / no-mountains / flat-base knobs on the render-only path ----
+    from bonnie32_tpu.models import scene_flat
+    from bonnie32_tpu.ops import raster_ref
+    fb0 = raster_ref.new_framebuffer(HEIGHT, WIDTH, depth_mode="inv")
+    fbs0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n,) + x.shape), fb0)
+    for name, dbg in (("ik_render", ""), ("ik_nomtn", "nomtn"),
+                      ("ik_flatsky", "flatsky nomtn"),
+                      ("ik_nosky", None)):
+        def frame(t, dbg=dbg):
+            out = scene_flat.render_level_flat(
+                fbs0, env.flat, env.flat_static, perturb(t), settings,
+                height=HEIGHT, width=WIDTH,
+                debug=dbg if dbg is not None else "",
+                sky=env.sky if dbg is not None else None)
+            return out.color[0, 0, 0].astype(jnp.float32)
+
+        add_chain(name, frame)
+
     rates = measure(runs)
     for name, dt in rates.items():
         print(f"{name:14s} {1000*dt:8.2f} ms/frame  "
