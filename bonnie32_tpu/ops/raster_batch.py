@@ -552,12 +552,13 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     # winner's (bcx, bcy) into two VMEM planes; phase 2 then reads them
     # back instead of gathering the 7 edge-setup columns (V3X/V3Y/A0/B0/
     # A1/B1/IA) and recomputing — bit-exact because phase 1 evaluates the
-    # IDENTICAL expressions on the identical scalars.  Cost is ~6 vector
-    # ops per merged block, saving ~7 lane-gathers + ~12 VPU ops per
-    # phase-2 chunk, so (like track_pres) it wins when blocks/instance is
-    # small vs chunk count and loses at Cathedral-scale face counts:
-    # same t_pad <= 1024 adaptive default, "bc"/"nobc" force on/off.
-    store_bc = ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
+    # IDENTICAL expressions on the identical scalars.  Default ON at
+    # every scale since round-5 session 4: even at Cathedral face counts
+    # the two extra plane RWs per merged block beat the seven extra
+    # gather columns (v5e N=64: bc 135.96 vs 138.97 us/inst pre-seg, and
+    # the per-segment original-id winners made the gather ranges wider).
+    # "nobc" forces off for A/B.
+    store_bc = "nobc" not in debug
     # Compile-time flag folding (round 5): needs_dither is settings-only
     # under Gouraud shading (scene_flat.build_surfaces_flat:486 —
     # `dithering & (gouraud | textured | ...)`), and black_transparent is
@@ -1104,47 +1105,65 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 def _(idx=idx, has=has, idxs=idxs, lanei=lanei, grp=grp,
                       g=g, ybase=ybase, r0=r0):
 
-                    def gather_body(gg, carry, lanei=lanei, grp=grp):
-                        out = []
-                        for ci, cc in enumerate(cols):
-                            row = attrsT_ref[0, cc, gg, :]
-                            sel = _lane_take(
-                                jnp.broadcast_to(row[None, :], (ch, 128)), lanei)
-                            out.append(jnp.where(grp == gg, sel, carry[ci]))
-                        return tuple(out)
-
-                    # faces compact in room/draw order, so one screen chunk
-                    # usually references a narrow band of attr groups —
-                    # bound the gather loop by the chunk's [min, max] winner
-                    # group instead of walking all ceil(count/128) groups
-                    gmin = jnp.min(jnp.where(has, grp,
-                                             _I32(n_groups_static - 1)))
-                    gmax = jnp.max(jnp.where(has, grp, _I32(0)))
-                    # winner ids are draw POSITIONS < count, so the
-                    # dynamic group count bounds the loop on both paths
-                    gmax = jnp.minimum(jnp.maximum(gmax, gmin),
-                                       ngroups - 1)
-                    gmin = jnp.minimum(gmin, gmax)
-                    # group gmin is peeled: its gathers initialize the
-                    # carry WITHOUT the grp==gg select (chunks usually
-                    # touch one group after room-ordered compaction, so
-                    # this halves the gather ops there).  Pixels of later
+                    # faces sit in room order (original ids) or draw
+                    # order (positions), so one screen chunk references a
+                    # narrow band of attr groups — bound the gather loop
+                    # by the [min, max] winner group instead of walking
+                    # all groups.  Group gmin is peeled: its gathers
+                    # initialize the carry WITHOUT the grp==gg select
+                    # (chunks usually touch one group).  Pixels of later
                     # groups carry group-gmin values until their group
                     # overwrites them; non-winner pixels end up with some
-                    # REAL face's attrs (bounded tid/flags) and are masked
-                    # at the final drawn-write, so the peel is bit-exact.
-                    if "noattrs" in debug:   # perf diagnosis: gather cost
-                        vals = tuple(jnp.zeros((ch, 128), _F32)
-                                     for _ in cols)
-                    else:
+                    # REAL face's attrs (bounded tid) and are masked at
+                    # the final drawn-write, so the peel is bit-exact.
+                    # "subattr": gather per (16,128) sub-block with its
+                    # own [gmin, gmax] — winner locality is row-scale, so
+                    # big-level chunks walk far fewer (group, col) pairs.
+                    def gather_cols(lanei_s, grp_s, has_s, rows):
+                        gmin = jnp.min(jnp.where(
+                            has_s, grp_s, _I32(n_groups_static - 1)))
+                        gmax = jnp.max(jnp.where(has_s, grp_s, _I32(0)))
+                        # winner ids stay below the dynamic group count
+                        gmax = jnp.minimum(jnp.maximum(gmax, gmin),
+                                           ngroups - 1)
+                        gmin = jnp.minimum(gmin, gmax)
                         vals0 = []
                         for cc in cols:
                             row = attrsT_ref[0, cc, gmin, :]
                             vals0.append(_lane_take(
-                                jnp.broadcast_to(row[None, :], (ch, 128)),
-                                lanei))
-                        vals = jax.lax.fori_loop(
-                            gmin + 1, gmax + 1, gather_body, tuple(vals0))
+                                jnp.broadcast_to(row[None, :],
+                                                 (rows, 128)), lanei_s))
+
+                        def body(gg, carry):
+                            out = []
+                            for ci, cc in enumerate(cols):
+                                row = attrsT_ref[0, cc, gg, :]
+                                sel = _lane_take(
+                                    jnp.broadcast_to(row[None, :],
+                                                     (rows, 128)),
+                                    lanei_s)
+                                out.append(jnp.where(grp_s == gg, sel,
+                                                     carry[ci]))
+                            return tuple(out)
+
+                        return jax.lax.fori_loop(gmin + 1, gmax + 1,
+                                                 body, tuple(vals0))
+
+                    sub = 16 if ("subattr" in debug and ch % 16 == 0
+                                 and ch > 16) else ch
+                    if "noattrs" in debug:   # perf diagnosis: gather cost
+                        vals = tuple(jnp.zeros((ch, 128), _F32)
+                                     for _ in cols)
+                    elif sub == ch:
+                        vals = gather_cols(lanei, grp, has, ch)
+                    else:
+                        parts = [gather_cols(lanei[s:s + sub, :],
+                                             grp[s:s + sub, :],
+                                             has[s:s + sub, :], sub)
+                                 for s in range(0, ch, sub)]
+                        vals = tuple(
+                            jnp.concatenate([p[ci] for p in parts], axis=0)
+                            for ci in range(len(cols)))
                     a = dict(zip(cols, vals))
 
                     xi = jax.lax.broadcasted_iota(_I32, (ch, 128), 1) + (g << 7)
@@ -1756,7 +1775,7 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                                    jnp.int32)]
         + ([pltpu.VMEM((gh, 128), jnp.float32),
             pltpu.VMEM((gh, 128), jnp.float32)]
-           if ("nobc" not in debug and (t_pad <= 1024 or "bc" in debug))
+           if "nobc" not in debug
            else [])
         + ([pltpu.VMEM((ch, 128), jnp.int32)] if sky_mode else [])
         + ([pltpu.VMEM((3 * ch, 128), jnp.float32)]
