@@ -132,6 +132,34 @@ class FlatSceneStatic:
     # C_FLAGS attr gather and the flag selects (all sample levels are
     # uniformly True).
     bt_const: Optional[bool] = None
+    # Vertex-color fold (round 5).  With fog disabled on every face the
+    # runtime vertex colors ARE the compile-time corner colors
+    # (_apply_fog_to_color's factor<=0 branch passes the i32 values
+    # through untouched), so:
+    #   ("const", packed_rgb) — one uniform (r,g,b) over all valid faces'
+    #     corners: the kernel drops the three C_VCP* attr gathers and
+    #     interpolates compile-time constants (identical expressions —
+    #     bit-exact; corner swaps permute equal values);
+    #   ("gray",) — r==g==b per corner: one channel interp, vg=vb=vr.
+    # Cave/Cathedral are ("const", 128|128<<8|128<<16); Dungeon ("gray",).
+    vc_mode: Optional[tuple] = None
+    # (w, h) when every texture in the atlas has the same dimensions —
+    # the kernel folds the per-pixel tw/th texmeta gathers to constants
+    # (every sample level ships only 64x64 textures).
+    tex_wh: Optional[Tuple[int, int]] = None
+    # Shade fold (round 5).  The compile-time shade tables (cshade/
+    # cshade_neg/fshade/fshade_neg) collapse without point lights: every
+    # corner's shade is its room's ambient, identical for both normal
+    # orientations — so the swap select and the per-corner variation
+    # vanish STATICALLY.  Classification over valid faces (requires all
+    # four tables elementwise equal and corner-uniform, which makes the
+    # fold exact for every shading mode and backface swap):
+    #   ("const", (r, g, b)) — one shade everywhere: the 9 Gouraud gather
+    #     columns drop entirely;
+    #   ("pfgray",) — per-face uniform corners with r==g==b: one column;
+    #   ("pf",) — per-face uniform corners: three columns.
+    # The datagen configs carry no lights, so the sample levels all fold.
+    sh_mode: Optional[tuple] = None
 
 
 def _faces_to_arrays(verts, faces, textures, pad_faces=None):
@@ -394,12 +422,52 @@ def _compile_groups(groups, tex_list, light_specs, light_pad):
     btv = bt_np[valid_np]
     bt_const = (True if (btv.size == 0 or btv.all())
                 else (False if not btv.any() else None))
+
+    # vc_mode / tex_wh folds (see FlatSceneStatic field comments)
+    fog_any = bool(np.array([f[0] for f in fog_rows], bool)[valid_np].any())
+    vcc = np.asarray(vcol_np[vidx_np])[valid_np].reshape(-1, 3)
+    vc_mode = None
+    if not fog_any and vcc.size:
+        uniq = np.unique(vcc, axis=0)
+        if len(uniq) == 1:
+            r, g, b = (int(x) for x in uniq[0])
+            vc_mode = ("const", r | (g << 8) | (b << 16))
+        elif ((vcc[:, 0] == vcc[:, 1]).all()
+              and (vcc[:, 1] == vcc[:, 2]).all()):
+            vc_mode = ("gray",)
+    ws = np.unique(texmeta[0, :nt]) if nt else np.empty(0)
+    hs = np.unique(texmeta[1, :nt]) if nt else np.empty(0)
+    tex_wh = ((int(ws[0]), int(hs[0]))
+              if len(ws) == 1 and len(hs) == 1 else None)
+
+    # sh_mode fold (see FlatSceneStatic): all four shade tables must agree
+    # elementwise (orientation-independent) and be corner-uniform
+    sh_mode = None
+    cs = np.asarray(cshade)[valid_np]                       # (Tv, 3, 3)
+    csn = np.asarray(cshade_neg)[valid_np]
+    fs3 = np.broadcast_to(np.asarray(fshade)[valid_np][:, None, :],
+                          cs.shape)
+    fsn3 = np.broadcast_to(np.asarray(fshade_neg)[valid_np][:, None, :],
+                           cs.shape)
+    if cs.size and (cs == csn).all() and (cs == fs3).all() \
+            and (cs == fsn3).all() and (cs == cs[:, :1, :]).all():
+        vals = cs[:, 0, :]                                  # (Tv, 3)
+        uniq = np.unique(vals, axis=0)
+        if len(uniq) == 1:
+            sh_mode = ("const", tuple(float(x) for x in uniq[0]))
+        elif (vals[:, 0] == vals[:, 1]).all() \
+                and (vals[:, 1] == vals[:, 2]).all():
+            sh_mode = ("pfgray",)
+        else:
+            sh_mode = ("pf",)
+
     static = FlatSceneStatic(
         n_faces=t, t_pad=t_pad, groups=t_pad // 128, n_textures=nt,
         atlas_rows=ra, atlas_rows_data=ra_data,
         key_wrows=wr, tex_enc=tex_enc, transparent_idx=tr_idx,
         transparent_last=tr_last, n_draw_groups=len(groups),
-        bt_const=bt_const)
+        bt_const=bt_const, vc_mode=vc_mode, tex_wh=tex_wh,
+        sh_mode=sh_mode)
     return scene, static
 
 
@@ -730,7 +798,10 @@ def render_level_flat(fb: FrameBuffers, scene: FlatScene,
         atlas_rows_data=static.atlas_rows_data, tex_enc=static.tex_enc,
         interpret=interpret, debug=debug, clear_color=background,
         trprep=trprep, n_tr=n_tr, skyprep=skyprep, sky_static=sky_static,
-        bt_const=static.bt_const)
+        bt_const=static.bt_const, vc_mode=static.vc_mode,
+        tex_wh=static.tex_wh,
+        sh_mode=static.sh_mode if settings.shading != ShadingMode.NONE
+        else None)
     if sky is not None and sky.kstat.skybox.stars.enabled:
         from ..ops import skybox as sky_ops
         color = jax.vmap(

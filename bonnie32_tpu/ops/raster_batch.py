@@ -472,7 +472,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                  t_pad: int, n_tex: int, atlas_rows: int, key_wrows: int,
                  debug: str = "", atlas_rows_data: int = 0,
                  tex_enc: tuple = (), clear_color=None, n_tr: int = 0,
-                 sky_static=None, bt_const=None):
+                 sky_static=None, bt_const=None, vc_mode=None,
+                 tex_wh=None, sh_mode=None):
     """Build the fused visibility+resolve kernel for static config.
 
     When t_pad > SEG the face table streams through SMEM in SEG-row
@@ -575,6 +576,32 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     if "dynflags" in debug:            # A/B: force the dynamic flag path
         ndith_const = bt_const = None
     flags_needed = (ndith_const is None) or (bt_const is None)
+    # Vertex-color fold (round 5, FlatSceneStatic.vc_mode): "const" drops
+    # the three C_VCP* gathers and interpolates compile-time constants;
+    # "gray" (and a grayscale const) computes one channel interp and
+    # copies it — both bit-exact (identical expressions on identical
+    # values).  The attrs gather loop is phase 2's single biggest line
+    # (19-22 lane-takes x every winner chunk; the gather unit is
+    # output-size-bound, PLAN_PERF fact 4), so dropped columns are pure
+    # savings.  "dynvc" forces the dynamic path for A/B.
+    if "dynvc" in debug:
+        vc_mode = None
+    vc_fold = vc_mode is not None and vc_mode[0] == "const"
+    vc_gray = vc_mode is not None and (
+        vc_mode[0] == "gray"
+        or (vc_fold and (vc_mode[1] & 255) == ((vc_mode[1] >> 8) & 255)
+            == ((vc_mode[1] >> 16) & 255)))
+    # Texture-size fold (FlatSceneStatic.tex_wh): uniform atlas w/h folds
+    # the per-pixel tw/th texmeta gathers to constants.  "dyntw" for A/B.
+    if "dyntw" in debug:
+        tex_wh = None
+    # Shade fold (FlatSceneStatic.sh_mode): without point lights the
+    # shade tables are orientation-independent and corner-uniform, so the
+    # 9 Gouraud gather columns drop to 0 ("const"), 1 ("pfgray") or 3
+    # ("pf") — identical interpolation expressions on identical values.
+    # "dynsh" forces the dynamic path for A/B.
+    if "dynsh" in debug:
+        sh_mode = None
 
     if n_tr:
         assert n_segs == 1, "phase 3 needs single-segment (original-order)" \
@@ -1047,17 +1074,20 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                 # winner ids are original face ids — no dynamic bound
                 ngroups = jnp.int32(n_groups_static)
 
-            if shading == ShadingMode.GOURAUD:
-                sh_cols = list(range(C_SH, C_SH + 9))
-            elif shading == ShadingMode.FLAT:
-                sh_cols = [C_SH, C_SH + 1, C_SH + 2]
-            else:
+            if shading == ShadingMode.NONE or (sh_mode is not None
+                                               and sh_mode[0] == "const"):
                 sh_cols = []
+            elif sh_mode is not None and sh_mode[0] == "pfgray":
+                sh_cols = [C_SH]
+            elif shading == ShadingMode.FLAT or sh_mode is not None:
+                sh_cols = [C_SH, C_SH + 1, C_SH + 2]   # FLAT or "pf"
+            else:
+                sh_cols = list(range(C_SH, C_SH + 9))
             cols = (([] if store_bc
                      else [C_V3X, C_V3Y, C_A0, C_B0, C_A1, C_B1, C_IA])
                     + ([] if affine else [C_IZA, C_IZB, C_IZC])
-                    + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2,
-                       C_VCP0, C_VCP1, C_VCP2]
+                    + [C_U0, C_VV0, C_U1, C_VV1, C_U2, C_VV2]
+                    + ([] if vc_fold else [C_VCP0, C_VCP1, C_VCP2])
                     + sh_cols + [C_TID]
                     + ([C_FLAGS] if flags_needed else []))
 
@@ -1204,21 +1234,39 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     tid = a[C_TID].astype(_I32)
                     textured = tid >= 0
                     tids = jnp.maximum(tid, 0)
-                    tw = _lane_take(jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
-                                                     (ch, 128)), tids)
-                    th = _lane_take(jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
-                                                     (ch, 128)), tids)
-                    toff = _lane_take(jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
-                                                       (ch, 128)), tids)
+                    if tex_wh is not None:
+                        # uniform texture sizes fold the tw/th gathers to
+                        # constants — identical value computations
+                        twf = _F32(float(tex_wh[0]))
+                        thf = _F32(float(tex_wh[1]))
+                        twm1 = _I32(tex_wh[0] - 1)
+                        thm1 = _I32(tex_wh[1] - 1)
+                        twi = _I32(tex_wh[0])
+                    else:
+                        tw = _lane_take(
+                            jnp.broadcast_to(texmeta_v_ref[0, :][None, :],
+                                             (ch, 128)), tids)
+                        th = _lane_take(
+                            jnp.broadcast_to(texmeta_v_ref[1, :][None, :],
+                                             (ch, 128)), tids)
+                        twf, thf = tw.astype(_F32), th.astype(_F32)
+                        twm1, thm1 = tw - 1, th - 1
+                        twi = tw
                     vf = _F32(1.0) - v
                     tx = jnp.minimum(
-                        jnp.trunc(_wrap01(u) * tw.astype(_F32)).astype(_I32), tw - 1)
+                        jnp.trunc(_wrap01(u) * twf).astype(_I32), twm1)
                     ty = jnp.minimum(
-                        jnp.trunc(_wrap01(vf) * th.astype(_F32)).astype(_I32), th - 1)
-                    rel = ty * tw + tx
-                    flat = toff + rel
-                    trow = flat >> 7
-                    tlane = flat & 127
+                        jnp.trunc(_wrap01(vf) * thf).astype(_I32), thm1)
+                    rel = ty * twi + tx
+                    if not tex_major or "notex" in debug:
+                        # flat-atlas paths only: tex_major never reads the
+                        # offset table (drops its per-pixel gather)
+                        toff = _lane_take(
+                            jnp.broadcast_to(texmeta_v_ref[2, :][None, :],
+                                             (ch, 128)), tids)
+                        flat = toff + rel
+                        trow = flat >> 7
+                        tlane = flat & 127
                     if "notex" in debug:      # perf diagnosis: no texel fetch
                         lo = hiw = jnp.zeros((ch, 128, 1), _F32)
                     elif tex_major or direct_fetch:
@@ -1332,21 +1380,35 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         p = packed.astype(_I32)
                         return (p & 255, (p >> 8) & 255, (p >> 16) & 255)
 
-                    vc0 = unpack_vc(a[C_VCP0])
-                    vc1 = unpack_vc(a[C_VCP1])
-                    vc2 = unpack_vc(a[C_VCP2])
-                    vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                                vc0[0].astype(_F32),
-                                                vc1[0].astype(_F32),
-                                                vc2[0].astype(_F32)))
-                    vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                                vc0[1].astype(_F32),
-                                                vc1[1].astype(_F32),
-                                                vc2[1].astype(_F32)))
-                    vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
-                                                vc0[2].astype(_F32),
-                                                vc1[2].astype(_F32),
-                                                vc2[2].astype(_F32)))
+                    if vc_fold:
+                        pk = vc_mode[1]
+                        kc = (_F32(float(pk & 255)),
+                              _F32(float((pk >> 8) & 255)),
+                              _F32(float((pk >> 16) & 255)))
+                        vc0 = vc1 = vc2 = kc
+                        vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                    kc[0], kc[0], kc[0]))
+                    else:
+                        vc0 = unpack_vc(a[C_VCP0])
+                        vc1 = unpack_vc(a[C_VCP1])
+                        vc2 = unpack_vc(a[C_VCP2])
+                        vr = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                    vc0[0].astype(_F32),
+                                                    vc1[0].astype(_F32),
+                                                    vc2[0].astype(_F32)))
+                    if vc_gray:
+                        # r==g==b per corner: the g/b interps evaluate the
+                        # identical expression on identical values
+                        vg = vb = vr
+                    else:
+                        vg = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                    vc0[1].astype(_F32),
+                                                    vc1[1].astype(_F32),
+                                                    vc2[1].astype(_F32)))
+                        vb = _u8_trunc_sat(_interp3(bcx, bcy, bcz,
+                                                    vc0[2].astype(_F32),
+                                                    vc1[2].astype(_F32),
+                                                    vc2[2].astype(_F32)))
 
                     # modulate8 ((tex*vc)//128, render.rs:1624): operands are
                     # nonnegative u8 so the floor-div is a shift (Mosaic's
@@ -1358,7 +1420,36 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                     if shading == ShadingMode.NONE:
                         sh_r = sh_g = sh_b = jnp.ones((ch, 128), _F32)
                     elif shading == ShadingMode.FLAT:
-                        sh_r, sh_g, sh_b = a[C_SH], a[C_SH + 1], a[C_SH + 2]
+                        if sh_mode is not None and sh_mode[0] == "const":
+                            sh_r = _F32(sh_mode[1][0])
+                            sh_g = _F32(sh_mode[1][1])
+                            sh_b = _F32(sh_mode[1][2])
+                        elif sh_mode is not None and sh_mode[0] == "pfgray":
+                            sh_r = sh_g = sh_b = a[C_SH]
+                        else:
+                            sh_r, sh_g, sh_b = (a[C_SH], a[C_SH + 1],
+                                                a[C_SH + 2])
+                    elif sh_mode is not None:
+                        # corner-uniform shade: the interpolation runs on
+                        # the same value at every corner (exact fold)
+                        if sh_mode[0] == "const":
+                            cs_ = tuple(_F32(x) for x in sh_mode[1])
+                        elif sh_mode[0] == "pfgray":
+                            cs_ = (a[C_SH],) * 3
+                        else:                  # "pf"
+                            cs_ = (a[C_SH], a[C_SH + 1], a[C_SH + 2])
+                        sh_r = _interp3(bcx, bcy, bcz, cs_[0], cs_[0],
+                                        cs_[0])
+                        if (sh_mode[0] == "pfgray"
+                                or (sh_mode[0] == "const"
+                                    and sh_mode[1][0] == sh_mode[1][1]
+                                    == sh_mode[1][2])):
+                            sh_g = sh_b = sh_r
+                        else:
+                            sh_g = _interp3(bcx, bcy, bcz, cs_[1], cs_[1],
+                                            cs_[1])
+                            sh_b = _interp3(bcx, bcy, bcz, cs_[2], cs_[2],
+                                            cs_[2])
                     else:
                         sh_r = _interp3(bcx, bcy, bcz, a[C_SH], a[C_SH + 3],
                                         a[C_SH + 6])
@@ -1670,7 +1761,8 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
     static_argnames=("settings", "width", "height", "t_pad", "n_tex",
                      "atlas_rows", "key_wrows", "interpret", "debug",
                      "atlas_rows_data", "tex_enc", "clear_color", "n_tr",
-                     "sky_static", "bt_const"))
+                     "sky_static", "bt_const", "vc_mode", "tex_wh",
+                     "sh_mode"))
 def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     tex_lo, tex_hi, tex_pack, tex_pal,
                     settings: RasterSettings,
@@ -1680,7 +1772,8 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                     atlas_rows_data: int = 0, tex_enc: tuple = (),
                     clear_color=None, trprep: TransPrep = None,
                     n_tr: int = 0, skyprep=None, sky_static=None,
-                    bt_const=None):
+                    bt_const=None, vc_mode=None, tex_wh=None,
+                    sh_mode=None):
     """Run the fused kernel over the instance grid.
 
     fbc/fbd: (I, GH, 128) layout framebuffers (see to_layout); prep fields
@@ -1701,7 +1794,8 @@ def rasterize_batch(fbc, fbd, prep: BatchPrep, keyrows, texmeta,
                                       n_tex, atlas_rows, key_wrows, debug,
                                       atlas_rows_data, tex_enc, clear_color,
                                       n_tr=n_tr, sky_static=sky_static,
-                                      bt_const=bt_const)
+                                      bt_const=bt_const, vc_mode=vc_mode,
+                                      tex_wh=tex_wh, sh_mode=sh_mode)
     n_segs, seg_rows = seg_plan(t_pad, debug)
 
     if n_segs == 1:
