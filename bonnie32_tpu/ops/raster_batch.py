@@ -923,6 +923,19 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             fg = fsafe if n_segs == 1 else fo
 
             def merge(row0, cov, izi, bcx, bcy):
+                if "skipmiss" in debug:
+                    # bbox-edge blocks often cover nothing: one vector
+                    # reduce + scalar branch skips the 4-plane RMW (the
+                    # phase-1 VMEM-bandwidth floor) for all-miss visits
+                    nz = jnp.max(jnp.where(cov, _I32(1), _I32(0))) > 0
+
+                    @pl.when(nz)
+                    def _():
+                        _merge_body(row0, cov, izi, bcx, bcy)
+                else:
+                    _merge_body(row0, cov, izi, bcx, bcy)
+
+            def _merge_body(row0, cov, izi, bcx, bcy):
                 win = depth_ref[0, pl.ds(row0, wb), :]
                 # painter's: last covering face wins regardless of depth
                 better = cov if painters else (cov & (izi > win))
@@ -971,6 +984,21 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
             def blk_keyed(q, carry, u0, vv0, u1, vv1, u2, vv2, tw, th):
                 g, k = carry
                 row0, cov, izi, bcx, bcy, bcz = block(g, k)
+                if "skipmiss" in debug:
+                    # all-miss visits skip the UV + key-word work too
+                    nz = jnp.max(jnp.where(cov, _I32(1), _I32(0))) > 0
+
+                    @pl.when(nz)
+                    def _():
+                        _keyed_body(row0, cov, izi, bcx, bcy, bcz,
+                                    u0, vv0, u1, vv1, u2, vv2, tw, th)
+                else:
+                    _keyed_body(row0, cov, izi, bcx, bcy, bcz,
+                                u0, vv0, u1, vv1, u2, vv2, tw, th)
+                return _bump(g, k)
+
+            def _keyed_body(row0, cov, izi, bcx, bcy, bcz,
+                            u0, vv0, u1, vv1, u2, vv2, tw, th):
                 # UV at pixel (render.rs:1563-1579) + keying bit
                 if affine:
                     u = _interp3(bcx, bcy, bcz, u0, u1, u2)
@@ -1000,8 +1028,10 @@ def _make_kernel(settings: RasterSettings, width: int, height: int,
                         widx & 127)
                     word = jnp.where((widx >> 7) == rr, sel, word)
                 keyed = ((word >> (rel & 31)) & 1) != 0
-                merge(row0, cov & ~keyed, izi, bcx, bcy)
-                return _bump(g, k)
+                if "skipmiss" in debug:
+                    _merge_body(row0, cov & ~keyed, izi, bcx, bcy)
+                else:
+                    merge(row0, cov & ~keyed, izi, bcx, bcy)
 
             total_blocks = jnp.where(valid, ngr * nblk, jnp.int32(0))
             gk0 = (g0, jnp.int32(0))
